@@ -1,0 +1,36 @@
+"""flashattn_tpu — a TPU-native flash-attention framework.
+
+A from-scratch JAX/Pallas re-design of the capability surface of
+``Pearbiossom-M/FlashAttention-from-Scratch-with-Triton`` (reference mounted at
+/root/reference): fused flash-attention forward with online softmax + LSE,
+two-kernel recompute backward with delta reuse, autograd (custom_vjp)
+integration, numerical verification, and a TFLOPS benchmark harness —
+extended with flash-decode, quantized KV caches, weight-only quantized
+matmuls, variable-length batching, a Llama-style model layer, and mesh
+parallelism (TP / ring attention) for TPU pods.
+
+Public API mirrors the reference's single entry point
+(``code/My_FlashAttention_optimized.py:169-170``):
+
+    >>> from flashattn_tpu import flash_attention
+    >>> O = flash_attention(Q, K, V, is_causal=True)   # differentiable
+"""
+
+from flashattn_tpu.ops.attention import (
+    flash_attention,
+    flash_attention_forward,
+    flash_attention_backward,
+)
+from flashattn_tpu.ops.reference import reference_attention, reference_attention_with_lse
+from flashattn_tpu.utils.verify import verify_results
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "flash_attention",
+    "flash_attention_forward",
+    "flash_attention_backward",
+    "reference_attention",
+    "reference_attention_with_lse",
+    "verify_results",
+]

@@ -1,0 +1,84 @@
+"""Public flash-attention API with custom-VJP autograd integration.
+
+TPU-native counterpart of the reference's autograd layer
+(``code/My_FlashAttention_optimized.py:130-170``): ``jax.custom_vjp``
+replaces ``torch.autograd.Function``; residuals (Q, K, V, O, LSE) mirror
+``ctx.save_for_backward`` (``:145-147``); the backward calls the two-kernel
+recompute backward with delta reuse (``:62-128``).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from flashattn_tpu.ops.common import BlockSizes
+from flashattn_tpu.ops.flash_fwd import flash_attention_forward
+from flashattn_tpu.ops.flash_bwd import flash_attention_backward
+
+
+@functools.partial(
+    jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6)
+)
+def _flash_attention(q, k, v, is_causal, scale, block_sizes, interpret):
+    o, _ = flash_attention_forward(
+        q, k, v, is_causal=is_causal, scale=scale,
+        block_sizes=block_sizes, interpret=interpret,
+    )
+    return o
+
+
+def _fwd(q, k, v, is_causal, scale, block_sizes, interpret):
+    o, lse = flash_attention_forward(
+        q, k, v, is_causal=is_causal, scale=scale,
+        block_sizes=block_sizes, interpret=interpret,
+    )
+    return o, (q, k, v, o, lse)
+
+
+def _bwd(is_causal, scale, block_sizes, interpret, residuals, do):
+    q, k, v, o, lse = residuals
+    dq, dk, dv = flash_attention_backward(
+        q, k, v, o, do, lse, is_causal=is_causal, scale=scale,
+        block_sizes=block_sizes, interpret=interpret,
+    )
+    return dq, dk, dv
+
+
+_flash_attention.defvjp(_fwd, _bwd)
+
+
+def flash_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    is_causal: bool = False,
+    scale: float | None = None,
+    block_sizes: BlockSizes | None = None,
+    interpret: bool | None = None,
+) -> jnp.ndarray:
+    """Differentiable fused flash attention (public entry point, mirroring
+    the reference ``flash_attention`` at ``My_FlashAttention_optimized.py:169-170``).
+
+    Args:
+      q: [B, Hq, S_q, D]; k, v: [B, Hkv, S_k, D] (Hkv | Hq for GQA/MQA).
+      is_causal: causal mask aligned to the end of the key sequence.
+      scale: softmax scale, default 1/sqrt(D).
+      block_sizes: kernel tile sizes (autotunable).
+      interpret: force Pallas interpreter mode (defaults to True off-TPU).
+
+    Returns:
+      O: [B, Hq, S_q, D] in q.dtype.
+    """
+    assert q.ndim == 4 and k.ndim == 4 and v.ndim == 4, "expected [B,H,S,D]"
+    return _flash_attention(q, k, v, is_causal, scale, block_sizes, interpret)
+
+
+# Re-exported for API parity with the reference's launcher layer.
+__all__ = [
+    "flash_attention",
+    "flash_attention_forward",
+    "flash_attention_backward",
+]

@@ -1,0 +1,80 @@
+"""Shared helpers for the Pallas attention kernels."""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+
+# Large-negative logit used for masking instead of -inf so that
+# (masked - m) subtraction never produces NaN. Same trick as production TPU
+# flash kernels; the reference uses float('-inf') on GPU
+# (_flash_attention_kernel_optimized.py:101) which Mosaic handles less well.
+MASK_VALUE = -0.7 * float(jnp.finfo(jnp.float32).max)
+
+LOG2E = math.log2(math.e)
+LN2 = math.log(2.0)
+
+
+def cdiv(a: int, b: int) -> int:
+    return -(-a // b)
+
+
+def round_up(x: int, m: int) -> int:
+    return cdiv(x, m) * m
+
+
+def interpret_default() -> bool:
+    """Run Pallas kernels in interpreter mode when not on TPU.
+
+    Lets the full test suite run on the CPU backend (8 virtual devices)
+    while the same code compiles via Mosaic on real TPU chips.
+    """
+    return jax.default_backend() != "tpu"
+
+
+@dataclasses.dataclass(frozen=True)
+class BlockSizes:
+    """Tile sizes for the attention kernels — the TPU analogue of the
+    reference's autotune config space (BLOCK_M/BLOCK_N at
+    _flash_attention_kernel_optimized.py:18-32). TPU tiles are MXU-shaped:
+    multiples of 128 lanes / 8 sublanes, so defaults are 128-512 rather than
+    the GPU's 32/64."""
+
+    block_q: int = 512
+    block_kv: int = 512
+    # Backward tiles (bwd has higher VMEM pressure, like the reference's
+    # separately-tuned bwd configs, Phase_5.md:160-162).
+    block_q_dq: int = 512
+    block_kv_dq: int = 512
+    block_q_dkv: int = 512
+    block_kv_dkv: int = 512
+
+    def clamp(self, s_q: int, s_k: int) -> "BlockSizes":
+        """Shrink tiles to the (padded) problem size."""
+
+        def fit(b: int, s: int) -> int:
+            return max(8, min(b, round_up(s, 128)))
+
+        return BlockSizes(
+            block_q=fit(self.block_q, s_q),
+            block_kv=fit(self.block_kv, s_k),
+            block_q_dq=fit(self.block_q_dq, s_q),
+            block_kv_dq=fit(self.block_kv_dq, s_k),
+            block_q_dkv=fit(self.block_q_dkv, s_q),
+            block_kv_dkv=fit(self.block_kv_dkv, s_k),
+        )
+
+
+def pad_to_block(x: jnp.ndarray, axis: int, block: int) -> jnp.ndarray:
+    """Zero-pad `axis` of x up to a multiple of `block`."""
+    size = x.shape[axis]
+    pad = round_up(size, block) - size
+    if pad == 0:
+        return x
+    widths = [(0, 0)] * x.ndim
+    widths[axis] = (0, pad)
+    return jnp.pad(x, widths)
