@@ -1,0 +1,146 @@
+"""Attention benchmark sweep — TPU analogue of the reference harness
+(``code/Performance_Comparison.py:9-166``).
+
+Providers:
+  - ``flash``: our Pallas kernels (via the differentiable public API)
+  - ``xla``:   jax.nn.dot_product_attention — XLA's fused attention, the
+               TPU stand-in for the reference's PyTorch SDPA baseline
+  - ``naive``: unfused jnp oracle (reference ``naive_attention``, OOMs first)
+
+Modes: fwd, fwd_bwd, and bwd measured as fwd_bwd − fwd (reference ``:92-95``).
+
+Usage:  python benchmarks/attention_bench.py [--quick]
+"""
+
+from __future__ import annotations
+
+import argparse
+import functools
+import json
+import sys
+
+import jax
+import jax.numpy as jnp
+
+sys.path.insert(0, ".")  # repo root
+
+from flashattn_tpu import flash_attention  # noqa: E402
+from flashattn_tpu.ops.common import BlockSizes  # noqa: E402
+from flashattn_tpu.ops.reference import reference_attention  # noqa: E402
+from flashattn_tpu.utils.roofline import (  # noqa: E402
+    attention_bwd_roofline,
+    attention_fwd_roofline,
+    detect_chip,
+)
+from flashattn_tpu.utils.timing import attention_flops, measure, tflops  # noqa: E402
+
+
+def _provider_fn(provider: str, is_causal: bool, block_sizes=None):
+    if provider == "flash":
+        return functools.partial(
+            flash_attention, is_causal=is_causal, block_sizes=block_sizes
+        )
+    if provider == "xla":
+        def xla_fn(q, k, v):
+            # [B,H,S,D] -> [B,S,H,D] layout expected by jax.nn API
+            o = jax.nn.dot_product_attention(
+                q.swapaxes(1, 2), k.swapaxes(1, 2), v.swapaxes(1, 2),
+                is_causal=is_causal, implementation="xla",
+            )
+            return o.swapaxes(1, 2)
+        return xla_fn
+    if provider == "naive":
+        return functools.partial(reference_attention, is_causal=is_causal)
+    raise ValueError(provider)
+
+
+def benchmark_attention(
+    provider: str,
+    mode: str,
+    b: int = 4,
+    h: int = 8,
+    s_q: int = 4096,
+    s_k: int = 4096,
+    d: int = 128,
+    is_causal: bool = True,
+    dtype=jnp.bfloat16,
+    warmup: int = 10,
+    repeat: int = 30,
+    block_sizes: BlockSizes | None = None,
+) -> tuple[float, float]:
+    """Returns (ms, tflops) — same contract as the reference harness (:9-109)."""
+    keys = jax.random.split(jax.random.PRNGKey(0), 4)
+    q = jax.random.normal(keys[0], (b, h, s_q, d), dtype)
+    k = jax.random.normal(keys[1], (b, h, s_k, d), dtype)
+    v = jax.random.normal(keys[2], (b, h, s_k, d), dtype)
+    do = jax.random.normal(keys[3], (b, h, s_q, d), dtype)
+
+    attn = _provider_fn(provider, is_causal, block_sizes)
+
+    fwd = jax.jit(attn)
+
+    @jax.jit
+    def fwd_bwd(q, k, v):
+        loss = lambda q, k, v: jnp.sum((attn(q, k, v) * do).astype(jnp.float32))
+        return jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+
+    if mode == "fwd":
+        sec = measure(fwd, q, k, v, warmup=warmup, repeat=repeat)
+    elif mode == "fwd_bwd":
+        sec = measure(fwd_bwd, q, k, v, warmup=warmup, repeat=repeat)
+    elif mode == "bwd":
+        # bwd = fwd_bwd − fwd (reference :92-95)
+        sec = measure(fwd_bwd, q, k, v, warmup=warmup, repeat=repeat) - measure(
+            fwd, q, k, v, warmup=warmup, repeat=repeat
+        )
+    else:
+        raise ValueError(mode)
+
+    fl = attention_flops(b, h, s_q, s_k, d, mode=mode, is_causal=is_causal)
+    return sec * 1e3, tflops(fl, sec)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--quick", action="store_true")
+    ap.add_argument("--d", type=int, default=128)
+    ap.add_argument("--providers", default="flash,xla")
+    ap.add_argument("--modes", default="fwd,fwd_bwd")
+    ap.add_argument("--causal", type=int, default=1)
+    args = ap.parse_args()
+
+    chip = detect_chip()
+    print(f"# chip: {chip.name}  peak {chip.bf16_tflops} bf16 TFLOPS, "
+          f"{chip.hbm_gbps} GB/s HBM", file=sys.stderr)
+
+    seqs = [2048, 4096] if args.quick else [512, 1024, 2048, 4096, 8192, 16384]
+    b, h, d = 4, 8, args.d
+    causal = bool(args.causal)
+    results = []
+    for s in seqs:
+        for provider in args.providers.split(","):
+            for mode in args.modes.split(","):
+                ms, tf = benchmark_attention(
+                    provider, mode, b=b, h=h, s_q=s, s_k=s, d=d,
+                    is_causal=causal,
+                    warmup=3 if args.quick else 10,
+                    repeat=10 if args.quick else 30,
+                )
+                roof = (attention_fwd_roofline if mode == "fwd"
+                        else attention_bwd_roofline)(
+                    b, h, h, s, s, d, causal, 512, 512, chip=chip
+                )
+                rec = {
+                    "provider": provider, "mode": mode, "S": s, "D": d,
+                    "causal": causal, "ms": round(ms, 3),
+                    "tflops": round(tf, 2),
+                    "sol_frac": round(roof.sol_seconds / (ms / 1e3), 3)
+                    if mode != "fwd_bwd" else None,
+                }
+                results.append(rec)
+                print(json.dumps(rec))
+    return results
+
+
+if __name__ == "__main__":
+    main()

@@ -3,31 +3,33 @@
 TPU-native re-design of the reference backward
 (``code/_flash_attention_kernel_optimized.py:164-386``):
 
-  - **dQ kernel** (reference ``:164-258``): one grid step per [block_q, D]
-    query tile; precomputes delta = row_sum(dO ⊙ O) ONCE before the K/V loop
-    (``:209-211``), recomputes S and rebuilds P = exp2((S·scale − LSE)·log2e)
-    from the stored LSE (``:230-244``), forms dP = dO·Vᵀ and
-    dS = P ⊙ (dP − delta) (``:247-250``), accumulates dQ in fp32 (``:253``),
-    and PERSISTS delta to HBM for the dKV kernel (``:258``) — the
-    delta-reuse optimization (``Phase_5.md:529-624``).
-  - **dKV kernel** (reference ``:291-386``): one grid step per [block_kv, D]
-    K/V tile, streaming Q tiles; accumulates dV += Pᵀ·dO and dK += dSᵀ·Q
-    (``:370,382``) and LOADS the delta written by the dQ kernel instead of
-    recomputing it (``:375-376``).
+  - **dQ kernel** (reference ``:164-258``): per query tile, precomputes
+    delta = row_sum(dO ⊙ O) ONCE before the K/V stream (``:209-211``),
+    recomputes S and rebuilds P = exp2((S·scale − LSE)·log2e) from the stored
+    LSE (``:230-244``), forms dP = dO·Vᵀ and dS = P ⊙ (dP − delta)
+    (``:247-250``), accumulates dQ in fp32 (``:253``), and PERSISTS delta to
+    HBM for the dKV kernel (``:258``) — the delta-reuse optimization
+    (``Phase_5.md:529-624``).
+  - **dKV kernel** (reference ``:291-386``): per K/V tile, streams Q tiles;
+    accumulates dV += Pᵀ·dO and dK += dSᵀ·Q (``:370,382``) and LOADS the
+    delta written by the dQ kernel instead of recomputing it (``:375-376``).
 
 The ordering dependency (dKV reads dQ's delta, reference
-``My_FlashAttention_optimized.py:111-126``) is expressed as a plain data
-dependency between the two pallas_calls.
+``My_FlashAttention_optimized.py:111-126``) is a plain data dependency
+between the two pallas_calls.
 
-TPU idiom notes (not a port):
+TPU idiom notes (not a port) — see flash_fwd.py for the shared machinery:
+  - Wavefront grids (scalar-prefetched tile coordinates) instead of
+    rectangular grids with skipped programs: causal pruning costs zero steps.
+  - Pre-scaled operands: the dQ kernel gets Q·scale·log2e, the dKV kernel
+    gets K·scale·log2e (each is used ONLY in the S recompute dot), so the S
+    tile lands in the log2 domain without a per-element rescale pass.
   - Transposed contractions (Pᵀ·dO, dSᵀ·Q) are dot_general dimension choices,
     never materialized transposes — the reference's "pre-transposing K loses"
     lesson (``Phase_5.md:639-651``) applied the MXU way.
-  - GQA: the dKV grid iterates (B, Hkv, KV_blocks, group, Q_blocks) with the
-    q-head group as a sequential inner dimension, so dK/dV accumulate across
-    the query heads sharing a KV head entirely in VMEM scratch.
-  - Causal pruning clamps block index maps (see flash_fwd.py) so pruned
-    steps cost neither DMA nor compute.
+  - GQA: the dKV wavefront enumerates (kv_block, q_head_in_group, q_block)
+    with the group sequential, so dK/dV accumulate across the query heads
+    sharing a KV head entirely in VMEM scratch.
 """
 
 from __future__ import annotations
@@ -36,6 +38,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -46,10 +49,76 @@ from flashattn_tpu.ops.common import (
     interpret_default,
     pad_to_block,
 )
+from flashattn_tpu.ops.flash_fwd import (
+    META_CTHRESH,
+    META_FIRST,
+    META_KJ,
+    META_LAST,
+    META_QI,
+    META_RTHRESH,
+    _BIG,
+    build_wavefront,
+)
+
+# dKV meta columns
+DKV_KJ = 0
+DKV_G = 1  # q-head index within the GQA group
+DKV_QI = 2
+DKV_FIRST = 3
+DKV_LAST = 4
+DKV_RTHRESH = 5  # causal: (col - row) <= rthresh
+DKV_ROWTHRESH = 6  # q-row padding: rows <= rowthresh
+DKV_COLS = 7
+
+
+def build_dkv_wavefront(
+    num_q_blocks: int,
+    num_kv_blocks: int,
+    block_q: int,
+    block_kv: int,
+    s_q: int,
+    q_per_kv: int,
+    causal_offset: int | None,
+) -> np.ndarray:
+    """Live (kv_block, group, q_block) triples for the dKV kernel.
+
+    Causal: a q block contributes to kv block kj iff its last row sees kj's
+    first key (reference causal start, ``:341-342``).
+    """
+    rows = []
+    for kj in range(num_kv_blocks):
+        if causal_offset is not None:
+            # Smallest qi with (qi+1)*bq - 1 + off >= kj*bkv.
+            first = 0
+            while (first + 1) * block_q - 1 + causal_offset < kj * block_kv:
+                first += 1
+            first = min(first, num_q_blocks - 1)
+        else:
+            first = 0
+        for g in range(q_per_kv):
+            for qi in range(first, num_q_blocks):
+                if causal_offset is not None and (
+                    (kj + 1) * block_kv - 1 > qi * block_q + causal_offset
+                ):
+                    rthresh = causal_offset + qi * block_q - kj * block_kv
+                else:
+                    rthresh = _BIG
+                if qi == num_q_blocks - 1 and s_q % block_q != 0:
+                    rowthresh = s_q - 1 - qi * block_q
+                else:
+                    rowthresh = _BIG
+                rows.append([
+                    kj, g, qi,
+                    int(g == 0 and qi == first),
+                    int(g == q_per_kv - 1 and qi == num_q_blocks - 1),
+                    rthresh, rowthresh,
+                ])
+    return np.asarray(rows, dtype=np.int32)
 
 
 def _dq_kernel(
-    q_ref,  # (1, 1, bq, D)
+    meta_ref,  # SMEM (L, 7) int32 — fwd wavefront layout
+    q_ref,  # (1, 1, bq, D) — pre-scaled by scale·log2(e)
     k_ref,  # (1, 1, bkv, D)
     v_ref,  # (1, 1, bkv, D)
     o_ref,  # (1, 1, bq, D)
@@ -60,19 +129,16 @@ def _dq_kernel(
     dq_acc,  # scratch (bq, D) f32
     delta_scratch,  # scratch (bq, 128) f32
     *,
-    scale: float,
-    is_causal: bool,
-    s_q: int,
-    s_k: int,
+    needs_mask: bool,
+    guard_zero_rows: bool,
     block_q: int,
     block_kv: int,
-    num_kv_blocks: int,
+    causal_offset: int,
+    scale: float,
 ):
-    qi = pl.program_id(2)
-    kj = pl.program_id(3)
-    causal_offset = s_k - s_q
+    step = pl.program_id(2)
 
-    @pl.when(kj == 0)
+    @pl.when(meta_ref[step, META_FIRST] == 1)
     def _init():
         # delta = row_sum(dO ⊙ O), computed once per q tile and persisted to
         # HBM for the dKV kernel (reference :209-211, :258).
@@ -83,167 +149,127 @@ def _dq_kernel(
         delta_ref[0, 0] = delta
         dq_acc[...] = jnp.zeros_like(dq_acc)
 
-    if is_causal:
-        max_key = (qi + 1) * block_q - 1 + causal_offset
-        should_run = kj * block_kv <= max_key
-        last_kj = jnp.minimum(
-            num_kv_blocks - 1, jnp.maximum(max_key, 0) // block_kv
+    q = q_ref[0, 0]
+    k = k_ref[0, 0]
+    v = v_ref[0, 0]
+    do = do_ref[0, 0]
+    lse2 = lse_ref[0, 0] * LOG2E  # (bq, 1) -> log2 units
+
+    s = jax.lax.dot_general(
+        q, k,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # log2 domain (q pre-scaled)
+
+    if needs_mask:
+        rows = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_kv), 0)
+        cols = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_kv), 1)
+        mask = ((cols - rows) <= meta_ref[step, META_RTHRESH]) & (
+            cols <= meta_ref[step, META_CTHRESH]
         )
-    else:
-        should_run = True
-        last_kj = num_kv_blocks - 1
+        s = jnp.where(mask, s, MASK_VALUE)
 
-    @pl.when(should_run)
-    def _step():
-        q = q_ref[0, 0]
-        k = k_ref[0, 0]
-        v = v_ref[0, 0]
-        do = do_ref[0, 0]
-        lse = lse_ref[0, 0]  # (bq, 1), natural-log units
+    # Rebuild P from stored LSE (reference :243-244; math Phase_4.md:143-158).
+    p = jnp.exp2(s - lse2)  # (bq, bkv) f32
+    if guard_zero_rows:
+        riota = jax.lax.broadcasted_iota(jnp.int32, (block_q, 1), 0)
+        valid = riota + (meta_ref[step, META_QI] * block_q + causal_offset) >= 0
+        p = jnp.where(valid, p, 0.0)
 
-        s = jax.lax.dot_general(
-            q, k,
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ) * (scale * LOG2E)
+    dp = jax.lax.dot_general(
+        do, v,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    ds = p * (dp - delta_scratch[:, :1])  # (bq, bkv) f32
+    dq_acc[...] += jax.lax.dot_general(
+        ds.astype(q.dtype), k,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
 
-        mask = None
-        if is_causal:
-            rows = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_kv), 0)
-            cols = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_kv), 1)
-            causal_mask = cols + kj * block_kv <= rows + qi * block_q + causal_offset
-            need = (kj + 1) * block_kv - 1 > qi * block_q + causal_offset
-            mask = causal_mask | jnp.logical_not(need)
-        if s_k % block_kv != 0:
-            cols = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_kv), 1)
-            pad_mask = cols + kj * block_kv < s_k
-            mask = pad_mask if mask is None else (mask & pad_mask)
-        if mask is not None:
-            s = jnp.where(mask, s, MASK_VALUE)
-
-        # Rebuild P from stored LSE (reference :243-244; math Phase_4.md:143-158).
-        p = jnp.exp2(s - lse * LOG2E)  # (bq, bkv) f32
-        if is_causal and causal_offset < 0:
-            # Zero-key rows (LSE = -inf) must contribute nothing.
-            rows = jax.lax.broadcasted_iota(jnp.int32, (block_q, 1), 0)
-            valid = rows + (qi * block_q + causal_offset) >= 0
-            p = jnp.where(valid, p, 0.0)
-
-        dp = jax.lax.dot_general(
-            do, v,
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        delta = delta_scratch[:, :1]
-        ds = p * (dp - delta)  # (bq, bkv) f32
-        dq_acc[...] += jax.lax.dot_general(
-            ds.astype(q.dtype), k,
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-
-    @pl.when(kj == last_kj)
+    @pl.when(meta_ref[step, META_LAST] == 1)
     def _finalize():
         dq_ref[0, 0] = (dq_acc[...] * scale).astype(dq_ref.dtype)
 
 
 def _dkv_kernel(
+    meta_ref,  # SMEM (L, 7) int32 — dKV wavefront layout
     q_ref,  # (1, 1, bq, D)
     do_ref,  # (1, 1, bq, D)
     lse_ref,  # (1, 1, bq, 1)
     delta_ref,  # (1, 1, bq, 1) f32 — written by the dQ kernel
-    k_ref,  # (1, 1, bkv, D)
+    k_ref,  # (1, 1, bkv, D) — pre-scaled by scale·log2(e)
     v_ref,  # (1, 1, bkv, D)
     dk_ref,  # out (1, 1, bkv, D)
     dv_ref,  # out (1, 1, bkv, D)
     dk_acc,  # scratch (bkv, D) f32
     dv_acc,  # scratch (bkv, D) f32
     *,
-    scale: float,
-    is_causal: bool,
-    s_q: int,
-    s_k: int,
+    needs_mask: bool,
+    guard_zero_rows: bool,
     block_q: int,
     block_kv: int,
-    num_q_blocks: int,
-    q_per_kv: int,
+    causal_offset: int,
+    scale: float,
 ):
-    kj = pl.program_id(2)
-    g = pl.program_id(3)
-    qi = pl.program_id(4)
-    causal_offset = s_k - s_q
+    step = pl.program_id(2)
 
-    @pl.when((g == 0) & (qi == 0))
+    @pl.when(meta_ref[step, DKV_FIRST] == 1)
     def _init():
         dk_acc[...] = jnp.zeros_like(dk_acc)
         dv_acc[...] = jnp.zeros_like(dv_acc)
 
-    if is_causal:
-        # Query block visible from this K/V block iff its last row can see
-        # the block's first key (reference causal start at :341-342).
-        should_run = (qi + 1) * block_q - 1 + causal_offset >= kj * block_kv
-    else:
-        should_run = True
+    q = q_ref[0, 0]
+    do = do_ref[0, 0]
+    lse2 = lse_ref[0, 0] * LOG2E  # (bq, 1)
+    delta = delta_ref[0, 0]  # (bq, 1)
+    k = k_ref[0, 0]
+    v = v_ref[0, 0]
 
-    @pl.when(should_run)
-    def _step():
-        q = q_ref[0, 0]
-        do = do_ref[0, 0]
-        lse = lse_ref[0, 0]  # (bq, 1)
-        delta = delta_ref[0, 0]  # (bq, 1)
-        k = k_ref[0, 0]
-        v = v_ref[0, 0]
+    s = jax.lax.dot_general(
+        q, k,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # log2 domain (k pre-scaled)
 
-        s = jax.lax.dot_general(
-            q, k,
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ) * (scale * LOG2E)
-
-        mask = None
-        if is_causal:
-            rows = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_kv), 0)
-            cols = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_kv), 1)
-            causal_mask = cols + kj * block_kv <= rows + qi * block_q + causal_offset
-            need = (kj + 1) * block_kv - 1 > qi * block_q + causal_offset
-            mask = causal_mask | jnp.logical_not(need)
-        if s_q % block_q != 0:
-            # Padded query rows carry zero LSE — they MUST contribute nothing
-            # to dK/dV (padding-row masking, reference :355-356).
-            rows = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_kv), 0)
-            row_mask = rows + qi * block_q < s_q
-            mask = row_mask if mask is None else (mask & row_mask)
-        if mask is not None:
-            s = jnp.where(mask, s, MASK_VALUE)
-
-        p = jnp.exp2(s - lse * LOG2E)  # (bq, bkv) f32
-        if is_causal and causal_offset < 0:
-            # Zero-key rows (LSE = -inf) must contribute nothing to dK/dV.
-            rows = jax.lax.broadcasted_iota(jnp.int32, (block_q, 1), 0)
-            valid = rows + (qi * block_q + causal_offset) >= 0
-            p = jnp.where(valid, p, 0.0)
-
-        # dV += Pᵀ · dO  — contraction over q rows, no transpose materialized.
-        dv_acc[...] += jax.lax.dot_general(
-            p.astype(do.dtype), do,
-            dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
+    if needs_mask:
+        rows = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_kv), 0)
+        cols = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_kv), 1)
+        # Padded query rows carry zero LSE — they MUST contribute nothing to
+        # dK/dV (padding-row masking, reference :355-356).
+        mask = ((cols - rows) <= meta_ref[step, DKV_RTHRESH]) & (
+            rows <= meta_ref[step, DKV_ROWTHRESH]
         )
+        s = jnp.where(mask, s, MASK_VALUE)
 
-        dp = jax.lax.dot_general(
-            do, v,
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        ds = p * (dp - delta)  # delta loaded, not recomputed (reference :375-376)
-        # dK += dSᵀ · Q
-        dk_acc[...] += jax.lax.dot_general(
-            ds.astype(q.dtype), q,
-            dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
+    p = jnp.exp2(s - lse2)  # (bq, bkv) f32
+    if guard_zero_rows:
+        riota = jax.lax.broadcasted_iota(jnp.int32, (block_q, 1), 0)
+        valid = riota + (meta_ref[step, DKV_QI] * block_q + causal_offset) >= 0
+        p = jnp.where(valid, p, 0.0)
 
-    @pl.when((g == q_per_kv - 1) & (qi == num_q_blocks - 1))
+    # dV += Pᵀ · dO — contraction over q rows, no transpose materialized.
+    dv_acc[...] += jax.lax.dot_general(
+        p.astype(do.dtype), do,
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+    dp = jax.lax.dot_general(
+        do, v,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    ds = p * (dp - delta)  # delta loaded, not recomputed (reference :375-376)
+    # dK += dSᵀ · Q
+    dk_acc[...] += jax.lax.dot_general(
+        ds.astype(q.dtype), q,
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+    @pl.when(meta_ref[step, DKV_LAST] == 1)
     def _finalize():
         dk_ref[0, 0] = (dk_acc[...] * scale).astype(dk_ref.dtype)
         dv_ref[0, 0] = dv_acc[...].astype(dv_ref.dtype)
@@ -268,7 +294,7 @@ def flash_attention_backward(
 ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Two-kernel flash-attention backward (launcher layer).
 
-    TPU analogue of the reference's ``flash_attention_backward``
+    TPU analogue of the reference ``flash_attention_backward``
     (``My_FlashAttention_optimized.py:62-128``): launches the dQ kernel, then
     the dK/dV kernel which consumes the delta array the first kernel wrote.
 
@@ -285,11 +311,14 @@ def flash_attention_backward(
     if block_sizes is None:
         block_sizes = BlockSizes()
     block_sizes = block_sizes.clamp(s_q, s_k)
+    causal_offset = s_k - s_q
+    guard_zero_rows = is_causal and causal_offset < 0
+    lse4 = lse[..., None]  # [B,Hq,Sq,1] — sublane-aligned row stats
 
     # ---- Kernel 1: dQ (+ delta persisted for kernel 2) ----
     bq, bkv = block_sizes.block_q_dq, block_sizes.block_kv_dq
-    lse4 = lse[..., None]  # [B,Hq,Sq,1] — sublane-aligned row stats
-    q_p = pad_to_block(q, 2, bq)
+    q_pre = (q * (scale * LOG2E)).astype(q.dtype)
+    q_p = pad_to_block(q_pre, 2, bq)
     o_p = pad_to_block(o, 2, bq)
     do_p = pad_to_block(do, 2, bq)
     lse_p = pad_to_block(lse4, 2, bq)
@@ -298,134 +327,134 @@ def flash_attention_backward(
     s_q_p, s_k_p = q_p.shape[2], k_p.shape[2]
     num_q_blocks = s_q_p // bq
     num_kv_blocks = s_k_p // bkv
-    causal_offset = s_k - s_q
 
-    def kv_index(b_i, h_i, q_i, kv_i):
-        if is_causal:
-            max_key = (q_i + 1) * bq - 1 + causal_offset
-            last = jnp.minimum(num_kv_blocks - 1, jnp.maximum(max_key, 0) // bkv)
-            kv_i = jnp.minimum(kv_i, last)
-        return (b_i, h_i // q_per_kv, kv_i, 0)
+    meta = build_wavefront(
+        num_q_blocks, num_kv_blocks, bq, bkv, s_k,
+        causal_offset if is_causal else None,
+    )
+    needs_mask = bool((meta[:, META_RTHRESH] != _BIG).any()
+                      or (meta[:, META_CTHRESH] != _BIG).any())
 
-    def q_index(b_i, h_i, q_i, kv_i):
-        return (b_i, h_i, q_i, 0)
+    def q_index(b_i, h_i, s_i, m):
+        return (b_i, h_i, m[s_i, META_QI], 0)
 
-    def qrow_index(b_i, h_i, q_i, kv_i):
-        return (b_i, h_i, q_i, 0)
+    def kv_index(b_i, h_i, s_i, m):
+        return (b_i, h_i // q_per_kv, m[s_i, META_KJ], 0)
 
     dq_kernel = functools.partial(
         _dq_kernel,
-        scale=scale,
-        is_causal=is_causal,
-        s_q=s_q,
-        s_k=s_k,
+        needs_mask=needs_mask,
+        guard_zero_rows=guard_zero_rows,
         block_q=bq,
         block_kv=bkv,
-        num_kv_blocks=num_kv_blocks,
+        causal_offset=causal_offset,
+        scale=scale,
     )
     dq, delta = pl.pallas_call(
         dq_kernel,
-        grid=(b, hq, num_q_blocks, num_kv_blocks),
-        in_specs=[
-            pl.BlockSpec((1, 1, bq, d), q_index),
-            pl.BlockSpec((1, 1, bkv, d), kv_index),
-            pl.BlockSpec((1, 1, bkv, d), kv_index),
-            pl.BlockSpec((1, 1, bq, d), q_index),
-            pl.BlockSpec((1, 1, bq, d), q_index),
-            pl.BlockSpec((1, 1, bq, 1), qrow_index),
-        ],
-        out_specs=[
-            pl.BlockSpec((1, 1, bq, d), q_index),
-            pl.BlockSpec((1, 1, bq, 1), qrow_index),
-        ],
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(b, hq, meta.shape[0]),
+            in_specs=[
+                pl.BlockSpec((1, 1, bq, d), q_index),
+                pl.BlockSpec((1, 1, bkv, d), kv_index),
+                pl.BlockSpec((1, 1, bkv, d), kv_index),
+                pl.BlockSpec((1, 1, bq, d), q_index),
+                pl.BlockSpec((1, 1, bq, d), q_index),
+                pl.BlockSpec((1, 1, bq, 1), q_index),
+            ],
+            out_specs=[
+                pl.BlockSpec((1, 1, bq, d), q_index),
+                pl.BlockSpec((1, 1, bq, 1), q_index),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((bq, d), jnp.float32),
+                pltpu.VMEM((bq, 128), jnp.float32),
+            ],
+        ),
         out_shape=[
             jax.ShapeDtypeStruct((b, hq, s_q_p, d), q.dtype),
             jax.ShapeDtypeStruct((b, hq, s_q_p, 1), jnp.float32),
         ],
-        scratch_shapes=[
-            pltpu.VMEM((bq, d), jnp.float32),
-            pltpu.VMEM((bq, 128), jnp.float32),
-        ],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+            vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=interpret,
         debug=debug,
-    )(q_p, k_p, v_p, o_p, do_p, lse_p)
+    )(jnp.asarray(meta), q_p, k_p, v_p, o_p, do_p, lse_p)
     dq = dq[:, :, :s_q, :] if s_q_p != s_q else dq
 
     # ---- Kernel 2: dK/dV, reusing kernel 1's delta ----
     bq2, bkv2 = block_sizes.block_q_dkv, block_sizes.block_kv_dkv
-    if bq2 != bq:
-        q_p = pad_to_block(q, 2, bq2)
-        do_p = pad_to_block(do, 2, bq2)
-        lse_p = pad_to_block(lse4, 2, bq2)
-        delta_p = pad_to_block(delta[:, :, :s_q], 2, bq2)
-    else:
-        delta_p = delta
-    if bkv2 != bkv:
-        k_p = pad_to_block(k, 2, bkv2)
-        v_p = pad_to_block(v, 2, bkv2)
-    s_q_p2, s_k_p2 = q_p.shape[2], k_p.shape[2]
+    q_p2 = pad_to_block(q, 2, bq2)  # UNscaled (dK = dSᵀ·Q uses raw Q)
+    do_p2 = pad_to_block(do, 2, bq2)
+    lse_p2 = pad_to_block(lse4, 2, bq2)
+    delta_p = (
+        delta if bq2 == bq else pad_to_block(delta[:, :, :s_q], 2, bq2)
+    )
+    k_pre = (k * (scale * LOG2E)).astype(k.dtype)
+    k_p2 = pad_to_block(k_pre, 2, bkv2)
+    v_p2 = pad_to_block(v, 2, bkv2)
+    s_q_p2, s_k_p2 = q_p2.shape[2], k_p2.shape[2]
     num_q_blocks2 = s_q_p2 // bq2
     num_kv_blocks2 = s_k_p2 // bkv2
 
-    def q_index2(b_i, h_i, kv_i, g_i, q_i):
-        h = h_i * q_per_kv + g_i
-        if is_causal:
-            first = jnp.maximum(kv_i * bkv2 - causal_offset, 0) // bq2
-            q_i = jnp.maximum(q_i, first)
-        return (b_i, h, q_i, 0)
+    meta2 = build_dkv_wavefront(
+        num_q_blocks2, num_kv_blocks2, bq2, bkv2, s_q, q_per_kv,
+        causal_offset if is_causal else None,
+    )
+    needs_mask2 = bool((meta2[:, DKV_RTHRESH] != _BIG).any()
+                       or (meta2[:, DKV_ROWTHRESH] != _BIG).any())
 
-    def qrow_index2(b_i, h_i, kv_i, g_i, q_i):
-        bb, hh, qq, _ = q_index2(b_i, h_i, kv_i, g_i, q_i)
-        return (bb, hh, qq, 0)
+    def q_index2(b_i, h_i, s_i, m):
+        return (b_i, h_i * q_per_kv + m[s_i, DKV_G], m[s_i, DKV_QI], 0)
 
-    def kv_index2(b_i, h_i, kv_i, g_i, q_i):
-        return (b_i, h_i, kv_i, 0)
+    def kv_index2(b_i, h_i, s_i, m):
+        return (b_i, h_i, m[s_i, DKV_KJ], 0)
 
     dkv_kernel = functools.partial(
         _dkv_kernel,
-        scale=scale,
-        is_causal=is_causal,
-        s_q=s_q,
-        s_k=s_k,
+        needs_mask=needs_mask2,
+        guard_zero_rows=guard_zero_rows,
         block_q=bq2,
         block_kv=bkv2,
-        num_q_blocks=num_q_blocks2,
-        q_per_kv=q_per_kv,
+        causal_offset=causal_offset,
+        scale=scale,
     )
     dk, dv = pl.pallas_call(
         dkv_kernel,
-        grid=(b, hkv, num_kv_blocks2, q_per_kv, num_q_blocks2),
-        in_specs=[
-            pl.BlockSpec((1, 1, bq2, d), q_index2),
-            pl.BlockSpec((1, 1, bq2, d), q_index2),
-            pl.BlockSpec((1, 1, bq2, 1), qrow_index2),
-            pl.BlockSpec((1, 1, bq2, 1), qrow_index2),
-            pl.BlockSpec((1, 1, bkv2, d), kv_index2),
-            pl.BlockSpec((1, 1, bkv2, d), kv_index2),
-        ],
-        out_specs=[
-            pl.BlockSpec((1, 1, bkv2, d), kv_index2),
-            pl.BlockSpec((1, 1, bkv2, d), kv_index2),
-        ],
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(b, hkv, meta2.shape[0]),
+            in_specs=[
+                pl.BlockSpec((1, 1, bq2, d), q_index2),
+                pl.BlockSpec((1, 1, bq2, d), q_index2),
+                pl.BlockSpec((1, 1, bq2, 1), q_index2),
+                pl.BlockSpec((1, 1, bq2, 1), q_index2),
+                pl.BlockSpec((1, 1, bkv2, d), kv_index2),
+                pl.BlockSpec((1, 1, bkv2, d), kv_index2),
+            ],
+            out_specs=[
+                pl.BlockSpec((1, 1, bkv2, d), kv_index2),
+                pl.BlockSpec((1, 1, bkv2, d), kv_index2),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((bkv2, d), jnp.float32),
+                pltpu.VMEM((bkv2, d), jnp.float32),
+            ],
+        ),
         out_shape=[
             jax.ShapeDtypeStruct((b, hkv, s_k_p2, d), k.dtype),
             jax.ShapeDtypeStruct((b, hkv, s_k_p2, d), v.dtype),
         ],
-        scratch_shapes=[
-            pltpu.VMEM((bkv2, d), jnp.float32),
-            pltpu.VMEM((bkv2, d), jnp.float32),
-        ],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=(
-                "parallel", "parallel", "parallel", "arbitrary", "arbitrary",
-            ),
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+            vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=interpret,
         debug=debug,
-    )(q_p, do_p, lse_p, delta_p, k_p, v_p)
+    )(jnp.asarray(meta2), q_p2, do_p2, lse_p2, delta_p, k_p2, v_p2)
     if s_k_p2 != s_k:
         dk = dk[:, :, :s_k, :]
         dv = dv[:, :, :s_k, :]

@@ -1,26 +1,31 @@
 """Pallas TPU flash-attention forward kernel.
 
 TPU-native re-design of the reference forward kernel
-(``code/_flash_attention_kernel_optimized.py:34-129``): one grid step per
-[block_q, D] query tile per (batch, head), streaming K/V in [block_kv, D]
-tiles with online-softmax running stats (m, l, acc) kept in VMEM scratch —
-the running-stat update rules are the reference's ``:106-117`` — with the
-exp2 rescaling trick (``:79,108-109``), fp32 accumulation with a bf16 cast
-feeding the MXU (``:112-115``), causal loop pruning + conditional in-tile
-masking (``:82,98-103``), and LSE = (m + log2 l)·ln2 write-back (``:126-129``).
+(``code/_flash_attention_kernel_optimized.py:34-129``): online-softmax
+running stats (m, l, acc) in VMEM scratch (update rules: reference
+``:106-117``), exp2 rescaling (``:79,108-109``), fp32 accumulation with a
+bf16 cast feeding the MXU (``:112-115``), causal pruning + conditional
+in-tile masking (``:82,98-103``), LSE write-back (``:126-129``).
 
 Idiom differences from the Triton original (this is NOT a port):
-  - The K/V streaming loop is the innermost ("arbitrary") grid dimension;
-    Pallas/Mosaic double-buffers the HBM->VMEM tile fetches automatically via
-    BlockSpec index maps — the TPU analogue of the reference's
-    TensorDescriptor/TMA path (``My_FlashAttention_optimized.py:29-51``).
-  - Causal pruning does not shorten the grid (TPU grids are rectangular);
-    instead the K/V index map CLAMPS skipped steps onto the last needed
-    block — Pallas skips re-fetch when consecutive block indices are equal,
-    so pruned steps cost neither DMA nor MXU work (compute is @pl.when-gated).
-  - Ragged tails are handled with statically-elided iota masks instead of
-    ``padding="zero"`` descriptors.
-  - GQA/MQA: the K/V index maps fold the q-head -> kv-head mapping, which the
+  - **Wavefront grid**: instead of a rectangular (q_blocks × kv_blocks) grid
+    with skipped upper-triangle programs, the (q, kv) tile pairs that
+    actually need work are flattened into ONE sequential grid dimension whose
+    tile coordinates are scalar-prefetched from SMEM
+    (``pltpu.PrefetchScalarGridSpec``). Causal pruning therefore costs zero
+    grid steps — the TPU analogue of the reference's loop-bound truncation
+    (``:82``), and strictly better than masking out skipped programs.
+  - Pallas/Mosaic double-buffers HBM->VMEM tile fetches via BlockSpec index
+    maps — the TPU analogue of the reference's TensorDescriptor/TMA path
+    (``My_FlashAttention_optimized.py:29-51``).
+  - Q is pre-scaled by scale·log2(e) host-side, so the S tile lands in the
+    log2 domain with no per-element rescale pass (the reference multiplies
+    post-dot inside the hot loop, kernel ``:79``).
+  - The causal + ragged-tail mask is two threshold compares against
+    block-local iotas, with per-block thresholds prefetched from SMEM;
+    interior blocks get a +inf threshold, making the select a no-op without
+    a pipeline-stalling branch.
+  - GQA/MQA: K/V index maps fold the q-head -> kv-head mapping, which the
     reference (H_q == H_kv only) does not support.
 """
 
@@ -30,6 +35,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -38,15 +44,68 @@ from flashattn_tpu.ops.common import (
     LOG2E,
     MASK_VALUE,
     BlockSizes,
-    cdiv,
     interpret_default,
     pad_to_block,
-    round_up,
 )
+
+# meta array columns (int32, scalar-prefetched to SMEM)
+META_QI = 0  # q-block index
+META_KJ = 1  # kv-block index
+META_FIRST = 2  # 1 if first kv step of this q row
+META_LAST = 3  # 1 if last kv step of this q row
+META_RTHRESH = 4  # causal mask threshold on (col - row), or BIG
+META_CTHRESH = 5  # ragged-tail threshold on col, or BIG
+META_COLS = 6
+
+_BIG = 2**30
+
+
+def build_wavefront(
+    num_q_blocks: int,
+    num_kv_blocks: int,
+    block_q: int,
+    block_kv: int,
+    s_k: int,
+    causal_offset: int | None,
+) -> np.ndarray:
+    """Enumerate live (q, kv) tile pairs row-major -> meta array [L, 7].
+
+    causal_offset None => non-causal (all pairs live). The per-block mask
+    thresholds implement the reference's full-visible/partial/skip taxonomy
+    (Phase_3.md:273-322): partial blocks get real thresholds, full-visible
+    get +BIG, skip blocks are simply not enumerated.
+    """
+    rows = []
+    for qi in range(num_q_blocks):
+        if causal_offset is not None:
+            max_key = (qi + 1) * block_q - 1 + causal_offset
+            if max_key < 0:
+                # Entire q row sees no keys: emit a single masked step so the
+                # output block still gets written (zeros / -inf LSE).
+                rows.append([qi, 0, 1, 1, -_BIG, _BIG])
+                continue
+            last = min(num_kv_blocks - 1, max_key // block_kv)
+        else:
+            last = num_kv_blocks - 1
+        for kj in range(last + 1):
+            if causal_offset is not None and (
+                (kj + 1) * block_kv - 1 > qi * block_q + causal_offset
+            ):
+                rthresh = causal_offset + qi * block_q - kj * block_kv
+            else:
+                rthresh = _BIG
+            if kj == num_kv_blocks - 1 and s_k % block_kv != 0:
+                cthresh = s_k - 1 - kj * block_kv
+            else:
+                cthresh = _BIG
+            rows.append([qi, kj, int(kj == 0), int(kj == last), rthresh, cthresh])
+    meta = np.asarray(rows, dtype=np.int32)
+    return meta
 
 
 def _fwd_kernel(
-    q_ref,  # (1, 1, block_q, D)
+    meta_ref,  # SMEM (L, 7) int32 (scalar-prefetched)
+    q_ref,  # (1, 1, block_q, D) — pre-scaled by scale·log2(e)
     k_ref,  # (1, 1, block_kv, D)
     v_ref,  # (1, 1, block_kv, D)
     o_ref,  # (1, 1, block_q, D)
@@ -55,117 +114,80 @@ def _fwd_kernel(
     l_scratch,  # (block_q, 128) f32
     acc_scratch,  # (block_q, D) f32
     *,
-    scale: float,
-    is_causal: bool,
-    s_q: int,
-    s_k: int,
+    needs_mask: bool,
+    guard_zero_rows: bool,
     block_q: int,
     block_kv: int,
-    num_kv_blocks: int,
+    causal_offset: int,
 ):
-    qi = pl.program_id(2)
-    kj = pl.program_id(3)
+    step = pl.program_id(2)
 
-    causal_offset = s_k - s_q  # query i may attend keys j <= i + offset
-
-    @pl.when(kj == 0)
+    @pl.when(meta_ref[step, META_FIRST] == 1)
     def _init():
         m_scratch[...] = jnp.full_like(m_scratch, MASK_VALUE)
         l_scratch[...] = jnp.zeros_like(l_scratch)
         acc_scratch[...] = jnp.zeros_like(acc_scratch)
 
-    if is_causal:
-        # Last key index visible to ANY query row in this q tile.
-        max_key = (qi + 1) * block_q - 1 + causal_offset
-        should_run = kj * block_kv <= max_key
-        last_kj = jnp.minimum(
-            num_kv_blocks - 1, jnp.maximum(max_key, 0) // block_kv
+    q = q_ref[0, 0]  # (block_q, D)
+    k = k_ref[0, 0]  # (block_kv, D)
+    # S tile directly in the log2 domain (Q pre-scaled host-side).
+    s = jax.lax.dot_general(
+        q, k,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+    if needs_mask:
+        rows = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_kv), 0)
+        cols = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_kv), 1)
+        mask = ((cols - rows) <= meta_ref[step, META_RTHRESH]) & (
+            cols <= meta_ref[step, META_CTHRESH]
         )
-    else:
-        should_run = True
-        last_kj = num_kv_blocks - 1
+        s = jnp.where(mask, s, MASK_VALUE)
 
-    @pl.when(should_run)
-    def _step():
-        q = q_ref[0, 0]  # (block_q, D)
-        k = k_ref[0, 0]  # (block_kv, D)
-        # S tile in log2 domain: (q·kᵀ)·scale·log2(e), fp32 on the MXU.
-        s = jax.lax.dot_general(
-            q,
-            k,
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ) * (scale * LOG2E)
+    m_prev = m_scratch[:, :1]  # (block_q, 1)
+    l_prev = l_scratch[:, :1]
+    m_cur = jnp.max(s, axis=1, keepdims=True)
+    m_new = jnp.maximum(m_prev, m_cur)
+    alpha = jnp.exp2(m_prev - m_new)
+    p = jnp.exp2(s - m_new)  # (block_q, block_kv) f32
+    if guard_zero_rows:
+        # Zero-key rows (causal cross-attn, S_q > S_k): all-masked rows would
+        # get p = exp2(0) = 1; force 0 (convention: O = 0, LSE = -inf).
+        riota = jax.lax.broadcasted_iota(jnp.int32, (block_q, 1), 0)
+        valid = riota + (meta_ref[step, META_QI] * block_q + causal_offset) >= 0
+        p = jnp.where(valid, p, 0.0)
+    l_new = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
 
-        # In-tile masking, statically elided when provably unnecessary
-        # (full-visible blocks skip the mask — reference Phase_3.md:273-322).
-        mask = None
-        if is_causal:
-            rows = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_kv), 0)
-            cols = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_kv), 1)
-            row_g = rows + qi * block_q
-            col_g = cols + kj * block_kv
-            causal_mask = col_g <= row_g + causal_offset
-            # Only the diagonal band actually needs it; gate on traced kj.
-            need = (kj + 1) * block_kv - 1 > qi * block_q + causal_offset
-            mask = causal_mask | jnp.logical_not(need)
-        if s_k % block_kv != 0:
-            cols = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_kv), 1)
-            pad_mask = cols + kj * block_kv < s_k
-            mask = pad_mask if mask is None else (mask & pad_mask)
-        if mask is not None:
-            s = jnp.where(mask, s, MASK_VALUE)
+    m_scratch[...] = jnp.broadcast_to(m_new, m_scratch.shape)
+    l_scratch[...] = jnp.broadcast_to(l_new, l_scratch.shape)
 
-        m_prev = m_scratch[:, :1]  # (block_q, 1)
-        l_prev = l_scratch[:, :1]
-        m_cur = jnp.max(s, axis=1, keepdims=True)
-        m_new = jnp.maximum(m_prev, m_cur)
-        alpha = jnp.exp2(m_prev - m_new)
-        p = jnp.exp2(s - m_new)  # (block_q, block_kv) f32
-        if is_causal and causal_offset < 0:
-            # Zero-key rows (causal cross-attn, S_q > S_k): all-masked rows
-            # would get p = exp2(0) = 1; force 0 (convention: O=0, LSE=-inf).
-            rows = jax.lax.broadcasted_iota(jnp.int32, (block_q, 1), 0)
-            valid = rows + (qi * block_q + causal_offset) >= 0
-            p = jnp.where(valid, p, 0.0)
-        l_new = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
+    v = v_ref[0, 0]  # (block_kv, D)
+    pv = jax.lax.dot_general(
+        p.astype(v.dtype),  # bf16 into the MXU (reference :112-115)
+        v,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    acc_scratch[...] = acc_scratch[...] * alpha + pv
 
-        m_scratch[...] = jnp.broadcast_to(m_new, m_scratch.shape)
-        l_scratch[...] = jnp.broadcast_to(l_new, l_scratch.shape)
-
-        v = v_ref[0, 0]  # (block_kv, D)
-        pv = jax.lax.dot_general(
-            p.astype(v.dtype),  # bf16 into the MXU (reference :112-115)
-            v,
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        acc_scratch[...] = acc_scratch[...] * alpha + pv
-
-    @pl.when(kj == last_kj)
+    @pl.when(meta_ref[step, META_LAST] == 1)
     def _finalize():
         m = m_scratch[:, :1]
         l = l_scratch[:, :1]
         l_safe = jnp.where(l == 0.0, 1.0, l)
-        o = acc_scratch[...] / l_safe
-        o_ref[0, 0] = o.astype(o_ref.dtype)
+        o_ref[0, 0] = (acc_scratch[...] / l_safe).astype(o_ref.dtype)
         # LSE in natural-log units: ln Σ exp(s·scale) = (m + log2 l)·ln2.
         # Stored [.., S, 1] so row stats stay sublane-aligned in VMEM.
         lse = (m + jnp.log2(l_safe)) * LN2
-        if is_causal and causal_offset < 0:
+        if guard_zero_rows:
             lse = jnp.where(l == 0.0, -jnp.inf, lse)
         lse_ref[0, 0] = lse
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=(
-        "is_causal",
-        "scale",
-        "block_sizes",
-        "interpret",
-        "debug",
-    ),
+    static_argnames=("is_causal", "scale", "block_sizes", "interpret", "debug"),
 )
 def flash_attention_forward(
     q: jnp.ndarray,
@@ -181,7 +203,7 @@ def flash_attention_forward(
 
     TPU analogue of the reference launcher
     (``My_FlashAttention_optimized.py:14-60``): allocates O in the input
-    dtype and LSE in fp32, grid = (B, H, ceil(S_q/block_q), ceil(S_k/block_kv)).
+    dtype and LSE in fp32; grid = (B, H, live_tile_pairs).
 
     Args:
       q: [B, Hq, S_q, D]; k, v: [B, Hkv, S_k, D] with Hkv | Hq (GQA).
@@ -204,7 +226,9 @@ def flash_attention_forward(
     block_sizes = block_sizes.clamp(s_q, s_k)
     bq, bkv = block_sizes.block_q, block_sizes.block_kv
 
-    q_p = pad_to_block(q, 2, bq)
+    # Pre-scale Q by scale·log2(e): S = Q̃·Kᵀ lands directly in the log2
+    # domain, saving a full VPU pass over every S² tile in the hot loop.
+    q_p = pad_to_block((q * (scale * LOG2E)).astype(q.dtype), 2, bq)
     k_p = pad_to_block(k, 2, bkv)
     v_p = pad_to_block(v, 2, bkv)
     s_q_p, s_k_p = q_p.shape[2], k_p.shape[2]
@@ -212,64 +236,65 @@ def flash_attention_forward(
     num_kv_blocks = s_k_p // bkv
 
     causal_offset = s_k - s_q
-
-    def kv_index(b_i, h_i, q_i, kv_i):
-        if is_causal:
-            # Clamp pruned steps onto the last needed block: equal consecutive
-            # block indices => Pallas skips the HBM->VMEM re-fetch.
-            max_key = (q_i + 1) * bq - 1 + causal_offset
-            last = jnp.minimum(
-                num_kv_blocks - 1, jnp.maximum(max_key, 0) // bkv
-            )
-            kv_i = jnp.minimum(kv_i, last)
-        return (b_i, h_i // q_per_kv, kv_i, 0)
+    meta = build_wavefront(
+        num_q_blocks, num_kv_blocks, bq, bkv, s_k,
+        causal_offset if is_causal else None,
+    )
+    num_steps = meta.shape[0]
+    needs_mask = bool((meta[:, META_RTHRESH] != _BIG).any()
+                      or (meta[:, META_CTHRESH] != _BIG).any())
+    guard_zero_rows = is_causal and causal_offset < 0
 
     kernel = functools.partial(
         _fwd_kernel,
-        scale=scale,
-        is_causal=is_causal,
-        s_q=s_q,
-        s_k=s_k,
+        needs_mask=needs_mask,
+        guard_zero_rows=guard_zero_rows,
         block_q=bq,
         block_kv=bkv,
-        num_kv_blocks=num_kv_blocks,
+        causal_offset=causal_offset,
     )
 
-    grid = (b, hq, num_q_blocks, num_kv_blocks)
-    out_shape = [
-        jax.ShapeDtypeStruct((b, hq, s_q_p, d), q.dtype),
-        jax.ShapeDtypeStruct((b, hq, s_q_p, 1), jnp.float32),
-    ]
-    o, lse = pl.pallas_call(
-        kernel,
-        grid=grid,
+    def q_index(b_i, h_i, s_i, meta_ref):
+        return (b_i, h_i, meta_ref[s_i, META_QI], 0)
+
+    def kv_index(b_i, h_i, s_i, meta_ref):
+        return (b_i, h_i // q_per_kv, meta_ref[s_i, META_KJ], 0)
+
+    def lse_index(b_i, h_i, s_i, meta_ref):
+        return (b_i, h_i, meta_ref[s_i, META_QI], 0)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(b, hq, num_steps),
         in_specs=[
-            pl.BlockSpec(
-                (1, 1, bq, d), lambda b_i, h_i, q_i, kv_i: (b_i, h_i, q_i, 0)
-            ),
+            pl.BlockSpec((1, 1, bq, d), q_index),
             pl.BlockSpec((1, 1, bkv, d), kv_index),
             pl.BlockSpec((1, 1, bkv, d), kv_index),
         ],
         out_specs=[
-            pl.BlockSpec(
-                (1, 1, bq, d), lambda b_i, h_i, q_i, kv_i: (b_i, h_i, q_i, 0)
-            ),
-            pl.BlockSpec(
-                (1, 1, bq, 1), lambda b_i, h_i, q_i, kv_i: (b_i, h_i, q_i, 0)
-            ),
+            pl.BlockSpec((1, 1, bq, d), q_index),
+            pl.BlockSpec((1, 1, bq, 1), lse_index),
         ],
-        out_shape=out_shape,
         scratch_shapes=[
             pltpu.VMEM((bq, 128), jnp.float32),
             pltpu.VMEM((bq, 128), jnp.float32),
             pltpu.VMEM((bq, d), jnp.float32),
         ],
+    )
+    o, lse = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((b, hq, s_q_p, d), q.dtype),
+            jax.ShapeDtypeStruct((b, hq, s_q_p, 1), jnp.float32),
+        ],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+            vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=interpret,
         debug=debug,
-    )(q_p, k_p, v_p)
+    )(jnp.asarray(meta), q_p, k_p, v_p)
 
     lse = lse[..., 0]
     if s_q_p != s_q:

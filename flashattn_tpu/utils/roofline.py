@@ -1,0 +1,143 @@
+"""Per-kernel roofline model: analytic HBM bytes + MXU FLOPs vs chip
+speed-of-light (BASELINE.json north_star: "speed-of-light HBM/MXU roofline
+per chip"). Extends the reference's FLOPs model (Performance_Comparison.py:98-107)
+with a bytes model the reference lacks.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+
+from flashattn_tpu.ops.common import cdiv
+
+
+@dataclasses.dataclass(frozen=True)
+class ChipSpec:
+    name: str
+    bf16_tflops: float  # peak MXU bf16
+    int8_tops: float  # peak MXU int8
+    hbm_gbps: float  # peak HBM bandwidth GB/s
+    hbm_gib: float
+    vmem_mib: float
+
+
+# Public v5e specs (cloud.google.com/tpu/docs/v5e).
+TPU_V5E = ChipSpec(
+    name="v5e", bf16_tflops=197.0, int8_tops=394.0, hbm_gbps=819.0,
+    hbm_gib=16.0, vmem_mib=128.0,
+)
+TPU_V4 = ChipSpec(
+    name="v4", bf16_tflops=275.0, int8_tops=275.0, hbm_gbps=1228.0,
+    hbm_gib=32.0, vmem_mib=128.0,
+)
+TPU_V5P = ChipSpec(
+    name="v5p", bf16_tflops=459.0, int8_tops=918.0, hbm_gbps=2765.0,
+    hbm_gib=95.0, vmem_mib=128.0,
+)
+
+_CHIPS = {c.name: c for c in (TPU_V5E, TPU_V4, TPU_V5P)}
+
+
+def detect_chip() -> ChipSpec:
+    kind = jax.devices()[0].device_kind.lower()
+    for name, spec in _CHIPS.items():
+        if name in kind.replace(" ", ""):
+            return spec
+    if "v5 lite" in kind or "v5lite" in kind.replace(" ", ""):
+        return TPU_V5E
+    return TPU_V5E  # conservative default
+
+
+@dataclasses.dataclass
+class RooflineReport:
+    flops: float
+    hbm_bytes: float
+    arithmetic_intensity: float  # flops/byte
+    sol_seconds: float  # speed-of-light time
+    compute_seconds: float
+    memory_seconds: float
+    bound: str  # "compute" | "memory"
+
+    def achieved(self, seconds: float) -> dict:
+        return {
+            "tflops": self.flops / seconds / 1e12,
+            "sol_fraction": self.sol_seconds / seconds,
+            "bound": self.bound,
+        }
+
+
+def attention_fwd_roofline(
+    b: int, hq: int, hkv: int, s_q: int, s_k: int, d: int,
+    is_causal: bool, block_q: int, block_kv: int,
+    dtype_bytes: int = 2, chip: ChipSpec | None = None,
+) -> RooflineReport:
+    """Analytic roofline for the Pallas forward.
+
+    HBM traffic model: Q and O move once; K/V tiles are re-streamed once per
+    q-block (no cross-block cache on TPU — VMEM is software-managed), with
+    causal pruning cutting the streamed fraction roughly in half.
+    """
+    chip = chip or detect_chip()
+    flops = 4.0 * b * hq * s_q * s_k * d * (0.5 if is_causal else 1.0)
+    num_q_blocks = cdiv(s_q, block_q)
+    kv_stream_frac = 0.5 if is_causal and s_q == s_k else 1.0
+    q_bytes = 2 * b * hq * s_q * d * dtype_bytes  # Q read + O write
+    lse_bytes = b * hq * s_q * 4
+    kv_bytes = (
+        2 * b * hkv * s_k * d * dtype_bytes * num_q_blocks * kv_stream_frac
+    )
+    hbm = q_bytes + lse_bytes + kv_bytes
+    compute_s = flops / (chip.bf16_tflops * 1e12)
+    memory_s = hbm / (chip.hbm_gbps * 1e9)
+    sol = max(compute_s, memory_s)
+    return RooflineReport(
+        flops=flops,
+        hbm_bytes=hbm,
+        arithmetic_intensity=flops / hbm,
+        sol_seconds=sol,
+        compute_seconds=compute_s,
+        memory_seconds=memory_s,
+        bound="compute" if compute_s >= memory_s else "memory",
+    )
+
+
+def attention_bwd_roofline(
+    b: int, hq: int, hkv: int, s_q: int, s_k: int, d: int,
+    is_causal: bool, block_q: int, block_kv: int,
+    dtype_bytes: int = 2, chip: ChipSpec | None = None,
+) -> RooflineReport:
+    """dQ + dKV kernels: 5 matmuls over the S_q×S_k square (2.5× fwd flops);
+    Q/dO/K/V re-streamed by the opposing kernel's block count."""
+    chip = chip or detect_chip()
+    flops = 2.5 * 4.0 * b * hq * s_q * s_k * d * (0.5 if is_causal else 1.0)
+    num_q_blocks = cdiv(s_q, block_q)
+    num_kv_blocks = cdiv(s_k, block_kv)
+    frac = 0.5 if is_causal and s_q == s_k else 1.0
+    # dQ kernel: Q,O,dO,LSE once; K,V streamed per q-block. Writes dQ, delta.
+    dq_hbm = (
+        4 * b * hq * s_q * d * dtype_bytes
+        + 2 * b * hq * s_q * 4
+        + 2 * b * hkv * s_k * d * dtype_bytes * num_q_blocks * frac
+    )
+    # dKV kernel: K,V once; Q,dO,LSE,delta streamed per kv-block. Writes dK,dV.
+    dkv_hbm = (
+        4 * b * hkv * s_k * d * dtype_bytes
+        + (2 * b * hq * s_q * d * dtype_bytes + 2 * b * hq * s_q * 4)
+        * num_kv_blocks
+        * frac
+    )
+    hbm = dq_hbm + dkv_hbm
+    compute_s = flops / (chip.bf16_tflops * 1e12)
+    memory_s = hbm / (chip.hbm_gbps * 1e9)
+    sol = max(compute_s, memory_s)
+    return RooflineReport(
+        flops=flops,
+        hbm_bytes=hbm,
+        arithmetic_intensity=flops / hbm,
+        sol_seconds=sol,
+        compute_seconds=compute_s,
+        memory_seconds=memory_s,
+        bound="compute" if compute_s >= memory_s else "memory",
+    )

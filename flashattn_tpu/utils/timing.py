@@ -1,0 +1,91 @@
+"""Benchmark timing + FLOPs model.
+
+Port of the reference harness discipline (``code/Performance_Comparison.py``):
+  - steady-state timing with warmup (``:111-128``; device-event timing on GPU
+    becomes block_until_ready-bracketed wall clock on TPU — same rationale:
+    exclude cold-start compile, measure device time not dispatch,
+    ``Phase_5.md:40-69``)
+  - FLOPs model from the flash-attn repo: 4·B·H·S_q·S_k·D, halved if causal;
+    bwd = 2.5×, fwd+bwd = 3.5× (``:98-107``)
+  - bwd measured as fwd_bwd − fwd (``:92-95``)
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Callable
+
+import jax
+
+
+def _sync(out) -> None:
+    """Force a scalar readback of one output element.
+
+    Device execution is in-order on a single stream, so materializing one
+    element of the LAST dispatched call drains the whole queue. We do this
+    instead of jax.block_until_ready because on tunneled/relay platforms
+    (axon) block_until_ready returns before execution completes.
+    """
+    leaf = jax.tree_util.tree_leaves(out)[0]
+    float(leaf[(0,) * leaf.ndim])
+
+
+def measure(
+    fn: Callable, *args, warmup: int = 3, n1: int = 5, n2: int = 20,
+    # kept for call-site compat; repeat overrides n2 when larger
+    repeat: int | None = None,
+) -> float:
+    """Steady-state seconds per call via two-point slope timing.
+
+    Times n1 and n2 back-to-back dispatches, each bracket ending in a forced
+    scalar readback, and returns (T2 - T1)/(n2 - n1). The slope cancels the
+    fixed dispatch + readback overhead (tens of ms through the axon relay),
+    which a single timed loop would smear over every iteration. Same
+    rationale as the reference's CUDA-event timing — measure device time,
+    not host/launch overhead (Phase_5.md:40-69).
+    """
+    if repeat is not None:
+        n2 = max(n2, repeat)
+    out = None
+    for _ in range(warmup):
+        out = fn(*args)
+    _sync(out)
+
+    def bracket(n: int) -> float:
+        t0 = time.perf_counter()
+        out = None
+        for _ in range(n):
+            out = fn(*args)
+        _sync(out)
+        return time.perf_counter() - t0
+
+    # Auto-scale iteration counts so the bracket delta dwarfs relay jitter
+    # (~tens of ms): target >= 0.5 s of pure kernel time in the long bracket.
+    est = bracket(n1) / n1
+    target = 0.5
+    scale_n = max(1, int(target / max(est * (n2 - n1), 1e-9)))
+    n1, n2 = n1 * scale_n, n2 * scale_n
+    t1 = bracket(n1)
+    t2 = bracket(n2)
+    return max((t2 - t1) / (n2 - n1), 1e-9)
+
+
+def attention_flops(
+    b: int,
+    h: int,
+    s_q: int,
+    s_k: int,
+    d: int,
+    mode: str = "fwd",
+    is_causal: bool = False,
+) -> float:
+    """Reference FLOPs convention (Performance_Comparison.py:98-107)."""
+    base = 4.0 * b * h * s_q * s_k * d
+    if is_causal:
+        base /= 2.0
+    factor = {"fwd": 1.0, "bwd": 2.5, "fwd_bwd": 3.5}[mode]
+    return base * factor
+
+
+def tflops(flops: float, seconds: float) -> float:
+    return flops / seconds / 1e12
