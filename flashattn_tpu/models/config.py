@@ -1,0 +1,60 @@
+"""Model configs for the Llama-style decoder stack (SURVEY.md §2.3 T12).
+
+The reference has no model layer; these configs host the kernels end-to-end
+for training and decode benchmarks (BASELINE.json configs 4-5: Llama-style
+1B single-chip decode, 8B multi-host decode)."""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax.numpy as jnp
+
+
+@dataclasses.dataclass(frozen=True)
+class ModelConfig:
+    vocab_size: int = 32000
+    hidden_size: int = 2048
+    intermediate_size: int = 5632
+    num_layers: int = 22
+    num_heads: int = 32
+    num_kv_heads: int = 4
+    head_dim: int = 64
+    rope_theta: float = 10000.0
+    norm_eps: float = 1e-5
+    dtype: jnp.dtype = jnp.bfloat16
+    tie_embeddings: bool = False
+    max_seq_len: int = 4096
+
+    @property
+    def q_per_kv(self) -> int:
+        return self.num_heads // self.num_kv_heads
+
+
+# TinyLlama-1.1B-like geometry (BASELINE config 4: "Llama-style 1B").
+LLAMA_1B = ModelConfig()
+
+# Llama-3-8B geometry (BASELINE config 5: "8B decode on v5e multi-host").
+LLAMA_8B = ModelConfig(
+    vocab_size=128256,
+    hidden_size=4096,
+    intermediate_size=14336,
+    num_layers=32,
+    num_heads=32,
+    num_kv_heads=8,
+    head_dim=128,
+    rope_theta=500000.0,
+    max_seq_len=8192,
+)
+
+# Tiny config for tests / dryruns (heads divisible by small mesh axes).
+TINY = ModelConfig(
+    vocab_size=512,
+    hidden_size=256,
+    intermediate_size=512,
+    num_layers=2,
+    num_heads=8,
+    num_kv_heads=4,
+    head_dim=32,
+    max_seq_len=512,
+)

@@ -1,0 +1,214 @@
+"""Llama-style decoder built on the Pallas flash-attention kernels.
+
+TPU-first design (SURVEY.md §2.3 T12 — the reference has no model layer):
+  - pure-functional pytree params (no framework Module state), so the whole
+    model jits/shards with pjit + NamedSharding and grads are plain jax.grad
+  - attention runs the fused Pallas kernel; under a mesh it is wrapped in a
+    shard_map island (batch over 'data', heads over 'model') while every
+    matmul is left to GSPMD to partition from the param shardings
+  - RoPE, RMSNorm, SwiGLU as fused-friendly jnp (XLA fuses elementwise into
+    the surrounding matmuls)
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import PartitionSpec as P
+
+from flashattn_tpu.models.config import ModelConfig
+from flashattn_tpu.ops.attention import flash_attention
+
+Params = dict[str, Any]
+
+
+# ---------------- init ----------------
+
+
+def init_params(cfg: ModelConfig, key: jax.Array) -> Params:
+    """Initialize a parameter pytree (truncated-normal-ish scaled init)."""
+    h, hd = cfg.hidden_size, cfg.head_dim
+    nq, nkv = cfg.num_heads, cfg.num_kv_heads
+
+    def dense(key, shape, scale):
+        return (jax.random.normal(key, shape, jnp.float32) * scale).astype(cfg.dtype)
+
+    keys = jax.random.split(key, 3 + cfg.num_layers)
+    params: Params = {
+        "embed": dense(keys[0], (cfg.vocab_size, h), h**-0.5),
+        "final_norm": jnp.ones((h,), cfg.dtype),
+        "layers": [],
+    }
+    if not cfg.tie_embeddings:
+        params["lm_head"] = dense(keys[1], (h, cfg.vocab_size), h**-0.5)
+    for i in range(cfg.num_layers):
+        lk = jax.random.split(keys[3 + i], 7)
+        params["layers"].append(
+            {
+                "attn_norm": jnp.ones((h,), cfg.dtype),
+                "wq": dense(lk[0], (h, nq * hd), h**-0.5),
+                "wk": dense(lk[1], (h, nkv * hd), h**-0.5),
+                "wv": dense(lk[2], (h, nkv * hd), h**-0.5),
+                "wo": dense(lk[3], (nq * hd, h), (nq * hd) ** -0.5),
+                "mlp_norm": jnp.ones((h,), cfg.dtype),
+                "w_gate": dense(lk[4], (h, cfg.intermediate_size), h**-0.5),
+                "w_up": dense(lk[5], (h, cfg.intermediate_size), h**-0.5),
+                "w_down": dense(
+                    lk[6], (cfg.intermediate_size, h), cfg.intermediate_size**-0.5
+                ),
+            }
+        )
+    return params
+
+
+def param_shardings(cfg: ModelConfig) -> Params:
+    """PartitionSpecs for Megatron-style TP over the 'model' mesh axis:
+    column-parallel QKV/gate/up, row-parallel O/down (GSPMD inserts the
+    reduce-scatter/all-reduce), replicated norms, vocab-sharded embeddings."""
+    layer = {
+        "attn_norm": P(),
+        "wq": P(None, "model"),
+        "wk": P(None, "model"),
+        "wv": P(None, "model"),
+        "wo": P("model", None),
+        "mlp_norm": P(),
+        "w_gate": P(None, "model"),
+        "w_up": P(None, "model"),
+        "w_down": P("model", None),
+    }
+    shardings: Params = {
+        "embed": P("model", None),
+        "final_norm": P(),
+        "layers": [dict(layer) for _ in range(cfg.num_layers)],
+    }
+    if not cfg.tie_embeddings:
+        shardings["lm_head"] = P(None, "model")
+    return shardings
+
+
+# ---------------- building blocks ----------------
+
+
+def rms_norm(x: jnp.ndarray, w: jnp.ndarray, eps: float) -> jnp.ndarray:
+    xf = x.astype(jnp.float32)
+    var = jnp.mean(xf * xf, axis=-1, keepdims=True)
+    return (xf * jax.lax.rsqrt(var + eps)).astype(x.dtype) * w
+
+
+def rope_tables(cfg: ModelConfig, positions: jnp.ndarray):
+    """positions [.., S] -> (cos, sin) [.., S, head_dim/2] f32."""
+    half = cfg.head_dim // 2
+    freqs = cfg.rope_theta ** (-jnp.arange(0, half, dtype=jnp.float32) / half)
+    angles = positions[..., None].astype(jnp.float32) * freqs
+    return jnp.cos(angles), jnp.sin(angles)
+
+
+def apply_rope(x: jnp.ndarray, cos: jnp.ndarray, sin: jnp.ndarray) -> jnp.ndarray:
+    """x [B, H, S, D]; cos/sin [B, S, D/2] or [S, D/2]. Rotate-half convention."""
+    half = x.shape[-1] // 2
+    x1, x2 = x[..., :half], x[..., half:]
+    if cos.ndim == 2:
+        cos_b = cos[None, None]
+        sin_b = sin[None, None]
+    else:
+        cos_b = cos[:, None]
+        sin_b = sin[:, None]
+    x1f, x2f = x1.astype(jnp.float32), x2.astype(jnp.float32)
+    out = jnp.concatenate(
+        [x1f * cos_b - x2f * sin_b, x2f * cos_b + x1f * sin_b], axis=-1
+    )
+    return out.astype(x.dtype)
+
+
+def _attention(q, k, v, mesh, block_sizes=None):
+    """Fused attention; shard_map island under a mesh (batch over 'data',
+    heads over 'model' — the pallas kernel itself is mesh-oblivious)."""
+    if mesh is None:
+        return flash_attention(q, k, v, is_causal=True, block_sizes=block_sizes)
+    fn = functools.partial(
+        flash_attention, is_causal=True, block_sizes=block_sizes
+    )
+    spec = P("data", "model", None, None)
+    return jax.shard_map(
+        fn, mesh=mesh, in_specs=(spec, spec, spec), out_specs=spec,
+        check_vma=False,
+    )(q, k, v)
+
+
+# ---------------- forward ----------------
+
+
+def forward(
+    params: Params,
+    tokens: jnp.ndarray,  # [B, S] int32
+    cfg: ModelConfig,
+    mesh=None,
+    block_sizes=None,
+) -> jnp.ndarray:
+    """Training/prefill forward -> logits [B, S, vocab] (f32)."""
+    b, s = tokens.shape
+    x = jnp.take(params["embed"], tokens, axis=0)  # [B, S, H]
+    positions = jnp.arange(s)
+    cos, sin = rope_tables(cfg, positions)
+
+    for layer in params["layers"]:
+        x = x + _attn_block(layer, x, cos, sin, cfg, mesh, block_sizes)
+        x = x + _mlp_block(layer, x, cfg)
+
+    x = rms_norm(x, params["final_norm"], cfg.norm_eps)
+    head = (
+        params["embed"].T if cfg.tie_embeddings else params["lm_head"]
+    )
+    return jnp.dot(x, head, preferred_element_type=jnp.float32)
+
+
+def _attn_block(layer, x, cos, sin, cfg, mesh, block_sizes):
+    b, s, h = x.shape
+    xn = rms_norm(x, layer["attn_norm"], cfg.norm_eps)
+    q = jnp.dot(xn, layer["wq"]).reshape(b, s, cfg.num_heads, cfg.head_dim)
+    k = jnp.dot(xn, layer["wk"]).reshape(b, s, cfg.num_kv_heads, cfg.head_dim)
+    v = jnp.dot(xn, layer["wv"]).reshape(b, s, cfg.num_kv_heads, cfg.head_dim)
+    # [B, H, S, D] layout for the kernel
+    q = q.transpose(0, 2, 1, 3)
+    k = k.transpose(0, 2, 1, 3)
+    v = v.transpose(0, 2, 1, 3)
+    q = apply_rope(q, cos, sin)
+    k = apply_rope(k, cos, sin)
+    o = _attention(q, k, v, mesh, block_sizes)  # [B, H, S, D]
+    o = o.transpose(0, 2, 1, 3).reshape(b, s, cfg.num_heads * cfg.head_dim)
+    return jnp.dot(o, layer["wo"])
+
+
+def _mlp_block(layer, x, cfg):
+    xn = rms_norm(x, layer["mlp_norm"], cfg.norm_eps)
+    gate = jnp.dot(xn, layer["w_gate"])
+    up = jnp.dot(xn, layer["w_up"])
+    return jnp.dot(jax.nn.silu(gate.astype(jnp.float32)).astype(x.dtype) * up,
+                   layer["w_down"])
+
+
+# ---------------- training ----------------
+
+
+def loss_fn(params, tokens, cfg, mesh=None, block_sizes=None) -> jnp.ndarray:
+    """Next-token cross-entropy over tokens[:, :-1] -> tokens[:, 1:]."""
+    logits = forward(params, tokens[:, :-1], cfg, mesh, block_sizes)
+    targets = tokens[:, 1:]
+    logz = jax.scipy.special.logsumexp(logits, axis=-1)
+    gold = jnp.take_along_axis(logits, targets[..., None], axis=-1)[..., 0]
+    return jnp.mean(logz - gold)
+
+
+def sgd_train_step(params, tokens, cfg, lr=1e-3, mesh=None, block_sizes=None):
+    """Minimal full training step (loss + grads + SGD update) used by the
+    multi-chip dryrun; real runs plug optax in via train.py."""
+    loss, grads = jax.value_and_grad(loss_fn)(params, tokens, cfg, mesh, block_sizes)
+    new_params = jax.tree_util.tree_map(
+        lambda p, g: (p - lr * g.astype(jnp.float32).astype(p.dtype))
+        if jnp.issubdtype(p.dtype, jnp.floating) else p,
+        params, grads,
+    )
+    return loss, new_params

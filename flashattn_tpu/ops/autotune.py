@@ -1,0 +1,168 @@
+"""Block-size autotuner — TPU analogue of the reference's @triton.autotune
+(``code/_flash_attention_kernel_optimized.py:18-32,148-162,275-289``).
+
+Same structure as the reference: a config list per kernel, keyed on
+(S_q, S_k, D, is_causal) (reference ``key=['S_q','S_k','D','is_causal']``,
+``:31``), forward and backward tuned separately (``Phase_5.md:160-162``).
+Differences driven by TPU economics (SURVEY.md §7 "autotune economics"):
+XLA/Mosaic compiles cost seconds, not milliseconds, so results are cached
+persistently (JSON on disk) and a measured-defaults table answers without
+any trial compilation. Candidate tiles are MXU-shaped (512-2048), not the
+GPU's 32/64.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+import pathlib
+
+import jax
+import jax.numpy as jnp
+
+from flashattn_tpu.ops.common import BlockSizes, round_up
+
+# Candidate tiles. VMEM bound: bq*bkv*4B (S tile) + operands must stay under
+# ~100MB; 2048x2048 is the practical ceiling at D=128.
+FWD_CONFIGS = [(1024, 1024), (1024, 2048), (2048, 1024), (2048, 2048), (512, 1024)]
+BWD_CONFIGS = [(1024, 1024), (2048, 1024), (1024, 2048), (512, 1024), (512, 512)]
+
+_CACHE_ENV = "FLASHATTN_TPU_AUTOTUNE_CACHE"
+_DEFAULT_CACHE = pathlib.Path.home() / ".cache" / "flashattn_tpu" / "autotune.json"
+
+_memory_cache: dict[str, dict] = {}
+
+
+def _cache_path() -> pathlib.Path:
+    return pathlib.Path(os.environ.get(_CACHE_ENV, str(_DEFAULT_CACHE)))
+
+
+def _load_cache() -> dict:
+    if not _memory_cache:
+        p = _cache_path()
+        if p.exists():
+            try:
+                _memory_cache.update(json.loads(p.read_text()))
+            except Exception:
+                pass
+    return _memory_cache
+
+
+def _save_cache() -> None:
+    p = _cache_path()
+    p.parent.mkdir(parents=True, exist_ok=True)
+    p.write_text(json.dumps(_memory_cache, indent=1))
+
+
+def _key(b, hq, hkv, s_q, s_k, d, is_causal, dtype) -> str:
+    kind = jax.devices()[0].device_kind.replace(" ", "")
+    return f"{kind}|b{b}h{hq}/{hkv}|sq{s_q}sk{s_k}d{d}|c{int(is_causal)}|{dtype}"
+
+
+def default_block_sizes(s_q: int, s_k: int, d: int, is_causal: bool) -> BlockSizes:
+    """Measured-defaults table (v5e sweeps, benchmarks/attention_bench.py):
+    1024x1024 wins or ties across S in [2048, 16384], D in {64, 128}; larger
+    kv tiles only help long non-causal forwards."""
+    if not is_causal and max(s_q, s_k) >= 8192:
+        return BlockSizes(block_q=2048, block_kv=2048)
+    return BlockSizes()
+
+
+def autotune(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    is_causal: bool = False,
+    scale: float | None = None,
+    tune_backward: bool = True,
+    verbose: bool = False,
+) -> BlockSizes:
+    """Measure candidate tile configs on the live device; cache the winner.
+
+    Like the reference autotuner this launches real trials per config
+    (``@triton.autotune`` trial launches); unlike it, winners persist across
+    processes because each trial costs an XLA compile.
+    """
+    from flashattn_tpu.ops.flash_bwd import flash_attention_backward
+    from flashattn_tpu.ops.flash_fwd import flash_attention_forward
+    from flashattn_tpu.utils.timing import measure
+
+    b, hq, s_q, d = q.shape
+    _, hkv, s_k, _ = k.shape
+    key = _key(b, hq, hkv, s_q, s_k, d, is_causal, q.dtype)
+    cache = _load_cache()
+    if key in cache:
+        return BlockSizes(**cache[key])
+
+    def fits(bq, bkv):
+        # S-tile (f32) + P copy + operands, double buffered; keep under limit.
+        vmem = (bq * bkv * 4 * 2) + 2 * (bq + bkv) * d * 4
+        return vmem < 80 * 1024 * 1024 and bq <= round_up(s_q, 128) * 2 and (
+            bkv <= round_up(s_k, 128) * 2
+        )
+
+    best_fwd, best_fwd_t = None, float("inf")
+    for bq, bkv in FWD_CONFIGS:
+        if not fits(bq, bkv):
+            continue
+        bs = BlockSizes(block_q=bq, block_kv=bkv)
+        try:
+            t = measure(
+                lambda q, k, v: flash_attention_forward(
+                    q, k, v, is_causal=is_causal, scale=scale, block_sizes=bs
+                ),
+                q, k, v, warmup=2, n1=3, n2=10,
+            )
+        except Exception:
+            continue
+        if verbose:
+            print(f"[autotune fwd] bq={bq} bkv={bkv}: {t*1e3:.3f} ms")
+        if t < best_fwd_t:
+            best_fwd, best_fwd_t = (bq, bkv), t
+    assert best_fwd is not None, "no forward config compiled"
+
+    result = {
+        "block_q": best_fwd[0],
+        "block_kv": best_fwd[1],
+    }
+
+    if tune_backward:
+        o, lse = flash_attention_forward(
+            q, k, v, is_causal=is_causal, scale=scale,
+            block_sizes=BlockSizes(block_q=best_fwd[0], block_kv=best_fwd[1]),
+        )
+        do = q  # any same-shaped array works for timing
+        best_bwd, best_bwd_t = None, float("inf")
+        for bq, bkv in BWD_CONFIGS:
+            if not fits(bq, bkv):
+                continue
+            bs = BlockSizes(
+                block_q_dq=bq, block_kv_dq=bkv,
+                block_q_dkv=bq, block_kv_dkv=bkv,
+            )
+            try:
+                t = measure(
+                    lambda *a: flash_attention_backward(
+                        *a, is_causal=is_causal, scale=scale, block_sizes=bs
+                    ),
+                    q, k, v, o, do, lse, warmup=2, n1=3, n2=10,
+                )
+            except Exception:
+                continue
+            if verbose:
+                print(f"[autotune bwd] bq={bq} bkv={bkv}: {t*1e3:.3f} ms")
+            if t < best_bwd_t:
+                best_bwd, best_bwd_t = (bq, bkv), t
+        assert best_bwd is not None, "no backward config compiled"
+        result.update(
+            block_q_dq=best_bwd[0], block_kv_dq=best_bwd[1],
+            block_q_dkv=best_bwd[0], block_kv_dkv=best_bwd[1],
+        )
+
+    cache[key] = result
+    try:
+        _save_cache()
+    except Exception:
+        pass
+    return BlockSizes(**{**dataclasses.asdict(BlockSizes()), **result})

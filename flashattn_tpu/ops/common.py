@@ -5,6 +5,7 @@ from __future__ import annotations
 import dataclasses
 import functools
 import math
+import os
 
 import jax
 import jax.numpy as jnp
@@ -32,7 +33,12 @@ def interpret_default() -> bool:
 
     Lets the full test suite run on the CPU backend (8 virtual devices)
     while the same code compiles via Mosaic on real TPU chips.
+    FLASHATTN_TPU_INTERPRET=1/0 overrides (e.g. CPU-mesh dryruns in a
+    process whose default backend is the TPU plugin).
     """
+    env = os.environ.get("FLASHATTN_TPU_INTERPRET")
+    if env is not None:
+        return env == "1"
     return jax.default_backend() != "tpu"
 
 
@@ -44,14 +50,14 @@ class BlockSizes:
     multiples of 128 lanes / 8 sublanes, so defaults are 128-512 rather than
     the GPU's 32/64."""
 
-    block_q: int = 512
-    block_kv: int = 512
+    block_q: int = 1024
+    block_kv: int = 1024
     # Backward tiles (bwd has higher VMEM pressure, like the reference's
     # separately-tuned bwd configs, Phase_5.md:160-162).
-    block_q_dq: int = 512
-    block_kv_dq: int = 512
-    block_q_dkv: int = 512
-    block_kv_dkv: int = 512
+    block_q_dq: int = 1024
+    block_kv_dq: int = 1024
+    block_q_dkv: int = 1024
+    block_kv_dkv: int = 1024
 
     def clamp(self, s_q: int, s_k: int) -> "BlockSizes":
         """Shrink tiles to the (padded) problem size."""
