@@ -1,0 +1,126 @@
+"""Prefill + decode generation on the Llama stack (SURVEY.md §2.3 T6/T12).
+
+Functional inference engine: per-layer KVCache pytrees threaded through a
+lax.scan-free greedy loop (jit one step; the Python loop is dispatch-only),
+prefill through the fused training-path kernel, decode through the
+flash-decode kernel with optional FP8/INT8 quantized caches.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+from flashattn_tpu.models import llama
+from flashattn_tpu.models.config import ModelConfig
+from flashattn_tpu.ops.decode import decode_attention
+from flashattn_tpu.ops.kvcache import KVCache, init_cache, update_cache
+
+Params = dict[str, Any]
+
+
+def init_caches(
+    cfg: ModelConfig, batch: int, max_len: int, quant: str | None = None
+) -> list[KVCache]:
+    return [
+        init_cache(batch, cfg.num_kv_heads, max_len, cfg.head_dim, quant=quant)
+        for _ in range(cfg.num_layers)
+    ]
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def prefill(
+    params: Params,
+    tokens: jnp.ndarray,  # [B, S] int32
+    caches: list[KVCache],
+    cfg: ModelConfig,
+) -> tuple[jnp.ndarray, list[KVCache]]:
+    """Run the prompt through the training-path kernels, filling the caches.
+    Returns (logits for the LAST position [B, vocab], updated caches)."""
+    b, s = tokens.shape
+    x = jnp.take(params["embed"], tokens, axis=0)
+    positions = jnp.arange(s)
+    cos, sin = llama.rope_tables(cfg, positions)
+
+    new_caches = []
+    for layer, cache in zip(params["layers"], caches):
+        xn = llama.rms_norm(x, layer["attn_norm"], cfg.norm_eps)
+        q = jnp.dot(xn, layer["wq"]).reshape(b, s, cfg.num_heads, cfg.head_dim)
+        k = jnp.dot(xn, layer["wk"]).reshape(b, s, cfg.num_kv_heads, cfg.head_dim)
+        v = jnp.dot(xn, layer["wv"]).reshape(b, s, cfg.num_kv_heads, cfg.head_dim)
+        q, k, v = (t.transpose(0, 2, 1, 3) for t in (q, k, v))
+        q = llama.apply_rope(q, cos, sin)
+        k = llama.apply_rope(k, cos, sin)
+        new_caches.append(update_cache(cache, k, v))
+        from flashattn_tpu.ops.attention import flash_attention
+
+        o = flash_attention(q, k, v, is_causal=True)
+        o = o.transpose(0, 2, 1, 3).reshape(b, s, cfg.num_heads * cfg.head_dim)
+        x = x + jnp.dot(o, layer["wo"])
+        x = x + llama._mlp_block(layer, x, cfg)
+
+    x = llama.rms_norm(x[:, -1], params["final_norm"], cfg.norm_eps)
+    head = params["embed"].T if cfg.tie_embeddings else params["lm_head"]
+    logits = jnp.dot(x, head, preferred_element_type=jnp.float32)
+    return logits, new_caches
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def decode_step(
+    params: Params,
+    token: jnp.ndarray,  # [B] int32 — the token just sampled
+    positions: jnp.ndarray,  # [B] int32 — its position index
+    caches: list[KVCache],
+    cfg: ModelConfig,
+) -> tuple[jnp.ndarray, list[KVCache]]:
+    """One decode step -> (logits [B, vocab], updated caches)."""
+    b = token.shape[0]
+    x = jnp.take(params["embed"], token, axis=0)  # [B, H]
+    cos, sin = llama.rope_tables(cfg, positions)  # [B, hd/2]
+
+    new_caches = []
+    for layer, cache in zip(params["layers"], caches):
+        xn = llama.rms_norm(x, layer["attn_norm"], cfg.norm_eps)
+        q = jnp.dot(xn, layer["wq"]).reshape(b, cfg.num_heads, 1, cfg.head_dim)
+        k = jnp.dot(xn, layer["wk"]).reshape(b, cfg.num_kv_heads, 1, cfg.head_dim)
+        v = jnp.dot(xn, layer["wv"]).reshape(b, cfg.num_kv_heads, 1, cfg.head_dim)
+        q = llama.apply_rope(q, cos[:, None], sin[:, None])
+        k = llama.apply_rope(k, cos[:, None], sin[:, None])
+        cache = update_cache(cache, k, v)
+        new_caches.append(cache)
+        o = decode_attention(q[:, :, 0], cache)  # [B, Hq, D]
+        o = o.reshape(b, cfg.num_heads * cfg.head_dim)
+        x = x + jnp.dot(o, layer["wo"])
+        x = x + llama._mlp_block(layer, x[:, None], cfg)[:, 0]
+
+    x = llama.rms_norm(x, params["final_norm"], cfg.norm_eps)
+    head = params["embed"].T if cfg.tie_embeddings else params["lm_head"]
+    logits = jnp.dot(x, head, preferred_element_type=jnp.float32)
+    return logits, new_caches
+
+
+def generate(
+    params: Params,
+    prompt: jnp.ndarray,  # [B, S] int32
+    cfg: ModelConfig,
+    max_new_tokens: int = 32,
+    max_len: int | None = None,
+    quant: str | None = None,
+) -> jnp.ndarray:
+    """Greedy generation. Returns [B, max_new_tokens] int32."""
+    b, s = prompt.shape
+    if max_len is None:
+        max_len = -(-(s + max_new_tokens) // 128) * 128
+    caches = init_caches(cfg, b, max_len, quant=quant)
+    logits, caches = prefill(params, prompt, caches, cfg)
+    token = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    out = [token]
+    for i in range(max_new_tokens - 1):
+        positions = jnp.full((b,), s + i, jnp.int32)
+        logits, caches = decode_step(params, token, positions, caches, cfg)
+        token = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        out.append(token)
+    return jnp.stack(out, axis=1)

@@ -1,0 +1,200 @@
+"""Flash-decode kernel: single-token attention against a (quantized) KV cache.
+
+SURVEY.md §2.3 T6 — absent from the reference (decode is the north_star
+extension); reuses the reference's online-softmax machinery (m, l, acc
+updates, ``_flash_attention_kernel_optimized.py:106-117``) with a
+[group, D]-shaped query tile (all query heads sharing one KV head decode
+together, so GQA costs one cache stream, not q_per_kv).
+
+Decode is HBM-bandwidth-bound: one token must stream the whole KV cache once.
+Design consequences:
+  - quantized caches halve/quarter the stream (int8/fp8 kernels cast in VMEM;
+    scales fold into row vectors post-dot, see kvcache.py)
+  - blocks beyond each sequence's length are clamped in the index map, so
+    ragged batches stream only live cache bytes
+  - the grid is (B, Hkv, kv_blocks) sequential — a v5e chip has one
+    TensorCore, so GPU-style split-K adds nothing; streaming saturates HBM.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from flashattn_tpu.ops.common import (
+    LOG2E,
+    MASK_VALUE,
+    cdiv,
+    interpret_default,
+)
+from flashattn_tpu.ops.kvcache import KVCache
+
+
+def _decode_kernel(
+    lengths_ref,  # SMEM [B] int32 (scalar-prefetched)
+    q_ref,  # (1, 1, G, D) — pre-scaled by scale·log2(e)
+    k_ref,  # (1, 1, bkv, D) — bf16 | int8 | fp8
+    v_ref,  # (1, 1, bkv, D)
+    *rest,  # [k_scale_ref, v_scale_ref,] o_ref, m/l/acc scratch
+    quantized: bool,
+    group: int,
+    block_kv: int,
+    num_kv_blocks: int,
+):
+    if quantized:
+        k_scale_ref, v_scale_ref, o_ref, m_scratch, l_scratch, acc_scratch = rest
+    else:
+        o_ref, m_scratch, l_scratch, acc_scratch = rest
+
+    b = pl.program_id(0)
+    kj = pl.program_id(2)
+    length = lengths_ref[b]
+
+    @pl.when(kj == 0)
+    def _init():
+        m_scratch[...] = jnp.full_like(m_scratch, MASK_VALUE)
+        l_scratch[...] = jnp.zeros_like(l_scratch)
+        acc_scratch[...] = jnp.zeros_like(acc_scratch)
+
+    @pl.when(kj * block_kv < length)
+    def _step():
+        q = q_ref[0, 0]  # (G, D)
+        k = k_ref[0, 0]  # (bkv, D)
+        if quantized:
+            k = k.astype(jnp.bfloat16)
+        s = jax.lax.dot_general(
+            q, k,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (G, bkv), log2 domain
+        if quantized:
+            # k dequant folded into logits: scale is log-additive? No —
+            # S = q·(k_q·s_k)ᵀ = (q·k_qᵀ) ⊙ s_k (per column), BEFORE exp.
+            s = s * k_scale_ref[0, 0]  # (1, bkv) broadcasts over G rows
+
+        # Length mask on the tail block.
+        cols = jax.lax.broadcasted_iota(jnp.int32, (group, block_kv), 1)
+        s = jnp.where(cols + kj * block_kv < length, s, MASK_VALUE)
+
+        m_prev = m_scratch[:, :1]
+        l_prev = l_scratch[:, :1]
+        m_cur = jnp.max(s, axis=1, keepdims=True)
+        m_new = jnp.maximum(m_prev, m_cur)
+        alpha = jnp.exp2(m_prev - m_new)
+        p = jnp.exp2(s - m_new)  # (G, bkv) f32
+        l_new = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
+        m_scratch[...] = jnp.broadcast_to(m_new, m_scratch.shape)
+        l_scratch[...] = jnp.broadcast_to(l_new, l_scratch.shape)
+
+        v = v_ref[0, 0]  # (bkv, D)
+        if quantized:
+            v = v.astype(jnp.bfloat16)
+            # v dequant folded into P (per kv-token scale matches P columns).
+            p = p * v_scale_ref[0, 0]
+        pv = jax.lax.dot_general(
+            p.astype(jnp.bfloat16), v,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        acc_scratch[...] = acc_scratch[...] * alpha + pv
+
+    @pl.when(kj == num_kv_blocks - 1)
+    def _finalize():
+        l = l_scratch[:, :1]
+        l_safe = jnp.where(l == 0.0, 1.0, l)
+        o_ref[0, 0] = (acc_scratch[...] / l_safe).astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("scale", "block_kv", "interpret", "debug")
+)
+def decode_attention(
+    q: jnp.ndarray,  # [B, Hq, D] — one new token per sequence
+    cache: KVCache,
+    scale: float | None = None,
+    block_kv: int = 2048,  # v5e sweep: 2048 streams at ~78% of HBM peak
+    interpret: bool | None = None,
+    debug: bool = False,
+) -> jnp.ndarray:
+    """Single-step decode attention against the cache -> [B, Hq, D].
+
+    The new token's K/V must already be appended (kvcache.update_cache), so
+    position t attends tokens [0, length) including itself.
+    """
+    b, hq, d = q.shape
+    _, hkv, s_max, dk = cache.k.shape
+    assert dk == d
+    assert hq % hkv == 0
+    group = hq // hkv
+    if scale is None:
+        scale = 1.0 / (d**0.5)
+    if interpret is None:
+        interpret = interpret_default()
+    assert s_max % 128 == 0, f"cache max_len must be a multiple of 128, got {s_max}"
+    block_kv = min(block_kv, s_max)
+    while s_max % block_kv:
+        block_kv -= 128
+    num_kv_blocks = s_max // block_kv
+
+    # [B, Hq, D] -> [B, Hkv, G, D]: all q heads of a KV group share a stream.
+    q4 = (q * (scale * LOG2E)).astype(q.dtype).reshape(b, hkv, group, d)
+    quantized = cache.quantized
+
+    def q_index(b_i, h_i, kv_i, lens):
+        return (b_i, h_i, 0, 0)
+
+    def kv_index(b_i, h_i, kv_i, lens):
+        # Clamp dead tail blocks onto the last live block: no re-fetch DMA.
+        last = jnp.maximum(pl.cdiv(lens[b_i], block_kv) - 1, 0)
+        return (b_i, h_i, jnp.minimum(kv_i, last), 0)
+
+    def scale_index(b_i, h_i, kv_i, lens):
+        last = jnp.maximum(pl.cdiv(lens[b_i], block_kv) - 1, 0)
+        return (b_i, h_i, 0, jnp.minimum(kv_i, last))
+
+    in_specs = [
+        pl.BlockSpec((1, 1, group, d), q_index),
+        pl.BlockSpec((1, 1, block_kv, d), kv_index),
+        pl.BlockSpec((1, 1, block_kv, d), kv_index),
+    ]
+    args = [q4, cache.k, cache.v]
+    if quantized:
+        in_specs += [
+            pl.BlockSpec((1, 1, 1, block_kv), scale_index),
+            pl.BlockSpec((1, 1, 1, block_kv), scale_index),
+        ]
+        args += [cache.k_scale, cache.v_scale]
+
+    kernel = functools.partial(
+        _decode_kernel,
+        quantized=quantized,
+        group=group,
+        block_kv=block_kv,
+        num_kv_blocks=num_kv_blocks,
+    )
+    o = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(b, hkv, num_kv_blocks),
+            in_specs=in_specs,
+            out_specs=pl.BlockSpec((1, 1, group, d), q_index),
+            scratch_shapes=[
+                pltpu.VMEM((group, 128), jnp.float32),
+                pltpu.VMEM((group, 128), jnp.float32),
+                pltpu.VMEM((group, d), jnp.float32),
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, hkv, group, d), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+        debug=debug,
+    )(cache.length, *args)
+    return o.reshape(b, hq, d)
