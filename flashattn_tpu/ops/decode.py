@@ -116,7 +116,7 @@ def decode_attention(
     q: jnp.ndarray,  # [B, Hq, D] — one new token per sequence
     cache: KVCache,
     scale: float | None = None,
-    block_kv: int = 2048,  # v5e sweep: 2048 streams at ~78% of HBM peak
+    block_kv: int = 2048,  # v5e sweep winner (grid-step overhead amortized)
     interpret: bool | None = None,
     debug: bool = False,
 ) -> jnp.ndarray:

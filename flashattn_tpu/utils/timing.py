@@ -70,6 +70,45 @@ def measure(
     return max((t2 - t1) / (n2 - n1), 1e-9)
 
 
+def measure_looped(
+    fn: Callable, *args, iters: int = 200, warmup: int = 1
+) -> float:
+    """Seconds per call for SMALL kernels (< ~1 ms device time).
+
+    Per-dispatch host cost through the relay runtime is ~300 us, so kernels
+    cheaper than that are rate-limited by the host in a dispatch loop. This
+    wraps fn in an on-device lax.scan (a data dependency on the previous
+    iteration's output defeats loop-invariant hoisting) and times ONE
+    dispatch of `iters` chained executions.
+    """
+    import jax.numpy as jnp
+
+    first, rest = args[0], args[1:]
+
+    @jax.jit
+    def run(first, rest):
+        # Only the perturbed first arg rides the scan carry; everything else
+        # is loop-invariant (a big carry forces per-iteration buffer copies).
+        def body(carry, _):
+            out = fn(carry, *rest)
+            leaf = jax.tree_util.tree_leaves(out)[0]
+            # Opaque ~zero derived from the output, folded into the input:
+            # defeats loop-invariant hoisting without changing values.
+            dep = (leaf.reshape(-1)[0] * 1e-30).astype(jnp.float32)
+            return (carry.astype(jnp.float32) + dep).astype(carry.dtype), None
+        carry, _ = jax.lax.scan(body, first, None, length=iters)
+        return carry
+
+    out = None
+    for _ in range(warmup):
+        out = run(first, rest)
+    _sync(out)
+    t0 = time.perf_counter()
+    out = run(first, rest)
+    _sync(out)
+    return (time.perf_counter() - t0) / iters
+
+
 def attention_flops(
     b: int,
     h: int,

@@ -1,0 +1,68 @@
+"""Weight-only INT8/INT4 matmul tests: kernel vs dequantized-oracle matmul,
+packing roundtrip, ragged M, and block-size invariance (the int4 nibble
+pairing must hold for every K tiling)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from flashattn_tpu.ops.quant_matmul import (
+    dequantize_weights,
+    quant_matmul,
+    quantize_weights,
+)
+
+
+def make(m, k, n, seed=0):
+    k1, k2 = jax.random.split(jax.random.PRNGKey(seed))
+    x = jax.random.normal(k1, (m, k), jnp.bfloat16)
+    w = jax.random.normal(k2, (k, n), jnp.float32) * 0.02
+    return x, w
+
+
+@pytest.mark.parametrize("bits", [8, 4])
+def test_kernel_matches_dequant_oracle(bits):
+    x, w = make(64, 1024, 512)
+    qw = quantize_weights(w, bits=bits)
+    y = quant_matmul(x, qw, block_m=64, block_n=256, block_k=256)
+    y_oracle = jnp.dot(x.astype(jnp.float32), dequantize_weights(qw))
+    rel = float(
+        jnp.max(jnp.abs(y.astype(jnp.float32) - y_oracle))
+        / (float(jnp.max(jnp.abs(y_oracle))) + 1e-9)
+    )
+    assert rel < 5e-2, rel
+
+
+@pytest.mark.parametrize("bits,tol", [(8, 0.01), (4, 0.1)])
+def test_dequant_roundtrip(bits, tol):
+    _, w = make(8, 256, 256)
+    qw = quantize_weights(w, bits=bits)
+    w_rt = dequantize_weights(qw)
+    rel = float(jnp.max(jnp.abs(w_rt - w)) / jnp.max(jnp.abs(w)))
+    assert rel < tol, rel
+
+
+def test_int4_tiling_invariance():
+    """The half-split nibble pairing must produce identical results for any
+    block_k (regression for the global-vs-tiled split pairing bug)."""
+    x, w = make(16, 1024, 256)
+    qw = quantize_weights(w, bits=4)
+    y1 = quant_matmul(x, qw, block_k=256, block_n=256)
+    y2 = quant_matmul(x, qw, block_k=1024, block_n=256)
+    np.testing.assert_allclose(
+        np.asarray(y1, np.float32), np.asarray(y2, np.float32), atol=1e-2
+    )
+
+
+def test_ragged_m():
+    x, w = make(13, 512, 256)
+    qw = quantize_weights(w, bits=8)
+    y = quant_matmul(x, qw, block_m=8, block_n=256, block_k=256)
+    assert y.shape == (13, 256)
+    y_oracle = jnp.dot(x.astype(jnp.float32), dequantize_weights(qw))
+    rel = float(
+        jnp.max(jnp.abs(y.astype(jnp.float32) - y_oracle))
+        / float(jnp.max(jnp.abs(y_oracle)))
+    )
+    assert rel < 5e-2, rel
