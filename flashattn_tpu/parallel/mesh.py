@@ -1,0 +1,71 @@
+"""Mesh construction + shard_map conveniences for the parallel attention ops.
+
+The reference has no mesh/comms layer (SURVEY.md §5); these helpers are the
+TPU-native entry points: build a named `jax.sharding.Mesh` over the local
+devices and wrap the ring/Ulysses collectives in shard_map with the
+canonical (data, model, sp) PartitionSpecs.
+"""
+
+from __future__ import annotations
+
+import functools
+from collections.abc import Mapping
+
+import jax
+import numpy as np
+from jax.sharding import Mesh
+from jax.sharding import PartitionSpec as P
+
+from flashattn_tpu.ops.common import BlockSizes
+from flashattn_tpu.parallel.ring import ring_flash_attention
+from flashattn_tpu.parallel.ulysses import ulysses_flash_attention
+
+
+def make_mesh(axes: Mapping[str, int], devices=None) -> Mesh:
+    """Build a Mesh from {axis_name: size}; sizes must multiply to the
+    device count used. Axis order = dict order (put DCN-crossing axes first
+    on multi-host so inner axes ride ICI)."""
+    if devices is None:
+        devices = jax.devices()
+    n = int(np.prod(list(axes.values())))
+    assert len(devices) >= n, f"need {n} devices, have {len(devices)}"
+    grid = np.array(devices[:n]).reshape(tuple(axes.values()))
+    return Mesh(grid, tuple(axes.keys()))
+
+
+def sharded_ring_attention(
+    q,
+    k,
+    v,
+    mesh: Mesh,
+    is_causal: bool = False,
+    scale: float | None = None,
+    block_sizes: BlockSizes | None = None,
+    interpret: bool | None = None,
+    *,
+    seq_axis: str = "sp",
+    batch_axis: str | None = "data",
+    head_axis: str | None = "model",
+    mode: str = "ring",
+):
+    """Global-view [B, H, S, D] attention sharded over `mesh`.
+
+    Batch over `batch_axis`, heads over `head_axis`, sequence over
+    `seq_axis` with ring (default) or Ulysses collectives inside a
+    shard_map island. Axes absent from the mesh are ignored.
+    """
+    inner = {"ring": ring_flash_attention, "ulysses": ulysses_flash_attention}[
+        mode
+    ]
+    fn = functools.partial(
+        inner, axis_name=seq_axis, is_causal=is_causal, scale=scale,
+        block_sizes=block_sizes, interpret=interpret,
+    )
+    ba = batch_axis if batch_axis in mesh.axis_names else None
+    ha = head_axis if head_axis in mesh.axis_names else None
+    assert seq_axis in mesh.axis_names, (seq_axis, mesh.axis_names)
+    spec = P(ba, ha, seq_axis, None)
+    return jax.shard_map(
+        fn, mesh=mesh, in_specs=(spec, spec, spec), out_specs=spec,
+        check_vma=False,
+    )(q, k, v)

@@ -1,0 +1,62 @@
+"""Ulysses-style sequence parallelism: all-to-all head redistribution.
+
+Alternative SP mode (SURVEY.md §2.3 T10): instead of rotating K/V shards
+around a ring, re-shard sequence -> heads with ``lax.all_to_all`` so each
+device runs FULL-sequence attention over a head slice (causal masking then
+needs no cross-device logic at all), and re-shard back. Exact — no partial
+merges — at the cost of two all-to-alls per tensor instead of n-1 ppermutes.
+
+Differentiability is free: ``all_to_all`` has a transpose rule (its own
+inverse all-to-all) and the local attention is the custom_vjp kernel, so
+``jax.grad`` through a shard_map of this function is correct without a
+hand-written VJP.
+"""
+
+from __future__ import annotations
+
+from jax import lax
+import jax.numpy as jnp
+
+from flashattn_tpu.ops.attention import flash_attention
+from flashattn_tpu.ops.common import BlockSizes
+
+
+def ulysses_flash_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    axis_name: str,
+    is_causal: bool = False,
+    scale: float | None = None,
+    block_sizes: BlockSizes | None = None,
+    interpret: bool | None = None,
+) -> jnp.ndarray:
+    """Sequence-parallel attention via head all-to-all; call INSIDE shard_map.
+
+    Args:
+      q: [B, Hq, S/n, D] local shard (sequence partitioned over `axis_name`);
+         k, v: [B, Hkv, S/n, D]. Requires n | Hq and n | Hkv.
+
+    Returns:
+      O [B, Hq, S/n, D] local output shard.
+    """
+    n = lax.axis_size(axis_name)
+    hq, hkv = q.shape[1], k.shape[1]
+    assert hq % n == 0 and hkv % n == 0, (
+        f"Ulysses needs the axis size ({n}) to divide Hq={hq} and Hkv={hkv}; "
+        "use ring_flash_attention otherwise"
+    )
+    # [B, H, S/n, D] -> [B, H/n, S, D]: split heads across the axis, gather
+    # the sequence. tiled=True keeps the axis implicit (shard_map style).
+    q_h = lax.all_to_all(q, axis_name, split_axis=1, concat_axis=2, tiled=True)
+    k_h = lax.all_to_all(k, axis_name, split_axis=1, concat_axis=2, tiled=True)
+    v_h = lax.all_to_all(v, axis_name, split_axis=1, concat_axis=2, tiled=True)
+
+    o_h = flash_attention(
+        q_h, k_h, v_h, is_causal=is_causal, scale=scale,
+        block_sizes=block_sizes, interpret=interpret,
+    )
+
+    # [B, H/n, S, D] -> [B, H, S/n, D]
+    return lax.all_to_all(o_h, axis_name, split_axis=2, concat_axis=1,
+                          tiled=True)
