@@ -124,14 +124,26 @@ def apply_rope(x: jnp.ndarray, cos: jnp.ndarray, sin: jnp.ndarray) -> jnp.ndarra
 
 
 def _attention(q, k, v, mesh, block_sizes=None):
-    """Fused attention; shard_map island under a mesh (batch over 'data',
-    heads over 'model' — the pallas kernel itself is mesh-oblivious)."""
+    """Fused attention; shard_map island under a mesh: batch over 'data',
+    heads over 'model', and — when the mesh carries an 'sp' axis — sequence
+    over 'sp' with ring-attention K/V rotation (context parallelism, the
+    pallas kernel itself is mesh-oblivious)."""
     if mesh is None:
         return flash_attention(q, k, v, is_causal=True, block_sizes=block_sizes)
-    fn = functools.partial(
-        flash_attention, is_causal=True, block_sizes=block_sizes
-    )
-    spec = P("data", "model", None, None)
+    use_sp = "sp" in mesh.axis_names and mesh.shape["sp"] > 1
+    if use_sp:
+        from flashattn_tpu.parallel.ring import ring_flash_attention
+
+        fn = functools.partial(
+            ring_flash_attention, axis_name="sp", is_causal=True,
+            block_sizes=block_sizes,
+        )
+        spec = P("data", "model", "sp", None)
+    else:
+        fn = functools.partial(
+            flash_attention, is_causal=True, block_sizes=block_sizes
+        )
+        spec = P("data", "model", None, None)
     return jax.shard_map(
         fn, mesh=mesh, in_specs=(spec, spec, spec), out_specs=spec,
         check_vma=False,
