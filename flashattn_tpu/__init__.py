@@ -22,6 +22,10 @@ from flashattn_tpu.ops.attention import (
     flash_attention_backward,
 )
 from flashattn_tpu.ops.reference import reference_attention, reference_attention_with_lse
+from flashattn_tpu.ops.varlen import (
+    flash_attention_varlen,
+    segment_ids_from_cu_seqlens,
+)
 from flashattn_tpu.utils.verify import verify_results
 
 __version__ = "0.1.0"
@@ -30,6 +34,8 @@ __all__ = [
     "flash_attention",
     "flash_attention_forward",
     "flash_attention_backward",
+    "flash_attention_varlen",
+    "segment_ids_from_cu_seqlens",
     "reference_attention",
     "reference_attention_with_lse",
     "verify_results",

@@ -118,24 +118,25 @@ def build_dkv_wavefront(
 
 def _dq_kernel(
     meta_ref,  # SMEM (L, 7) int32 — fwd wavefront layout
-    q_ref,  # (1, 1, bq, D) — pre-scaled by scale·log2(e)
-    k_ref,  # (1, 1, bkv, D)
-    v_ref,  # (1, 1, bkv, D)
-    o_ref,  # (1, 1, bq, D)
-    do_ref,  # (1, 1, bq, D)
-    lse_ref,  # (1, 1, bq, 1)
-    dq_ref,  # out (1, 1, bq, D)
-    delta_ref,  # out (1, 1, bq, 1) f32
-    dq_acc,  # scratch (bq, D) f32
-    delta_scratch,  # scratch (bq, 128) f32
-    *,
+    *refs,  # q, k, v, o, do, lse, [seg_q, seg_k,] dq, delta, 2 scratches
     needs_mask: bool,
     guard_zero_rows: bool,
+    segmented: bool,
     block_q: int,
     block_kv: int,
     causal_offset: int,
     scale: float,
 ):
+    # q (1,1,bq,D) pre-scaled by scale·log2(e); k/v (1,1,bkv,D); o/do
+    # (1,1,bq,D); lse (1,1,bq,1); seg_q (1,bq,1) / seg_k (1,1,bkv) int32;
+    # outs dq (1,1,bq,D), delta (1,1,bq,1) f32; scratch dq_acc (bq,D) f32,
+    # delta_scratch (bq,128) f32.
+    if segmented:
+        (q_ref, k_ref, v_ref, o_ref, do_ref, lse_ref, segq_ref, segk_ref,
+         dq_ref, delta_ref, dq_acc, delta_scratch) = refs
+    else:
+        (q_ref, k_ref, v_ref, o_ref, do_ref, lse_ref,
+         dq_ref, delta_ref, dq_acc, delta_scratch) = refs
     step = pl.program_id(2)
 
     @pl.when(meta_ref[step, META_FIRST] == 1)
@@ -161,16 +162,25 @@ def _dq_kernel(
         preferred_element_type=jnp.float32,
     )  # log2 domain (q pre-scaled)
 
+    mask = None
     if needs_mask:
         rows = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_kv), 0)
         cols = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_kv), 1)
         mask = ((cols - rows) <= meta_ref[step, META_RTHRESH]) & (
             cols <= meta_ref[step, META_CTHRESH]
         )
+    if segmented:
+        seg_mask = segq_ref[0] == segk_ref[0]  # (bq,1)==(1,bkv) -> (bq,bkv)
+        mask = seg_mask if mask is None else (mask & seg_mask)
+    if mask is not None:
         s = jnp.where(mask, s, MASK_VALUE)
 
     # Rebuild P from stored LSE (reference :243-244; math Phase_4.md:143-158).
     p = jnp.exp2(s - lse2)  # (bq, bkv) f32
+    if segmented:
+        # Empty rows carry LSE = -inf; exp2(MASK - (-inf)) = inf — select
+        # through the mask so their contribution is exactly zero.
+        p = jnp.where(mask, p, 0.0)
     if guard_zero_rows:
         riota = jax.lax.broadcasted_iota(jnp.int32, (block_q, 1), 0)
         valid = riota + (meta_ref[step, META_QI] * block_q + causal_offset) >= 0
@@ -195,24 +205,25 @@ def _dq_kernel(
 
 def _dkv_kernel(
     meta_ref,  # SMEM (L, 7) int32 — dKV wavefront layout
-    q_ref,  # (1, 1, bq, D)
-    do_ref,  # (1, 1, bq, D)
-    lse_ref,  # (1, 1, bq, 1)
-    delta_ref,  # (1, 1, bq, 1) f32 — written by the dQ kernel
-    k_ref,  # (1, 1, bkv, D) — pre-scaled by scale·log2(e)
-    v_ref,  # (1, 1, bkv, D)
-    dk_ref,  # out (1, 1, bkv, D)
-    dv_ref,  # out (1, 1, bkv, D)
-    dk_acc,  # scratch (bkv, D) f32
-    dv_acc,  # scratch (bkv, D) f32
-    *,
+    *refs,  # q, do, lse, delta, k, v, [seg_q, seg_k,] dk, dv, 2 scratches
     needs_mask: bool,
     guard_zero_rows: bool,
+    segmented: bool,
     block_q: int,
     block_kv: int,
     causal_offset: int,
     scale: float,
 ):
+    # q/do (1,1,bq,D); lse/delta (1,1,bq,1) (delta written by the dQ
+    # kernel); k (1,1,bkv,D) pre-scaled by scale·log2(e); v (1,1,bkv,D);
+    # seg_q (1,bq,1) / seg_k (1,1,bkv) int32; outs dk/dv (1,1,bkv,D);
+    # scratch dk_acc/dv_acc (bkv,D) f32.
+    if segmented:
+        (q_ref, do_ref, lse_ref, delta_ref, k_ref, v_ref, segq_ref,
+         segk_ref, dk_ref, dv_ref, dk_acc, dv_acc) = refs
+    else:
+        (q_ref, do_ref, lse_ref, delta_ref, k_ref, v_ref,
+         dk_ref, dv_ref, dk_acc, dv_acc) = refs
     step = pl.program_id(2)
 
     @pl.when(meta_ref[step, DKV_FIRST] == 1)
@@ -233,6 +244,7 @@ def _dkv_kernel(
         preferred_element_type=jnp.float32,
     )  # log2 domain (k pre-scaled)
 
+    mask = None
     if needs_mask:
         rows = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_kv), 0)
         cols = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_kv), 1)
@@ -241,9 +253,15 @@ def _dkv_kernel(
         mask = ((cols - rows) <= meta_ref[step, DKV_RTHRESH]) & (
             rows <= meta_ref[step, DKV_ROWTHRESH]
         )
+    if segmented:
+        seg_mask = segq_ref[0] == segk_ref[0]  # (bq,1)==(1,bkv) -> (bq,bkv)
+        mask = seg_mask if mask is None else (mask & seg_mask)
+    if mask is not None:
         s = jnp.where(mask, s, MASK_VALUE)
 
     p = jnp.exp2(s - lse2)  # (bq, bkv) f32
+    if segmented:
+        p = jnp.where(mask, p, 0.0)  # empty rows carry LSE = -inf
     if guard_zero_rows:
         riota = jax.lax.broadcasted_iota(jnp.int32, (block_q, 1), 0)
         valid = riota + (meta_ref[step, DKV_QI] * block_q + causal_offset) >= 0
@@ -291,12 +309,16 @@ def flash_attention_backward(
     block_sizes: BlockSizes | None = None,
     interpret: bool | None = None,
     debug: bool = False,
+    segment_ids: tuple[jnp.ndarray, jnp.ndarray] | None = None,
 ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Two-kernel flash-attention backward (launcher layer).
 
     TPU analogue of the reference ``flash_attention_backward``
     (``My_FlashAttention_optimized.py:62-128``): launches the dQ kernel, then
     the dK/dV kernel which consumes the delta array the first kernel wrote.
+
+    segment_ids: optional (seg_q [B,S_q], seg_k [B,S_k]) varlen ids — must
+    match the forward call that produced o/lse.
 
     Returns (dQ [B,Hq,S_q,D], dK [B,Hkv,S_k,D], dV [B,Hkv,S_k,D]).
     """
@@ -334,6 +356,19 @@ def flash_attention_backward(
     )
     needs_mask = bool((meta[:, META_RTHRESH] != _BIG).any()
                       or (meta[:, META_CTHRESH] != _BIG).any())
+    segmented = segment_ids is not None
+
+    def pad_segments(bq_, bkv_, s_q_p_, s_k_p_):
+        seg_q, seg_k = segment_ids
+        assert seg_q.shape == (b, s_q) and seg_k.shape == (b, s_k), (
+            seg_q.shape, seg_k.shape, (b, s_q, s_k))
+        segq_p = jnp.pad(seg_q.astype(jnp.int32),
+                         ((0, 0), (0, s_q_p_ - s_q)),
+                         constant_values=-1)[..., None]  # [B, S_q_p, 1]
+        segk_p = jnp.pad(seg_k.astype(jnp.int32),
+                         ((0, 0), (0, s_k_p_ - s_k)),
+                         constant_values=-2)[:, None, :]  # [B, 1, S_k_p]
+        return segq_p, segk_p
 
     def q_index(b_i, h_i, s_i, m):
         return (b_i, h_i, m[s_i, META_QI], 0)
@@ -345,24 +380,35 @@ def flash_attention_backward(
         _dq_kernel,
         needs_mask=needs_mask,
         guard_zero_rows=guard_zero_rows,
+        segmented=segmented,
         block_q=bq,
         block_kv=bkv,
         causal_offset=causal_offset,
         scale=scale,
     )
+    in_specs = [
+        pl.BlockSpec((1, 1, bq, d), q_index),
+        pl.BlockSpec((1, 1, bkv, d), kv_index),
+        pl.BlockSpec((1, 1, bkv, d), kv_index),
+        pl.BlockSpec((1, 1, bq, d), q_index),
+        pl.BlockSpec((1, 1, bq, d), q_index),
+        pl.BlockSpec((1, 1, bq, 1), q_index),
+    ]
+    inputs = [q_p, k_p, v_p, o_p, do_p, lse_p]
+    if segmented:
+        in_specs += [
+            pl.BlockSpec((1, bq, 1),
+                         lambda b_i, h_i, s_i, m: (b_i, m[s_i, META_QI], 0)),
+            pl.BlockSpec((1, 1, bkv),
+                         lambda b_i, h_i, s_i, m: (b_i, 0, m[s_i, META_KJ])),
+        ]
+        inputs += list(pad_segments(bq, bkv, s_q_p, s_k_p))
     dq, delta = pl.pallas_call(
         dq_kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(b, hq, meta.shape[0]),
-            in_specs=[
-                pl.BlockSpec((1, 1, bq, d), q_index),
-                pl.BlockSpec((1, 1, bkv, d), kv_index),
-                pl.BlockSpec((1, 1, bkv, d), kv_index),
-                pl.BlockSpec((1, 1, bq, d), q_index),
-                pl.BlockSpec((1, 1, bq, d), q_index),
-                pl.BlockSpec((1, 1, bq, 1), q_index),
-            ],
+            in_specs=in_specs,
             out_specs=[
                 pl.BlockSpec((1, 1, bq, d), q_index),
                 pl.BlockSpec((1, 1, bq, 1), q_index),
@@ -382,7 +428,7 @@ def flash_attention_backward(
         ),
         interpret=interpret,
         debug=debug,
-    )(jnp.asarray(meta), q_p, k_p, v_p, o_p, do_p, lse_p)
+    )(jnp.asarray(meta), *inputs)
     dq = dq[:, :, :s_q, :] if s_q_p != s_q else dq
 
     # ---- Kernel 2: dK/dV, reusing kernel 1's delta ----
@@ -417,24 +463,35 @@ def flash_attention_backward(
         _dkv_kernel,
         needs_mask=needs_mask2,
         guard_zero_rows=guard_zero_rows,
+        segmented=segmented,
         block_q=bq2,
         block_kv=bkv2,
         causal_offset=causal_offset,
         scale=scale,
     )
+    in_specs2 = [
+        pl.BlockSpec((1, 1, bq2, d), q_index2),
+        pl.BlockSpec((1, 1, bq2, d), q_index2),
+        pl.BlockSpec((1, 1, bq2, 1), q_index2),
+        pl.BlockSpec((1, 1, bq2, 1), q_index2),
+        pl.BlockSpec((1, 1, bkv2, d), kv_index2),
+        pl.BlockSpec((1, 1, bkv2, d), kv_index2),
+    ]
+    inputs2 = [q_p2, do_p2, lse_p2, delta_p, k_p2, v_p2]
+    if segmented:
+        in_specs2 += [
+            pl.BlockSpec((1, bq2, 1),
+                         lambda b_i, h_i, s_i, m: (b_i, m[s_i, DKV_QI], 0)),
+            pl.BlockSpec((1, 1, bkv2),
+                         lambda b_i, h_i, s_i, m: (b_i, 0, m[s_i, DKV_KJ])),
+        ]
+        inputs2 += list(pad_segments(bq2, bkv2, s_q_p2, s_k_p2))
     dk, dv = pl.pallas_call(
         dkv_kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(b, hkv, meta2.shape[0]),
-            in_specs=[
-                pl.BlockSpec((1, 1, bq2, d), q_index2),
-                pl.BlockSpec((1, 1, bq2, d), q_index2),
-                pl.BlockSpec((1, 1, bq2, 1), q_index2),
-                pl.BlockSpec((1, 1, bq2, 1), q_index2),
-                pl.BlockSpec((1, 1, bkv2, d), kv_index2),
-                pl.BlockSpec((1, 1, bkv2, d), kv_index2),
-            ],
+            in_specs=in_specs2,
             out_specs=[
                 pl.BlockSpec((1, 1, bkv2, d), kv_index2),
                 pl.BlockSpec((1, 1, bkv2, d), kv_index2),
@@ -454,7 +511,7 @@ def flash_attention_backward(
         ),
         interpret=interpret,
         debug=debug,
-    )(jnp.asarray(meta2), q_p2, do_p2, lse_p2, delta_p, k_p2, v_p2)
+    )(jnp.asarray(meta2), *inputs2)
     if s_k_p2 != s_k:
         dk = dk[:, :, :s_k, :]
         dv = dv[:, :, :s_k, :]

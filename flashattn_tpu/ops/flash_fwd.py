@@ -105,21 +105,23 @@ def build_wavefront(
 
 def _fwd_kernel(
     meta_ref,  # SMEM (L, 7) int32 (scalar-prefetched)
-    q_ref,  # (1, 1, block_q, D) — pre-scaled by scale·log2(e)
-    k_ref,  # (1, 1, block_kv, D)
-    v_ref,  # (1, 1, block_kv, D)
-    o_ref,  # (1, 1, block_q, D)
-    lse_ref,  # (1, 1, block_q, 1)
-    m_scratch,  # (block_q, 128) f32
-    l_scratch,  # (block_q, 128) f32
-    acc_scratch,  # (block_q, D) f32
-    *,
+    *refs,  # q, k, v, [seg_q, seg_k,] o, lse, m_scratch, l_scratch, acc
     needs_mask: bool,
     guard_zero_rows: bool,
+    segmented: bool,
     block_q: int,
     block_kv: int,
     causal_offset: int,
 ):
+    # q_ref (1,1,bq,D) pre-scaled by scale·log2(e); k/v (1,1,bkv,D);
+    # seg_q (1,bq,1) / seg_k (1,1,bkv) int32 packed-sequence ids (varlen);
+    # outputs o (1,1,bq,D), lse (1,1,bq,1); f32 scratch m/l (bq,128), acc.
+    if segmented:
+        (q_ref, k_ref, v_ref, segq_ref, segk_ref, o_ref, lse_ref,
+         m_scratch, l_scratch, acc_scratch) = refs
+    else:
+        (q_ref, k_ref, v_ref, o_ref, lse_ref,
+         m_scratch, l_scratch, acc_scratch) = refs
     step = pl.program_id(2)
 
     @pl.when(meta_ref[step, META_FIRST] == 1)
@@ -137,12 +139,17 @@ def _fwd_kernel(
         preferred_element_type=jnp.float32,
     )
 
+    mask = None
     if needs_mask:
         rows = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_kv), 0)
         cols = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_kv), 1)
         mask = ((cols - rows) <= meta_ref[step, META_RTHRESH]) & (
             cols <= meta_ref[step, META_CTHRESH]
         )
+    if segmented:
+        seg_mask = segq_ref[0] == segk_ref[0]  # (bq,1)==(1,bkv) -> (bq,bkv)
+        mask = seg_mask if mask is None else (mask & seg_mask)
+    if mask is not None:
         s = jnp.where(mask, s, MASK_VALUE)
 
     m_prev = m_scratch[:, :1]  # (block_q, 1)
@@ -151,6 +158,10 @@ def _fwd_kernel(
     m_new = jnp.maximum(m_prev, m_cur)
     alpha = jnp.exp2(m_prev - m_new)
     p = jnp.exp2(s - m_new)  # (block_q, block_kv) f32
+    if segmented:
+        # Rows whose segment has no keys in this tile would get
+        # p = exp2(s - m) with s = m = MASK_VALUE -> 1; zero them exactly.
+        p = jnp.where(mask, p, 0.0)
     if guard_zero_rows:
         # Zero-key rows (causal cross-attn, S_q > S_k): all-masked rows would
         # get p = exp2(0) = 1; force 0 (convention: O = 0, LSE = -inf).
@@ -180,7 +191,7 @@ def _fwd_kernel(
         # LSE in natural-log units: ln Σ exp(s·scale) = (m + log2 l)·ln2.
         # Stored [.., S, 1] so row stats stay sublane-aligned in VMEM.
         lse = (m + jnp.log2(l_safe)) * LN2
-        if guard_zero_rows:
+        if guard_zero_rows or segmented:
             lse = jnp.where(l == 0.0, -jnp.inf, lse)
         lse_ref[0, 0] = lse
 
@@ -198,6 +209,7 @@ def flash_attention_forward(
     block_sizes: BlockSizes | None = None,
     interpret: bool | None = None,
     debug: bool = False,
+    segment_ids: tuple[jnp.ndarray, jnp.ndarray] | None = None,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Fused flash-attention forward.
 
@@ -207,9 +219,13 @@ def flash_attention_forward(
 
     Args:
       q: [B, Hq, S_q, D]; k, v: [B, Hkv, S_k, D] with Hkv | Hq (GQA).
+      segment_ids: optional (seg_q [B, S_q], seg_k [B, S_k]) int32 packed-
+        sequence ids for varlen/cu_seqlens batching (reference deferred
+        design ``Phase_6.md:118-178``); attention restricted to equal ids.
 
     Returns:
-      (O [B, Hq, S_q, D] in q.dtype, LSE [B, Hq, S_q] fp32, natural log).
+      (O [B, Hq, S_q, D] in q.dtype, LSE [B, Hq, S_q] fp32, natural log;
+       rows with no visible keys get O = 0, LSE = -inf).
     """
     b, hq, s_q, d = q.shape
     _, hkv, s_k, dk = k.shape
@@ -244,11 +260,13 @@ def flash_attention_forward(
     needs_mask = bool((meta[:, META_RTHRESH] != _BIG).any()
                       or (meta[:, META_CTHRESH] != _BIG).any())
     guard_zero_rows = is_causal and causal_offset < 0
+    segmented = segment_ids is not None
 
     kernel = functools.partial(
         _fwd_kernel,
         needs_mask=needs_mask,
         guard_zero_rows=guard_zero_rows,
+        segmented=segmented,
         block_q=bq,
         block_kv=bkv,
         causal_offset=causal_offset,
@@ -263,14 +281,34 @@ def flash_attention_forward(
     def lse_index(b_i, h_i, s_i, meta_ref):
         return (b_i, h_i, meta_ref[s_i, META_QI], 0)
 
+    in_specs = [
+        pl.BlockSpec((1, 1, bq, d), q_index),
+        pl.BlockSpec((1, 1, bkv, d), kv_index),
+        pl.BlockSpec((1, 1, bkv, d), kv_index),
+    ]
+    inputs = [q_p, k_p, v_p]
+    if segmented:
+        seg_q, seg_k = segment_ids
+        assert seg_q.shape == (b, s_q) and seg_k.shape == (b, s_k), (
+            seg_q.shape, seg_k.shape, (b, s_q, s_k))
+        # Pad q rows with -1 and k cols with -2: padding never matches
+        # anything, so ragged tails are masked with zero extra logic.
+        segq_p = jnp.pad(seg_q.astype(jnp.int32), ((0, 0), (0, s_q_p - s_q)),
+                         constant_values=-1)[..., None]  # [B, S_q_p, 1]
+        segk_p = jnp.pad(seg_k.astype(jnp.int32), ((0, 0), (0, s_k_p - s_k)),
+                         constant_values=-2)[:, None, :]  # [B, 1, S_k_p]
+        in_specs += [
+            pl.BlockSpec((1, bq, 1),
+                         lambda b_i, h_i, s_i, m: (b_i, m[s_i, META_QI], 0)),
+            pl.BlockSpec((1, 1, bkv),
+                         lambda b_i, h_i, s_i, m: (b_i, 0, m[s_i, META_KJ])),
+        ]
+        inputs += [segq_p, segk_p]
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(b, hq, num_steps),
-        in_specs=[
-            pl.BlockSpec((1, 1, bq, d), q_index),
-            pl.BlockSpec((1, 1, bkv, d), kv_index),
-            pl.BlockSpec((1, 1, bkv, d), kv_index),
-        ],
+        in_specs=in_specs,
         out_specs=[
             pl.BlockSpec((1, 1, bq, d), q_index),
             pl.BlockSpec((1, 1, bq, 1), lse_index),
@@ -294,7 +332,7 @@ def flash_attention_forward(
         ),
         interpret=interpret,
         debug=debug,
-    )(jnp.asarray(meta), q_p, k_p, v_p)
+    )(jnp.asarray(meta), *inputs)
 
     lse = lse[..., 0]
     if s_q_p != s_q:

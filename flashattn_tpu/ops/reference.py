@@ -21,6 +21,7 @@ def reference_attention_with_lse(
     v: jnp.ndarray,
     is_causal: bool = False,
     scale: float | None = None,
+    segment_ids: tuple[jnp.ndarray, jnp.ndarray] | None = None,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Unfused attention oracle returning (O, LSE).
 
@@ -32,6 +33,9 @@ def reference_attention_with_lse(
         (standard convention: query i attends keys j with j <= i + S_k - S_q).
       scale: softmax scale; defaults to 1/sqrt(D) as in the reference
         (``My_FlashAttention_optimized.py:54``).
+      segment_ids: optional (seg_q [B, S_q], seg_k [B, S_k]) int32 packed-
+        sequence ids; attention is restricted to seg_q[i] == seg_k[j]
+        (varlen oracle, reference design ``Phase_6.md:118-178``).
 
     Returns:
       O:   [B, Hq, S_q, D] in q.dtype
@@ -53,10 +57,16 @@ def reference_attention_with_lse(
         vf = jnp.repeat(vf, rep, axis=1)
 
     s = jnp.einsum("bhqd,bhkd->bhqk", qf, kf) * scale
+    mask = None
     if is_causal:
         qi = jnp.arange(s_q)[:, None]
         kj = jnp.arange(s_k)[None, :]
         mask = kj <= qi + (s_k - s_q)
+    if segment_ids is not None:
+        seg_q, seg_k = segment_ids
+        seg_mask = (seg_q[:, :, None] == seg_k[:, None, :])[:, None]
+        mask = seg_mask if mask is None else (mask & seg_mask)
+    if mask is not None:
         s = jnp.where(mask, s, -jnp.inf)
 
     m = jnp.max(s, axis=-1, keepdims=True)
@@ -77,8 +87,10 @@ def reference_attention(
     v: jnp.ndarray,
     is_causal: bool = False,
     scale: float | None = None,
+    segment_ids: tuple[jnp.ndarray, jnp.ndarray] | None = None,
 ) -> jnp.ndarray:
     """Unfused attention oracle (O only) — differentiable, used as the
     gradient oracle in alignment tests (reference's SDPA role,
     ``My_FlashAttention_optimized.py:172-212``)."""
-    return reference_attention_with_lse(q, k, v, is_causal, scale)[0]
+    return reference_attention_with_lse(q, k, v, is_causal, scale,
+                                        segment_ids)[0]
