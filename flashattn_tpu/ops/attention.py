@@ -13,6 +13,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from flashattn_tpu.ops.common import BlockSizes
 from flashattn_tpu.ops.flash_fwd import flash_attention_forward
@@ -20,31 +21,37 @@ from flashattn_tpu.ops.flash_bwd import flash_attention_backward
 
 
 @functools.partial(
-    jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6)
+    jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8)
 )
-def _flash_attention(q, k, v, is_causal, scale, block_sizes, interpret):
+def _flash_attention(q, k, v, seed, is_causal, scale, block_sizes, interpret,
+                     dropout_rate):
     o, _ = flash_attention_forward(
         q, k, v, is_causal=is_causal, scale=scale,
         block_sizes=block_sizes, interpret=interpret,
+        dropout_rate=dropout_rate, dropout_seed=seed,
     )
     return o
 
 
-def _fwd(q, k, v, is_causal, scale, block_sizes, interpret):
+def _fwd(q, k, v, seed, is_causal, scale, block_sizes, interpret,
+         dropout_rate):
     o, lse = flash_attention_forward(
         q, k, v, is_causal=is_causal, scale=scale,
         block_sizes=block_sizes, interpret=interpret,
+        dropout_rate=dropout_rate, dropout_seed=seed,
     )
-    return o, (q, k, v, o, lse)
+    return o, (q, k, v, seed, o, lse)
 
 
-def _bwd(is_causal, scale, block_sizes, interpret, residuals, do):
-    q, k, v, o, lse = residuals
+def _bwd(is_causal, scale, block_sizes, interpret, dropout_rate, residuals,
+         do):
+    q, k, v, seed, o, lse = residuals
     dq, dk, dv = flash_attention_backward(
         q, k, v, o, do, lse, is_causal=is_causal, scale=scale,
         block_sizes=block_sizes, interpret=interpret,
+        dropout_rate=dropout_rate, dropout_seed=seed,
     )
-    return dq, dk, dv
+    return dq, dk, dv, np.zeros(seed.shape, dtype=jax.dtypes.float0)
 
 
 _flash_attention.defvjp(_fwd, _bwd)
@@ -58,6 +65,8 @@ def flash_attention(
     scale: float | None = None,
     block_sizes: BlockSizes | None = None,
     interpret: bool | None = None,
+    dropout_rate: float = 0.0,
+    dropout_seed: jnp.ndarray | int | None = None,
 ) -> jnp.ndarray:
     """Differentiable fused flash attention (public entry point, mirroring
     the reference ``flash_attention`` at ``My_FlashAttention_optimized.py:169-170``).
@@ -68,12 +77,21 @@ def flash_attention(
       scale: softmax scale, default 1/sqrt(D).
       block_sizes: kernel tile sizes (autotunable).
       interpret: force Pallas interpreter mode (defaults to True off-TPU).
+      dropout_rate: attention-probability dropout in [0, 1); masks are
+        regenerated from a counter-based hash in fwd AND bwd — never stored
+        (the reference's deferred Philox design, ``Phase_6.md:54-114``).
+      dropout_seed: int32 scalar; required when dropout_rate > 0. Vary it
+        per training step.
 
     Returns:
       O: [B, Hq, S_q, D] in q.dtype.
     """
     assert q.ndim == 4 and k.ndim == 4 and v.ndim == 4, "expected [B,H,S,D]"
-    return _flash_attention(q, k, v, is_causal, scale, block_sizes, interpret)
+    seed = jnp.asarray(
+        0 if dropout_seed is None else dropout_seed, jnp.int32
+    )
+    return _flash_attention(q, k, v, seed, is_causal, scale, block_sizes,
+                            interpret, dropout_rate)
 
 
 # Re-exported for API parity with the reference's launcher layer.

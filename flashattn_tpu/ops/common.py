@@ -75,6 +75,43 @@ class BlockSizes:
         )
 
 
+def dropout_keep_mask(seed, bh, row_ids, col_ids, rate: float):
+    """Counter-based dropout keep-mask, shared by fwd and both bwd kernels.
+
+    TPU-native realization of the reference's deferred Philox design
+    (``Phase_6.md:54-114``): the mask is a pure function of
+    (seed, batch·head, GLOBAL row, GLOBAL col), so forward and backward
+    regenerate bit-identical masks without storing them — and because the
+    hash keys on global coordinates (not block indices), the backward may
+    even use different tile sizes than the forward.
+
+    Args:
+      seed: int32 scalar (traced).
+      bh: int32 scalar — flattened batch*H + q-head index.
+      row_ids: (bq, 1) int32 global query positions.
+      col_ids: (1, bkv) int32 global key positions.
+      rate: static drop probability in [0, 1).
+
+    Returns:
+      (bq, bkv) bool — True = keep.
+    """
+    import numpy as np  # local: keep module import surface minimal
+
+    u32 = jnp.uint32
+    x = row_ids.astype(u32) * np.uint32(0x9E3779B1)
+    y = col_ids.astype(u32) * np.uint32(0x85EBCA77)
+    h = x ^ y
+    h = h ^ (seed.astype(u32) + bh.astype(u32) * np.uint32(0x27D4EB2F))
+    # xxhash-style avalanche: two multiply-xorshift rounds.
+    h = h ^ (h >> 15)
+    h = h * np.uint32(0x2C1B3C6D)
+    h = h ^ (h >> 12)
+    h = h * np.uint32(0x297A2D39)
+    h = h ^ (h >> 15)
+    threshold = np.uint32(int(rate * 4294967296.0))
+    return h >= threshold
+
+
 def pad_to_block(x: jnp.ndarray, axis: int, block: int) -> jnp.ndarray:
     """Zero-pad `axis` of x up to a multiple of `block`."""
     size = x.shape[axis]

@@ -46,6 +46,7 @@ from flashattn_tpu.ops.common import (
     LOG2E,
     MASK_VALUE,
     BlockSizes,
+    dropout_keep_mask,
     interpret_default,
     pad_to_block,
 )
@@ -118,19 +119,23 @@ def build_dkv_wavefront(
 
 def _dq_kernel(
     meta_ref,  # SMEM (L, 7) int32 — fwd wavefront layout
-    *refs,  # q, k, v, o, do, lse, [seg_q, seg_k,] dq, delta, 2 scratches
+    *refs,  # [seed,] q, k, v, o, do, lse, [seg_q, seg_k,] dq, delta, scratch
     needs_mask: bool,
     guard_zero_rows: bool,
     segmented: bool,
+    dropout_rate: float,
+    hq: int,
     block_q: int,
     block_kv: int,
     causal_offset: int,
     scale: float,
 ):
-    # q (1,1,bq,D) pre-scaled by scale·log2(e); k/v (1,1,bkv,D); o/do
-    # (1,1,bq,D); lse (1,1,bq,1); seg_q (1,bq,1) / seg_k (1,1,bkv) int32;
-    # outs dq (1,1,bq,D), delta (1,1,bq,1) f32; scratch dq_acc (bq,D) f32,
-    # delta_scratch (bq,128) f32.
+    # seed (1,) SMEM int32 (dropout only); q (1,1,bq,D) pre-scaled by
+    # scale·log2(e); k/v (1,1,bkv,D); o/do (1,1,bq,D); lse (1,1,bq,1);
+    # seg_q (1,bq,1) / seg_k (1,1,bkv) int32; outs dq (1,1,bq,D), delta
+    # (1,1,bq,1) f32; scratch dq_acc (bq,D) f32, delta_scratch (bq,128) f32.
+    if dropout_rate > 0.0:
+        seed_ref, *refs = refs
     if segmented:
         (q_ref, k_ref, v_ref, o_ref, do_ref, lse_ref, segq_ref, segk_ref,
          dq_ref, delta_ref, dq_acc, delta_scratch) = refs
@@ -191,6 +196,17 @@ def _dq_kernel(
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
+    if dropout_rate > 0.0:
+        # Regenerate the forward's keep-mask; dS = P ⊙ (M⊙dP/(1-r) − δ)
+        # (δ = rowsum(dO⊙O) already carries the dropout through O).
+        rows_g = meta_ref[step, META_QI] * block_q + jax.lax.broadcasted_iota(
+            jnp.int32, (block_q, 1), 0)
+        cols_g = meta_ref[step, META_KJ] * block_kv + jax.lax.broadcasted_iota(
+            jnp.int32, (1, block_kv), 1)
+        bh = pl.program_id(0) * hq + pl.program_id(1)
+        keep = dropout_keep_mask(seed_ref[0], bh, rows_g, cols_g,
+                                 dropout_rate)
+        dp = jnp.where(keep, dp * (1.0 / (1.0 - dropout_rate)), 0.0)
     ds = p * (dp - delta_scratch[:, :1])  # (bq, bkv) f32
     dq_acc[...] += jax.lax.dot_general(
         ds.astype(q.dtype), k,
@@ -205,19 +221,24 @@ def _dq_kernel(
 
 def _dkv_kernel(
     meta_ref,  # SMEM (L, 7) int32 — dKV wavefront layout
-    *refs,  # q, do, lse, delta, k, v, [seg_q, seg_k,] dk, dv, 2 scratches
+    *refs,  # [seed,] q, do, lse, delta, k, v, [seg_q, seg_k,] dk, dv, scr.
     needs_mask: bool,
     guard_zero_rows: bool,
     segmented: bool,
+    dropout_rate: float,
+    hq: int,
+    q_per_kv: int,
     block_q: int,
     block_kv: int,
     causal_offset: int,
     scale: float,
 ):
-    # q/do (1,1,bq,D); lse/delta (1,1,bq,1) (delta written by the dQ
-    # kernel); k (1,1,bkv,D) pre-scaled by scale·log2(e); v (1,1,bkv,D);
-    # seg_q (1,bq,1) / seg_k (1,1,bkv) int32; outs dk/dv (1,1,bkv,D);
-    # scratch dk_acc/dv_acc (bkv,D) f32.
+    # seed (1,) SMEM int32 (dropout only); q/do (1,1,bq,D); lse/delta
+    # (1,1,bq,1) (delta written by the dQ kernel); k (1,1,bkv,D) pre-scaled
+    # by scale·log2(e); v (1,1,bkv,D); seg_q (1,bq,1) / seg_k (1,1,bkv)
+    # int32; outs dk/dv (1,1,bkv,D); scratch dk_acc/dv_acc (bkv,D) f32.
+    if dropout_rate > 0.0:
+        seed_ref, *refs = refs
     if segmented:
         (q_ref, do_ref, lse_ref, delta_ref, k_ref, v_ref, segq_ref,
          segk_ref, dk_ref, dv_ref, dk_acc, dv_acc) = refs
@@ -267,9 +288,26 @@ def _dkv_kernel(
         valid = riota + (meta_ref[step, DKV_QI] * block_q + causal_offset) >= 0
         p = jnp.where(valid, p, 0.0)
 
-    # dV += Pᵀ · dO — contraction over q rows, no transpose materialized.
+    if dropout_rate > 0.0:
+        # Same keep-mask as the forward: keyed on GLOBAL (row, col) and the
+        # true q-head (this grid iterates kv heads; the group offset maps
+        # back), so it agrees even if tile sizes differ between passes.
+        rows_g = meta_ref[step, DKV_QI] * block_q + jax.lax.broadcasted_iota(
+            jnp.int32, (block_q, 1), 0)
+        cols_g = meta_ref[step, DKV_KJ] * block_kv + jax.lax.broadcasted_iota(
+            jnp.int32, (1, block_kv), 1)
+        h_q = pl.program_id(1) * q_per_kv + meta_ref[step, DKV_G]
+        bh = pl.program_id(0) * hq + h_q
+        keep = dropout_keep_mask(seed_ref[0], bh, rows_g, cols_g,
+                                 dropout_rate)
+        inv = 1.0 / (1.0 - dropout_rate)
+        p_v = jnp.where(keep, p * inv, 0.0)  # dV sees the dropped P
+    else:
+        p_v = p
+
+    # dV += P_dropᵀ · dO — contraction over q rows, no transpose materialized.
     dv_acc[...] += jax.lax.dot_general(
-        p.astype(do.dtype), do,
+        p_v.astype(do.dtype), do,
         dimension_numbers=(((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
@@ -279,6 +317,8 @@ def _dkv_kernel(
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
+    if dropout_rate > 0.0:
+        dp = jnp.where(keep, dp * inv, 0.0)
     ds = p * (dp - delta)  # delta loaded, not recomputed (reference :375-376)
     # dK += dSᵀ · Q
     dk_acc[...] += jax.lax.dot_general(
@@ -295,7 +335,8 @@ def _dkv_kernel(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("is_causal", "scale", "block_sizes", "interpret", "debug"),
+    static_argnames=("is_causal", "scale", "block_sizes", "interpret",
+                     "debug", "dropout_rate"),
 )
 def flash_attention_backward(
     q: jnp.ndarray,
@@ -310,6 +351,8 @@ def flash_attention_backward(
     interpret: bool | None = None,
     debug: bool = False,
     segment_ids: tuple[jnp.ndarray, jnp.ndarray] | None = None,
+    dropout_rate: float = 0.0,
+    dropout_seed: jnp.ndarray | int | None = None,
 ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Two-kernel flash-attention backward (launcher layer).
 
@@ -357,6 +400,11 @@ def flash_attention_backward(
     needs_mask = bool((meta[:, META_RTHRESH] != _BIG).any()
                       or (meta[:, META_CTHRESH] != _BIG).any())
     segmented = segment_ids is not None
+    assert 0.0 <= dropout_rate < 1.0, dropout_rate
+    seed_prefetch = []
+    if dropout_rate > 0.0:
+        assert dropout_seed is not None, "dropout needs dropout_seed"
+        seed_prefetch = [jnp.asarray(dropout_seed, jnp.int32).reshape(1)]
 
     def pad_segments(bq_, bkv_, s_q_p_, s_k_p_):
         seg_q, seg_k = segment_ids
@@ -370,10 +418,10 @@ def flash_attention_backward(
                          constant_values=-2)[:, None, :]  # [B, 1, S_k_p]
         return segq_p, segk_p
 
-    def q_index(b_i, h_i, s_i, m):
+    def q_index(b_i, h_i, s_i, m, *_):
         return (b_i, h_i, m[s_i, META_QI], 0)
 
-    def kv_index(b_i, h_i, s_i, m):
+    def kv_index(b_i, h_i, s_i, m, *_):
         return (b_i, h_i // q_per_kv, m[s_i, META_KJ], 0)
 
     dq_kernel = functools.partial(
@@ -381,6 +429,8 @@ def flash_attention_backward(
         needs_mask=needs_mask,
         guard_zero_rows=guard_zero_rows,
         segmented=segmented,
+        dropout_rate=dropout_rate,
+        hq=hq,
         block_q=bq,
         block_kv=bkv,
         causal_offset=causal_offset,
@@ -398,15 +448,15 @@ def flash_attention_backward(
     if segmented:
         in_specs += [
             pl.BlockSpec((1, bq, 1),
-                         lambda b_i, h_i, s_i, m: (b_i, m[s_i, META_QI], 0)),
+                         lambda b_i, h_i, s_i, m, *_: (b_i, m[s_i, META_QI], 0)),
             pl.BlockSpec((1, 1, bkv),
-                         lambda b_i, h_i, s_i, m: (b_i, 0, m[s_i, META_KJ])),
+                         lambda b_i, h_i, s_i, m, *_: (b_i, 0, m[s_i, META_KJ])),
         ]
         inputs += list(pad_segments(bq, bkv, s_q_p, s_k_p))
     dq, delta = pl.pallas_call(
         dq_kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1,
+            num_scalar_prefetch=1 + len(seed_prefetch),
             grid=(b, hq, meta.shape[0]),
             in_specs=in_specs,
             out_specs=[
@@ -428,7 +478,7 @@ def flash_attention_backward(
         ),
         interpret=interpret,
         debug=debug,
-    )(jnp.asarray(meta), *inputs)
+    )(jnp.asarray(meta), *seed_prefetch, *inputs)
     dq = dq[:, :, :s_q, :] if s_q_p != s_q else dq
 
     # ---- Kernel 2: dK/dV, reusing kernel 1's delta ----
@@ -453,10 +503,10 @@ def flash_attention_backward(
     needs_mask2 = bool((meta2[:, DKV_RTHRESH] != _BIG).any()
                        or (meta2[:, DKV_ROWTHRESH] != _BIG).any())
 
-    def q_index2(b_i, h_i, s_i, m):
+    def q_index2(b_i, h_i, s_i, m, *_):
         return (b_i, h_i * q_per_kv + m[s_i, DKV_G], m[s_i, DKV_QI], 0)
 
-    def kv_index2(b_i, h_i, s_i, m):
+    def kv_index2(b_i, h_i, s_i, m, *_):
         return (b_i, h_i, m[s_i, DKV_KJ], 0)
 
     dkv_kernel = functools.partial(
@@ -464,6 +514,9 @@ def flash_attention_backward(
         needs_mask=needs_mask2,
         guard_zero_rows=guard_zero_rows,
         segmented=segmented,
+        dropout_rate=dropout_rate,
+        hq=hq,
+        q_per_kv=q_per_kv,
         block_q=bq2,
         block_kv=bkv2,
         causal_offset=causal_offset,
@@ -481,15 +534,15 @@ def flash_attention_backward(
     if segmented:
         in_specs2 += [
             pl.BlockSpec((1, bq2, 1),
-                         lambda b_i, h_i, s_i, m: (b_i, m[s_i, DKV_QI], 0)),
+                         lambda b_i, h_i, s_i, m, *_: (b_i, m[s_i, DKV_QI], 0)),
             pl.BlockSpec((1, 1, bkv2),
-                         lambda b_i, h_i, s_i, m: (b_i, 0, m[s_i, DKV_KJ])),
+                         lambda b_i, h_i, s_i, m, *_: (b_i, 0, m[s_i, DKV_KJ])),
         ]
         inputs2 += list(pad_segments(bq2, bkv2, s_q_p2, s_k_p2))
     dk, dv = pl.pallas_call(
         dkv_kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1,
+            num_scalar_prefetch=1 + len(seed_prefetch),
             grid=(b, hkv, meta2.shape[0]),
             in_specs=in_specs2,
             out_specs=[
@@ -511,7 +564,7 @@ def flash_attention_backward(
         ),
         interpret=interpret,
         debug=debug,
-    )(jnp.asarray(meta2), *inputs2)
+    )(jnp.asarray(meta2), *seed_prefetch, *inputs2)
     if s_k_p2 != s_k:
         dk = dk[:, :, :s_k, :]
         dv = dv[:, :, :s_k, :]

@@ -44,6 +44,7 @@ from flashattn_tpu.ops.common import (
     LOG2E,
     MASK_VALUE,
     BlockSizes,
+    dropout_keep_mask,
     interpret_default,
     pad_to_block,
 )
@@ -105,17 +106,22 @@ def build_wavefront(
 
 def _fwd_kernel(
     meta_ref,  # SMEM (L, 7) int32 (scalar-prefetched)
-    *refs,  # q, k, v, [seg_q, seg_k,] o, lse, m_scratch, l_scratch, acc
+    *refs,  # [seed,] q, k, v, [seg_q, seg_k,] o, lse, m, l, acc scratches
     needs_mask: bool,
     guard_zero_rows: bool,
     segmented: bool,
+    dropout_rate: float,
+    hq: int,
     block_q: int,
     block_kv: int,
     causal_offset: int,
 ):
-    # q_ref (1,1,bq,D) pre-scaled by scale·log2(e); k/v (1,1,bkv,D);
+    # seed (1,) SMEM int32 (scalar-prefetched, dropout only); q_ref
+    # (1,1,bq,D) pre-scaled by scale·log2(e); k/v (1,1,bkv,D);
     # seg_q (1,bq,1) / seg_k (1,1,bkv) int32 packed-sequence ids (varlen);
     # outputs o (1,1,bq,D), lse (1,1,bq,1); f32 scratch m/l (bq,128), acc.
+    if dropout_rate > 0.0:
+        seed_ref, *refs = refs
     if segmented:
         (q_ref, k_ref, v_ref, segq_ref, segk_ref, o_ref, lse_ref,
          m_scratch, l_scratch, acc_scratch) = refs
@@ -173,9 +179,24 @@ def _fwd_kernel(
     m_scratch[...] = jnp.broadcast_to(m_new, m_scratch.shape)
     l_scratch[...] = jnp.broadcast_to(l_new, l_scratch.shape)
 
+    if dropout_rate > 0.0:
+        # Dropout on the UNnormalized P feeding the PV dot only: l keeps the
+        # clean softmax normalizer, so LSE (and the backward's P rebuild)
+        # are dropout-free (reference deferred design Phase_6.md:54-114).
+        rows_g = meta_ref[step, META_QI] * block_q + jax.lax.broadcasted_iota(
+            jnp.int32, (block_q, 1), 0)
+        cols_g = meta_ref[step, META_KJ] * block_kv + jax.lax.broadcasted_iota(
+            jnp.int32, (1, block_kv), 1)
+        bh = pl.program_id(0) * hq + pl.program_id(1)
+        keep = dropout_keep_mask(seed_ref[0], bh, rows_g, cols_g,
+                                 dropout_rate)
+        p_v = jnp.where(keep, p * (1.0 / (1.0 - dropout_rate)), 0.0)
+    else:
+        p_v = p
+
     v = v_ref[0, 0]  # (block_kv, D)
     pv = jax.lax.dot_general(
-        p.astype(v.dtype),  # bf16 into the MXU (reference :112-115)
+        p_v.astype(v.dtype),  # bf16 into the MXU (reference :112-115)
         v,
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
@@ -198,7 +219,8 @@ def _fwd_kernel(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("is_causal", "scale", "block_sizes", "interpret", "debug"),
+    static_argnames=("is_causal", "scale", "block_sizes", "interpret",
+                     "debug", "dropout_rate"),
 )
 def flash_attention_forward(
     q: jnp.ndarray,
@@ -210,6 +232,8 @@ def flash_attention_forward(
     interpret: bool | None = None,
     debug: bool = False,
     segment_ids: tuple[jnp.ndarray, jnp.ndarray] | None = None,
+    dropout_rate: float = 0.0,
+    dropout_seed: jnp.ndarray | int | None = None,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Fused flash-attention forward.
 
@@ -261,25 +285,33 @@ def flash_attention_forward(
                       or (meta[:, META_CTHRESH] != _BIG).any())
     guard_zero_rows = is_causal and causal_offset < 0
     segmented = segment_ids is not None
+    assert 0.0 <= dropout_rate < 1.0, dropout_rate
 
     kernel = functools.partial(
         _fwd_kernel,
         needs_mask=needs_mask,
         guard_zero_rows=guard_zero_rows,
         segmented=segmented,
+        dropout_rate=dropout_rate,
+        hq=hq,
         block_q=bq,
         block_kv=bkv,
         causal_offset=causal_offset,
     )
 
-    def q_index(b_i, h_i, s_i, meta_ref):
+    def q_index(b_i, h_i, s_i, meta_ref, *_):
         return (b_i, h_i, meta_ref[s_i, META_QI], 0)
 
-    def kv_index(b_i, h_i, s_i, meta_ref):
+    def kv_index(b_i, h_i, s_i, meta_ref, *_):
         return (b_i, h_i // q_per_kv, meta_ref[s_i, META_KJ], 0)
 
-    def lse_index(b_i, h_i, s_i, meta_ref):
+    def lse_index(b_i, h_i, s_i, meta_ref, *_):
         return (b_i, h_i, meta_ref[s_i, META_QI], 0)
+
+    prefetch = [jnp.asarray(meta)]
+    if dropout_rate > 0.0:
+        assert dropout_seed is not None, "dropout needs dropout_seed"
+        prefetch.append(jnp.asarray(dropout_seed, jnp.int32).reshape(1))
 
     in_specs = [
         pl.BlockSpec((1, 1, bq, d), q_index),
@@ -299,14 +331,14 @@ def flash_attention_forward(
                          constant_values=-2)[:, None, :]  # [B, 1, S_k_p]
         in_specs += [
             pl.BlockSpec((1, bq, 1),
-                         lambda b_i, h_i, s_i, m: (b_i, m[s_i, META_QI], 0)),
+                         lambda b_i, h_i, s_i, m, *_: (b_i, m[s_i, META_QI], 0)),
             pl.BlockSpec((1, 1, bkv),
-                         lambda b_i, h_i, s_i, m: (b_i, 0, m[s_i, META_KJ])),
+                         lambda b_i, h_i, s_i, m, *_: (b_i, 0, m[s_i, META_KJ])),
         ]
         inputs += [segq_p, segk_p]
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=len(prefetch),
         grid=(b, hq, num_steps),
         in_specs=in_specs,
         out_specs=[
@@ -332,7 +364,7 @@ def flash_attention_forward(
         ),
         interpret=interpret,
         debug=debug,
-    )(jnp.asarray(meta), *inputs)
+    )(*prefetch, *inputs)
 
     lse = lse[..., 0]
     if s_q_p != s_q:
