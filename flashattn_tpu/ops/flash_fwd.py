@@ -147,11 +147,17 @@ def _fwd_kernel(
 
     mask = None
     if needs_mask:
-        rows = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_kv), 0)
-        cols = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_kv), 1)
-        mask = ((cols - rows) <= meta_ref[step, META_RTHRESH]) & (
-            cols <= meta_ref[step, META_CTHRESH]
-        )
+        # (cols - rows) <= rthresh AND cols <= cthresh collapses to a single
+        # per-row column limit: cols <= min(rows + rthresh, cthresh). One
+        # broadcasted (bq,bkv) compare instead of two full-tile iotas + two
+        # compares (the thresholds' +BIG encoding for interior blocks,
+        # reference taxonomy Phase_3.md:273-322, still short-circuits to
+        # all-true).
+        rows1 = jax.lax.broadcasted_iota(jnp.int32, (block_q, 1), 0)
+        limit = jnp.minimum(rows1 + meta_ref[step, META_RTHRESH],
+                            meta_ref[step, META_CTHRESH])  # (bq, 1)
+        cols1 = jax.lax.broadcasted_iota(jnp.int32, (1, block_kv), 1)
+        mask = cols1 <= limit  # (bq, bkv)
     if segmented:
         seg_mask = segq_ref[0] == segk_ref[0]  # (bq,1)==(1,bkv) -> (bq,bkv)
         mask = seg_mask if mask is None else (mask & seg_mask)
@@ -176,8 +182,8 @@ def _fwd_kernel(
         p = jnp.where(valid, p, 0.0)
     l_new = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
 
-    m_scratch[...] = jnp.broadcast_to(m_new, m_scratch.shape)
-    l_scratch[...] = jnp.broadcast_to(l_new, l_scratch.shape)
+    m_scratch[:, :1] = m_new
+    l_scratch[:, :1] = l_new
 
     if dropout_rate > 0.0:
         # Dropout on the UNnormalized P feeding the PV dot only: l keeps the
