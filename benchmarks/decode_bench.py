@@ -1,0 +1,113 @@
+"""Decode benchmark — flash-decode kernel HBM efficiency + model tokens/s
+(BASELINE.json north_star: quantized-inference engine; decode is
+HBM-bandwidth-bound, so the roofline metric is achieved GB/s vs chip peak).
+
+Usage:
+  python benchmarks/decode_bench.py                # kernel sweep, bf16/int8/fp8
+  python benchmarks/decode_bench.py --model 1b     # end-to-end decode tokens/s
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+import jax
+import jax.numpy as jnp
+
+sys.path.insert(0, ".")
+
+from flashattn_tpu.models import generate, llama  # noqa: E402
+from flashattn_tpu.models.config import LLAMA_1B, TINY  # noqa: E402
+from flashattn_tpu.ops.decode import decode_attention  # noqa: E402
+from flashattn_tpu.ops.kvcache import init_cache, update_cache  # noqa: E402
+from flashattn_tpu.utils.roofline import detect_chip  # noqa: E402
+from flashattn_tpu.utils.timing import measure, measure_looped  # noqa: E402
+
+
+def cache_bytes(b, hkv, s_live, d, quant):
+    elem = 1 if quant in ("int8", "fp8") else 2
+    kv = 2 * b * hkv * s_live * d * elem
+    scales = 2 * b * hkv * s_live * 4 if quant else 0
+    return kv + scales
+
+
+def kernel_sweep(args):
+    chip = detect_chip()
+    b, hq, hkv, d = args.batch, 32, 8, 128
+    results = []
+    for s in (2048, 8192, 32768):
+        for quant in (None, "int8", "fp8"):
+            cache = init_cache(b, hkv, s, d, quant=quant)
+            k_new = jax.random.normal(jax.random.PRNGKey(0),
+                                      (b, hkv, s, d), jnp.bfloat16)
+            v_new = jax.random.normal(jax.random.PRNGKey(1),
+                                      (b, hkv, s, d), jnp.bfloat16)
+            cache = update_cache(cache, k_new, v_new)
+            q = jax.random.normal(jax.random.PRNGKey(2), (b, hq, d),
+                                  jnp.bfloat16)
+            # Sub-millisecond kernels: chain on device (one dispatch) so the
+            # relay's per-dispatch overlap can't under-measure.
+            sec = measure_looped(decode_attention, q, cache,
+                                 iters=max(8, int(2e8 // (s * b))))
+            gbs = cache_bytes(b, hkv, s, d, quant) / sec / 1e9
+            rec = {
+                "bench": "decode_kernel", "B": b, "Hq": hq, "Hkv": hkv,
+                "S": s, "D": d, "quant": quant or "bf16",
+                "us": round(sec * 1e6, 1),
+                "hbm_gbps": round(gbs, 1),
+                "hbm_frac": round(gbs / chip.hbm_gbps, 3),
+            }
+            results.append(rec)
+            print(json.dumps(rec))
+    return results
+
+
+def model_tokens_per_s(args):
+    cfg = LLAMA_1B if args.model == "1b" else TINY
+    b, s_cache = args.batch, 2048
+    params = llama.init_params(cfg, jax.random.PRNGKey(0))
+    results = []
+    for quant in (None, "fp8"):
+        caches = generate.init_caches(cfg, b, s_cache, quant=quant)
+        # Fill the cache to s_cache - 1 so the step attends a full cache.
+        k0 = jax.random.normal(
+            jax.random.PRNGKey(1),
+            (b, cfg.num_kv_heads, s_cache - 1, cfg.head_dim), jnp.bfloat16)
+        caches = [update_cache(c, k0, k0) for c in caches]
+        token = jnp.zeros((b,), jnp.int32)
+        positions = jnp.full((b,), s_cache - 1, jnp.int32)
+
+        def step(token, caches):
+            logits, caches = generate.decode_step(
+                params, token, positions, caches, cfg)
+            return jnp.argmax(logits, -1).astype(jnp.int32), caches
+
+        sec = measure(step, token, caches, warmup=3)
+        rec = {
+            "bench": "decode_model", "model": args.model, "B": b,
+            "cache_len": s_cache, "quant": quant or "bf16",
+            "ms_per_step": round(sec * 1e3, 3),
+            "tokens_per_s": round(b / sec, 1),
+        }
+        results.append(rec)
+        print(json.dumps(rec))
+    return results
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--model", default=None, choices=[None, "1b", "tiny"])
+    ap.add_argument("--batch", type=int, default=8)
+    args = ap.parse_args()
+    chip = detect_chip()
+    print(f"# chip {chip.name}: {chip.hbm_gbps} GB/s HBM peak",
+          file=sys.stderr)
+    if args.model:
+        return model_tokens_per_s(args)
+    return kernel_sweep(args)
+
+
+if __name__ == "__main__":
+    main()

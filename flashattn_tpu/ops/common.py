@@ -75,6 +75,27 @@ class BlockSizes:
         )
 
 
+def fp8e4m3_to_bf16(x: jnp.ndarray) -> jnp.ndarray:
+    """fp8 (e4m3fn) -> bf16 via integer ops, for use INSIDE kernels.
+
+    Mosaic lowers the native fp8->bf16 convert through a slow element-wise
+    path that makes fp8 KV decode ~10x slower than int8 (measured v5e); the
+    e4m3fn layout maps onto bf16 with two shifts + an exponent re-bias
+    (7 -> 127), which the VPU does at full rate. Exact for normals, sign,
+    zero; subnormals flush to zero (max abs err 2^-6 ≈ 0.002 % of the e4m3
+    range — far below KV quantization noise); NaN (0x7f) maps to a large
+    finite value, which the quantizer never emits.
+    """
+    u = jax.lax.bitcast_convert_type(x, jnp.uint8).astype(jnp.int32)
+    sign = (u & 0x80) << 8
+    mag = u & 0x7F
+    bits = sign | ((mag << 4) + (120 << 7))  # exp re-bias into bf16 position
+    bits = jnp.where(mag < 8, sign, bits)  # exp field 0: zero/subnormal
+    return jax.lax.bitcast_convert_type(
+        bits.astype(jnp.uint16), jnp.bfloat16
+    )
+
+
 def dropout_keep_mask(seed, bh, row_ids, col_ids, rate: float):
     """Counter-based dropout keep-mask, shared by fwd and both bwd kernels.
 

@@ -29,6 +29,7 @@ from flashattn_tpu.ops.common import (
     LOG2E,
     MASK_VALUE,
     cdiv,
+    fp8e4m3_to_bf16,
     interpret_default,
 )
 from flashattn_tpu.ops.kvcache import KVCache
@@ -36,16 +37,20 @@ from flashattn_tpu.ops.kvcache import KVCache
 
 def _decode_kernel(
     lengths_ref,  # SMEM [B] int32 (scalar-prefetched)
-    q_ref,  # (1, 1, G, D) — pre-scaled by scale·log2(e)
+    q_ref,  # (1, 1, G, D) — pre-scaled by scale·log2(e); int8 in int8 mode
     k_ref,  # (1, 1, bkv, D) — bf16 | int8 | fp8
     v_ref,  # (1, 1, bkv, D)
-    *rest,  # [k_scale_ref, v_scale_ref,] o_ref, m/l/acc scratch
+    *rest,  # [q_scale,] [k_scale, v_scale,] o_ref, m/l/acc scratch
     quantized: bool,
+    int8_mode: bool,
     group: int,
     block_kv: int,
     num_kv_blocks: int,
 ):
-    if quantized:
+    if int8_mode:
+        (q_scale_ref, k_scale_ref, v_scale_ref, o_ref,
+         m_scratch, l_scratch, acc_scratch) = rest
+    elif quantized:
         k_scale_ref, v_scale_ref, o_ref, m_scratch, l_scratch, acc_scratch = rest
     else:
         o_ref, m_scratch, l_scratch, acc_scratch = rest
@@ -64,17 +69,29 @@ def _decode_kernel(
     def _step():
         q = q_ref[0, 0]  # (G, D)
         k = k_ref[0, 0]  # (bkv, D)
-        if quantized:
-            k = k.astype(jnp.bfloat16)
-        s = jax.lax.dot_general(
-            q, k,
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )  # (G, bkv), log2 domain
-        if quantized:
-            # k dequant folded into logits: scale is log-additive? No —
-            # S = q·(k_q·s_k)ᵀ = (q·k_qᵀ) ⊙ s_k (per column), BEFORE exp.
-            s = s * k_scale_ref[0, 0]  # (1, bkv) broadcasts over G rows
+        if int8_mode:
+            # Fully-int8 QK^T on the MXU (v5e int8 is native, 2x bf16):
+            # NO per-element dequant of the K tile — both scales fold into
+            # the (G, bkv) logits tile, which is bkv/D-fold smaller work.
+            s = jax.lax.dot_general(
+                q, k,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            ).astype(jnp.float32)
+            s = s * (q_scale_ref[0, 0] * k_scale_ref[0, 0])  # (G,1)*(1,bkv)
+        else:
+            if quantized:
+                k = (fp8e4m3_to_bf16(k) if k.dtype == jnp.float8_e4m3fn
+                     else k.astype(jnp.bfloat16))
+            s = jax.lax.dot_general(
+                q, k,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # (G, bkv), log2 domain
+            if quantized:
+                # k dequant folded into logits: S = q·(k_q·s_k)ᵀ =
+                # (q·k_qᵀ) ⊙ s_k (per column), BEFORE exp.
+                s = s * k_scale_ref[0, 0]  # (1, bkv) broadcasts over G rows
 
         # Length mask on the tail block.
         cols = jax.lax.broadcasted_iota(jnp.int32, (group, block_kv), 1)
@@ -91,15 +108,31 @@ def _decode_kernel(
         l_scratch[...] = jnp.broadcast_to(l_new, l_scratch.shape)
 
         v = v_ref[0, 0]  # (bkv, D)
-        if quantized:
-            v = v.astype(jnp.bfloat16)
-            # v dequant folded into P (per kv-token scale matches P columns).
-            p = p * v_scale_ref[0, 0]
-        pv = jax.lax.dot_general(
-            p.astype(jnp.bfloat16), v,
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
+        if int8_mode:
+            # P·V on the int8 MXU too: fold the per-token v scales into P,
+            # requantize P per row (row max of p is exactly 1 pre-fold, so
+            # the dynamic range is just the v-scale spread), dot in int8,
+            # and undo the row scale on the (G, D) result.
+            pvs = p * v_scale_ref[0, 0]  # (G, bkv)
+            rmax = jnp.max(pvs, axis=1, keepdims=True)  # (G, 1)
+            rmax = jnp.where(rmax == 0.0, 1.0, rmax)
+            p_i8 = jnp.round(pvs * (127.0 / rmax)).astype(jnp.int8)
+            pv = jax.lax.dot_general(
+                p_i8, v,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            ).astype(jnp.float32) * (rmax / 127.0)
+        else:
+            if quantized:
+                v = (fp8e4m3_to_bf16(v) if v.dtype == jnp.float8_e4m3fn
+                     else v.astype(jnp.bfloat16))
+                # v dequant folded into P (per-token scale = P columns).
+                p = p * v_scale_ref[0, 0]
+            pv = jax.lax.dot_general(
+                p.astype(jnp.bfloat16), v,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
         acc_scratch[...] = acc_scratch[...] * alpha + pv
 
     @pl.when(kj == num_kv_blocks - 1)
@@ -116,7 +149,7 @@ def decode_attention(
     q: jnp.ndarray,  # [B, Hq, D] — one new token per sequence
     cache: KVCache,
     scale: float | None = None,
-    block_kv: int = 2048,  # v5e sweep winner (grid-step overhead amortized)
+    block_kv: int | None = None,  # default: v5e sweep winners per mode
     interpret: bool | None = None,
     debug: bool = False,
 ) -> jnp.ndarray:
@@ -135,14 +168,34 @@ def decode_attention(
     if interpret is None:
         interpret = interpret_default()
     assert s_max % 128 == 0, f"cache max_len must be a multiple of 128, got {s_max}"
+    if block_kv is None:
+        # Quantized tiles are 1-2x smaller in bytes, so larger blocks restore
+        # the DMA:fixed-overhead ratio (v5e sweep: int8 4096, fp8 8192).
+        if cache.k.dtype == jnp.int8:
+            block_kv = 4096
+        elif cache.k.dtype == jnp.float8_e4m3fn:
+            block_kv = 8192
+        else:
+            block_kv = 2048
     block_kv = min(block_kv, s_max)
     while s_max % block_kv:
         block_kv -= 128
     num_kv_blocks = s_max // block_kv
 
     # [B, Hq, D] -> [B, Hkv, G, D]: all q heads of a KV group share a stream.
-    q4 = (q * (scale * LOG2E)).astype(q.dtype).reshape(b, hkv, group, d)
     quantized = cache.quantized
+    int8_mode = quantized and cache.k.dtype == jnp.int8
+    q_pre = (q.astype(jnp.float32) * (scale * LOG2E)).reshape(
+        b, hkv, group, d)
+    if int8_mode:
+        # Per-row symmetric q quantization: the whole attention then runs on
+        # the native int8 MXU (q·kᵀ and p·v), no bulk dequant casts.
+        q_amax = jnp.max(jnp.abs(q_pre), axis=-1, keepdims=True)
+        q_scale = jnp.maximum(q_amax / 127.0, 1e-8)  # [B,Hkv,G,1]
+        q4 = jnp.clip(jnp.round(q_pre / q_scale), -127, 127).astype(jnp.int8)
+    else:
+        q4 = q_pre.astype(q.dtype)
+        q_scale = None
 
     def q_index(b_i, h_i, kv_i, lens):
         return (b_i, h_i, 0, 0)
@@ -162,6 +215,9 @@ def decode_attention(
         pl.BlockSpec((1, 1, block_kv, d), kv_index),
     ]
     args = [q4, cache.k, cache.v]
+    if int8_mode:
+        in_specs.append(pl.BlockSpec((1, 1, group, 1), q_index))
+        args.append(q_scale)
     if quantized:
         in_specs += [
             pl.BlockSpec((1, 1, 1, block_kv), scale_index),
@@ -172,6 +228,7 @@ def decode_attention(
     kernel = functools.partial(
         _decode_kernel,
         quantized=quantized,
+        int8_mode=int8_mode,
         group=group,
         block_kv=block_kv,
         num_kv_blocks=num_kv_blocks,

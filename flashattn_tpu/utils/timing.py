@@ -65,9 +65,15 @@ def measure(
     target = 0.5
     scale_n = max(1, int(target / max(est * (n2 - n1), 1e-9)))
     n1, n2 = n1 * scale_n, n2 * scale_n
-    t1 = bracket(n1)
-    t2 = bracket(n2)
-    return max((t2 - t1) / (n2 - n1), 1e-9)
+    # Relay timing is occasionally non-monotone (queue pipelining): take the
+    # median of three slopes and retry once if all are degenerate.
+    for _ in range(2):
+        slopes = sorted(
+            (bracket(n2) - bracket(n1)) / (n2 - n1) for _ in range(3)
+        )
+        if slopes[1] > 0:
+            return slopes[1]
+    return max(slopes[1], 1e-9)
 
 
 def measure_looped(

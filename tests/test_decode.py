@@ -93,3 +93,20 @@ def test_generate_shapes_and_quant_agreement():
     # tokens to agree between bf16 and int8-KV decode.
     agree = float(jnp.mean((out_bf16 == out_int8).astype(jnp.float32)))
     assert agree >= 0.5, agree
+
+
+def test_fp8e4m3_to_bf16_exhaustive():
+    """All 256 byte patterns: exact for normals/zero; subnormals flush to 0;
+    NaN excluded (quantizer never emits it)."""
+    import numpy as np
+    from flashattn_tpu.ops.common import fp8e4m3_to_bf16
+
+    u = np.arange(256, dtype=np.uint8)
+    x = jax.lax.bitcast_convert_type(jnp.asarray(u), jnp.float8_e4m3fn)
+    got = np.asarray(fp8e4m3_to_bf16(x).astype(jnp.float32))
+    exact = np.asarray(x.astype(jnp.float32))
+    mag = u & 0x7F
+    normal = (mag >= 8) & (mag != 0x7F)  # exclude subnormals and NaN
+    assert np.array_equal(got[normal], exact[normal])
+    sub = mag < 8
+    assert np.all(got[sub] == 0.0)
