@@ -16,11 +16,19 @@ XLA collectives over ICI:
 """
 
 from flashattn_tpu.parallel.mesh import make_mesh, sharded_ring_attention
-from flashattn_tpu.parallel.ring import ring_flash_attention
+from flashattn_tpu.parallel.ring import (
+    ring_flash_attention,
+    zigzag_ring_flash_attention,
+    zigzag_shard,
+    zigzag_unshard,
+)
 from flashattn_tpu.parallel.ulysses import ulysses_flash_attention
 
 __all__ = [
     "ring_flash_attention",
+    "zigzag_ring_flash_attention",
+    "zigzag_shard",
+    "zigzag_unshard",
     "ulysses_flash_attention",
     "make_mesh",
     "sharded_ring_attention",

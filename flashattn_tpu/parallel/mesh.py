@@ -17,7 +17,12 @@ from jax.sharding import Mesh
 from jax.sharding import PartitionSpec as P
 
 from flashattn_tpu.ops.common import BlockSizes
-from flashattn_tpu.parallel.ring import ring_flash_attention
+from flashattn_tpu.parallel.ring import (
+    ring_flash_attention,
+    zigzag_ring_flash_attention,
+    zigzag_shard,
+    zigzag_unshard,
+)
 from flashattn_tpu.parallel.ulysses import ulysses_flash_attention
 
 
@@ -51,21 +56,34 @@ def sharded_ring_attention(
     """Global-view [B, H, S, D] attention sharded over `mesh`.
 
     Batch over `batch_axis`, heads over `head_axis`, sequence over
-    `seq_axis` with ring (default) or Ulysses collectives inside a
-    shard_map island. Axes absent from the mesh are ignored.
+    `seq_axis` with ring (default), zigzag (load-balanced causal ring), or
+    Ulysses collectives inside a shard_map island. Axes absent from the
+    mesh are ignored. Zigzag mode handles the layout permutation here
+    (global view), so callers always pass natural sequence order.
     """
-    inner = {"ring": ring_flash_attention, "ulysses": ulysses_flash_attention}[
-        mode
-    ]
-    fn = functools.partial(
-        inner, axis_name=seq_axis, is_causal=is_causal, scale=scale,
-        block_sizes=block_sizes, interpret=interpret,
-    )
+    assert seq_axis in mesh.axis_names, (seq_axis, mesh.axis_names)
+    n_sp = mesh.shape[seq_axis]
+    if mode == "zigzag":
+        assert is_causal, "zigzag layout only matters for causal attention"
+        inner = functools.partial(
+            zigzag_ring_flash_attention, axis_name=seq_axis, scale=scale,
+            block_sizes=block_sizes, interpret=interpret,
+        )
+    else:
+        base = {"ring": ring_flash_attention,
+                "ulysses": ulysses_flash_attention}[mode]
+        inner = functools.partial(
+            base, axis_name=seq_axis, is_causal=is_causal, scale=scale,
+            block_sizes=block_sizes, interpret=interpret,
+        )
     ba = batch_axis if batch_axis in mesh.axis_names else None
     ha = head_axis if head_axis in mesh.axis_names else None
-    assert seq_axis in mesh.axis_names, (seq_axis, mesh.axis_names)
     spec = P(ba, ha, seq_axis, None)
-    return jax.shard_map(
-        fn, mesh=mesh, in_specs=(spec, spec, spec), out_specs=spec,
+    fn = jax.shard_map(
+        inner, mesh=mesh, in_specs=(spec, spec, spec), out_specs=spec,
         check_vma=False,
-    )(q, k, v)
+    )
+    if mode == "zigzag":
+        q, k, v = (zigzag_shard(x, n_sp) for x in (q, k, v))
+        return zigzag_unshard(fn(q, k, v), n_sp)
+    return fn(q, k, v)

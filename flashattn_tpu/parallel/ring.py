@@ -37,10 +37,17 @@ Design (inside ``shard_map``; every array is the per-device shard):
             is the global delta, so per-shard dQ/dK/dV partials are exact
             partial sums of the true gradients (math: ``Phase_4.md:97-158``).
 
-Known trade-off: contiguous partitioning under causal masking is
-load-imbalanced (device 0 skips n-1 of n steps). The striped/zig-zag layout
-fixes this at the cost of index gymnastics; measured single-host it is not
-the bottleneck, so v1 ships contiguous (documented, not silently capped).
+Two causal layouts:
+  - ``contiguous`` (default): device i holds global rows [i·S/n, (i+1)·S/n).
+    Simple, but causally imbalanced — device 0 skips n-1 of n steps while
+    device n-1 works every step.
+  - ``zigzag`` (``zigzag_ring_flash_attention``): the sequence is split into
+    2n chunks and device i holds chunks (i, 2n-1-i). At every ring step each
+    device runs exactly TWO equal-size chunk attentions — (q_hi, k_lo) is
+    always fully visible, and exactly one of (q_lo, k_lo)/(q_hi, k_hi) fires
+    (the other is fully masked) — so causal work is perfectly balanced.
+    Inputs must be in zigzag layout; ``zigzag_shard``/``zigzag_unshard``
+    convert a global [.., S, ..] array to/from it.
 """
 
 from __future__ import annotations
@@ -229,3 +236,237 @@ def _ring_bwd(axis_name, is_causal, scale, block_sizes, interpret,
 
 
 ring_flash_attention.defvjp(_ring_fwd, _ring_bwd)
+
+
+# ---------------- zigzag (load-balanced causal) layout ----------------
+
+
+def zigzag_permutation(s: int, n: int, inverse: bool = False):
+    """Row permutation taking natural order -> zigzag-shardable order.
+
+    The sequence is cut into 2n chunks; the permuted order concatenates
+    (chunk_i, chunk_{2n-1-i}) for i in 0..n-1, so a plain contiguous
+    shard_map split hands device i exactly its zigzag pair.
+    """
+    import numpy as np
+
+    assert s % (2 * n) == 0, (s, n)
+    c = s // (2 * n)
+    order = []
+    for i in range(n):
+        order.extend(range(i * c, (i + 1) * c))
+        order.extend(range((2 * n - 1 - i) * c, (2 * n - i) * c))
+    perm = np.asarray(order, dtype=np.int32)
+    if inverse:
+        inv = np.empty_like(perm)
+        inv[perm] = np.arange(s, dtype=np.int32)
+        return inv
+    return perm
+
+
+def zigzag_shard(x, n: int, axis: int = 2):
+    """Reorder `axis` (global view) into zigzag order for an n-way ring."""
+    return jnp.take(x, jnp.asarray(zigzag_permutation(x.shape[axis], n)),
+                    axis=axis)
+
+
+def zigzag_unshard(x, n: int, axis: int = 2):
+    """Inverse of zigzag_shard."""
+    return jnp.take(
+        x, jnp.asarray(zigzag_permutation(x.shape[axis], n, inverse=True)),
+        axis=axis)
+
+
+def _halves(x):
+    c = x.shape[2] // 2
+    return x[:, :, :c], x[:, :, c:]
+
+
+def _place(o_p, lse_p, half: str):
+    """Embed a C-row partial into the 2C-row local frame; the untouched half
+    carries lse = -inf so the (m, l, acc) merge ignores it exactly."""
+    b, h, c, d = o_p.shape
+    zo = jnp.zeros_like(o_p)
+    zl = jnp.full(lse_p.shape, NEG_INF, lse_p.dtype)
+    if half == "lo":
+        return (jnp.concatenate([o_p, zo], axis=2),
+                jnp.concatenate([lse_p, zl], axis=2))
+    return (jnp.concatenate([zo, o_p], axis=2),
+            jnp.concatenate([zl, lse_p], axis=2))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+def zigzag_ring_flash_attention(
+    q,
+    k,
+    v,
+    axis_name: str,
+    scale: float | None = None,
+    block_sizes: BlockSizes | None = None,
+    interpret: bool | None = None,
+):
+    """Load-balanced CAUSAL ring attention; call INSIDE shard_map with
+    zigzag-layout shards (see zigzag_shard). Non-causal needs no balancing —
+    use ring_flash_attention for it."""
+    o, _ = _zz_forward(q, k, v, axis_name, scale, block_sizes, interpret)
+    return o
+
+
+def _zz_forward(q, k, v, axis_name, scale, block_sizes, interpret):
+    n = lax.axis_size(axis_name)
+    idx = lax.axis_index(axis_name)
+    b, hq, s_local, d = q.shape
+    assert s_local % 2 == 0
+    if scale is None:
+        scale = 1.0 / (d**0.5)
+
+    def attn(qc, kc, vc, causal):
+        return flash_attention_forward(
+            qc, kc, vc, is_causal=causal, scale=scale,
+            block_sizes=block_sizes, interpret=interpret)
+
+    q_lo, q_hi = _halves(q)
+    m = jnp.full((b, hq, s_local), NEG_INF, jnp.float32)
+    l = jnp.zeros((b, hq, s_local), jnp.float32)
+    acc = jnp.zeros((b, hq, s_local, d), jnp.float32)
+
+    k_cur, v_cur = k, v
+    for step in range(n):
+        if step < n - 1:
+            k_nxt, v_nxt = _rotate([k_cur, v_cur], axis_name, n)
+        k_lo, k_hi = _halves(k_cur)
+        v_lo, v_hi = _halves(v_cur)
+        # Always-visible pair: q_hi (chunk 2n-1-idx) vs k_lo (chunk < n).
+        o_p, lse_p = attn(q_hi, k_lo, v_lo, False)
+        m, l, acc = _merge_partial(m, l, acc, *_place(o_p, lse_p, "hi"))
+        if step == 0:
+            for qc, kc, vc, half in ((q_lo, k_lo, v_lo, "lo"),
+                                     (q_hi, k_hi, v_hi, "hi")):
+                o_p, lse_p = attn(qc, kc, vc, True)
+                m, l, acc = _merge_partial(m, l, acc,
+                                           *_place(o_p, lse_p, half))
+        else:
+            # Exactly one of the two remaining pairs is fully visible:
+            # (q_lo, k_lo) iff step <= idx, else (q_hi, k_hi). Equal work
+            # either way — this is the load-balancing property.
+            def _lo(kv):
+                (kl, vl), (kh, vh) = kv
+                return _place(*attn(q_lo, kl, vl, False), "lo")
+
+            def _hi(kv):
+                (kl, vl), (kh, vh) = kv
+                return _place(*attn(q_hi, kh, vh, False), "hi")
+
+            o_f, lse_f = lax.cond(step <= idx, _lo, _hi,
+                                  ((k_lo, v_lo), (k_hi, v_hi)))
+            m, l, acc = _merge_partial(m, l, acc, o_f, lse_f)
+        if step < n - 1:
+            k_cur, v_cur = k_nxt, v_nxt
+
+    l_safe = jnp.where(l == 0.0, 1.0, l)
+    o = (acc / l_safe[..., None]).astype(q.dtype)
+    lse = jnp.where(l == 0.0, NEG_INF, m + jnp.log(l_safe))
+    return o, lse
+
+
+def _zz_fwd(q, k, v, axis_name, scale, block_sizes, interpret):
+    o, lse = _zz_forward(q, k, v, axis_name, scale, block_sizes, interpret)
+    return o, (q, k, v, o, lse)
+
+
+def _zz_bwd(axis_name, scale, block_sizes, interpret, residuals, do):
+    q, k, v, o, lse = residuals
+    n = lax.axis_size(axis_name)
+    idx = lax.axis_index(axis_name)
+    b, hq, s_local, d = q.shape
+    hkv = k.shape[1]
+    c = s_local // 2
+    if scale is None:
+        scale = 1.0 / (d**0.5)
+
+    q_lo, q_hi = _halves(q)
+    o_lo, o_hi = _halves(o)
+    do_lo, do_hi = _halves(do)
+    lse_lo, lse_hi = lse[:, :, :c], lse[:, :, c:]
+
+    def bwd(qc, oc, doc, lsec, kc, vc, causal):
+        return flash_attention_backward(
+            qc, kc, vc, oc, doc, lsec, is_causal=causal, scale=scale,
+            block_sizes=block_sizes, interpret=interpret)
+
+    def cat(lo_x, hi_x):
+        return jnp.concatenate([lo_x, hi_x], axis=2)
+
+    dq_lo = jnp.zeros((b, hq, c, d), jnp.float32)
+    dq_hi = jnp.zeros((b, hq, c, d), jnp.float32)
+    dkv_cur = jnp.zeros((b, hkv, s_local, 2 * d), jnp.float32)  # [dK | dV]
+    k_cur, v_cur = k, v
+
+    for step in range(n):
+        if step < n - 1:
+            k_nxt, v_nxt = _rotate([k_cur, v_cur], axis_name, n)
+        k_lo, k_hi = _halves(k_cur)
+        v_lo, v_hi = _halves(v_cur)
+
+        dq_p, dk_p, dv_p = bwd(q_hi, o_hi, do_hi, lse_hi, k_lo, v_lo, False)
+        dq_hi = dq_hi + dq_p.astype(jnp.float32)
+        upd = cat(jnp.concatenate([dk_p, dv_p], -1).astype(jnp.float32),
+                  jnp.zeros((b, hkv, c, 2 * d), jnp.float32))
+        dkv_cur = dkv_cur + upd
+
+        if step == 0:
+            dq_p, dk_p, dv_p = bwd(q_lo, o_lo, do_lo, lse_lo, k_lo, v_lo,
+                                   True)
+            dq_lo = dq_lo + dq_p.astype(jnp.float32)
+            dkv_cur = dkv_cur + cat(
+                jnp.concatenate([dk_p, dv_p], -1).astype(jnp.float32),
+                jnp.zeros((b, hkv, c, 2 * d), jnp.float32))
+            dq_p, dk_p, dv_p = bwd(q_hi, o_hi, do_hi, lse_hi, k_hi, v_hi,
+                                   True)
+            dq_hi = dq_hi + dq_p.astype(jnp.float32)
+            dkv_cur = dkv_cur + cat(
+                jnp.zeros((b, hkv, c, 2 * d), jnp.float32),
+                jnp.concatenate([dk_p, dv_p], -1).astype(jnp.float32))
+        else:
+            def _lo(kv):
+                (kl, vl), (kh, vh) = kv
+                dq_p, dk_p, dv_p = bwd(q_lo, o_lo, do_lo, lse_lo, kl, vl,
+                                       False)
+                return (
+                    jnp.concatenate(
+                        [dq_p.astype(jnp.float32),
+                         jnp.zeros((b, hq, c, d), jnp.float32)], axis=2),
+                    cat(jnp.concatenate([dk_p, dv_p], -1).astype(jnp.float32),
+                        jnp.zeros((b, hkv, c, 2 * d), jnp.float32)),
+                )
+
+            def _hi(kv):
+                (kl, vl), (kh, vh) = kv
+                dq_p, dk_p, dv_p = bwd(q_hi, o_hi, do_hi, lse_hi, kh, vh,
+                                       False)
+                return (
+                    jnp.concatenate(
+                        [jnp.zeros((b, hq, c, d), jnp.float32),
+                         dq_p.astype(jnp.float32)], axis=2),
+                    cat(jnp.zeros((b, hkv, c, 2 * d), jnp.float32),
+                        jnp.concatenate([dk_p, dv_p], -1).astype(jnp.float32)),
+                )
+
+            dq_f, dkv_f = lax.cond(step <= idx, _lo, _hi,
+                                   ((k_lo, v_lo), (k_hi, v_hi)))
+            dq_lo = dq_lo + dq_f[:, :, :c]
+            dq_hi = dq_hi + dq_f[:, :, c:]
+            dkv_cur = dkv_cur + dkv_f
+
+        if step < n - 1:
+            k_cur, v_cur = k_nxt, v_nxt
+            (dkv_cur,) = _rotate([dkv_cur], axis_name, n)
+
+    (dkv_cur,) = _rotate([dkv_cur], axis_name, n)
+    dq = jnp.concatenate([dq_lo, dq_hi], axis=2).astype(q.dtype)
+    dk = dkv_cur[..., :d].astype(k.dtype)
+    dv = dkv_cur[..., d:].astype(v.dtype)
+    return dq, dk, dv
+
+
+zigzag_ring_flash_attention.defvjp(_zz_fwd, _zz_bwd)

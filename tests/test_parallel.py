@@ -142,3 +142,66 @@ def test_ring_bf16():
     )
     r = verify_results(o_ref, o.astype(jnp.float32), atol=2e-2, rtol=2e-2)
     assert r.passed, r
+
+
+# ---------------- zigzag (load-balanced causal ring) ----------------
+
+
+def test_zigzag_permutation_roundtrip():
+    import numpy as np
+    from flashattn_tpu.parallel.ring import zigzag_permutation
+
+    perm = zigzag_permutation(16, 2)
+    inv = zigzag_permutation(16, 2, inverse=True)
+    assert np.array_equal(perm[inv], np.arange(16))
+    # n=2 -> 4 chunks of 4; device 0 gets chunks (0,3), device 1 gets (1,2).
+    assert perm.tolist() == [0, 1, 2, 3, 12, 13, 14, 15,
+                             4, 5, 6, 7, 8, 9, 10, 11]
+
+
+@pytest.mark.parametrize("n_sp", [2, 4])
+def test_zigzag_forward(n_sp):
+    from flashattn_tpu.parallel import sharded_ring_attention
+
+    mesh = make_mesh({"sp": n_sp})
+    q, k, v, _ = make_inputs(1, 2, 2, 128 * 2 * n_sp, 64)
+    o = sharded_ring_attention(q, k, v, mesh, is_causal=True,
+                               block_sizes=BS, mode="zigzag",
+                               batch_axis=None, head_axis=None)
+    o_ref = reference_attention(q, k, v, is_causal=True)
+    r = verify_results(o_ref, o, atol=1e-5, rtol=1e-5)
+    assert r.passed, r
+
+
+def test_zigzag_backward():
+    from flashattn_tpu.parallel import sharded_ring_attention
+
+    mesh = make_mesh({"sp": 4})
+    q, k, v, do = make_inputs(1, 2, 2, 1024, 64, seed=13)
+    ours = lambda q, k, v: sharded_ring_attention(
+        q, k, v, mesh, is_causal=True, block_sizes=BS, mode="zigzag",
+        batch_axis=None, head_axis=None)
+    ref = lambda q, k, v: reference_attention(q, k, v, is_causal=True)
+    for name, a, b in zip(
+        ("dQ", "dK", "dV"), grads(ref, q, k, v, do), grads(ours, q, k, v, do)
+    ):
+        r = verify_results(a, b, atol=1e-5, rtol=1e-5)
+        assert r.passed, f"{name}: {r}"
+
+
+def test_zigzag_gqa():
+    from flashattn_tpu.parallel import sharded_ring_attention
+
+    mesh = make_mesh({"sp": 2})
+    q, k, v, do = make_inputs(1, 4, 2, 512, 64, seed=17)
+    ours = lambda q, k, v: sharded_ring_attention(
+        q, k, v, mesh, is_causal=True, block_sizes=BS, mode="zigzag",
+        batch_axis=None, head_axis=None)
+    ref = lambda q, k, v: reference_attention(q, k, v, is_causal=True)
+    r = verify_results(ref(q, k, v), ours(q, k, v), atol=1e-5, rtol=1e-5)
+    assert r.passed, r
+    for name, a, b in zip(
+        ("dQ", "dK", "dV"), grads(ref, q, k, v, do), grads(ours, q, k, v, do)
+    ):
+        r = verify_results(a, b, atol=1e-5, rtol=1e-5)
+        assert r.passed, f"{name}: {r}"
