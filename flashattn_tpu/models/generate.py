@@ -31,15 +31,17 @@ def init_caches(
     ]
 
 
-@functools.partial(jax.jit, static_argnames=("cfg",))
+@functools.partial(jax.jit, static_argnames=("cfg", "return_all"))
 def prefill(
     params: Params,
     tokens: jnp.ndarray,  # [B, S] int32
     caches: list[KVCache],
     cfg: ModelConfig,
+    return_all: bool = False,
 ) -> tuple[jnp.ndarray, list[KVCache]]:
     """Run the prompt through the training-path kernels, filling the caches.
-    Returns (logits for the LAST position [B, vocab], updated caches)."""
+    Returns (logits [B, vocab] for the LAST position — or [B, S, vocab] for
+    every position when return_all (padded-prompt serving) — and caches)."""
     b, s = tokens.shape
     x = jnp.take(params["embed"], tokens, axis=0)
     positions = jnp.arange(s)
@@ -62,7 +64,8 @@ def prefill(
         x = x + jnp.dot(o, layer["wo"])
         x = x + llama._mlp_block(layer, x, cfg)
 
-    x = llama.rms_norm(x[:, -1], params["final_norm"], cfg.norm_eps)
+    x = llama.rms_norm(x if return_all else x[:, -1],
+                       params["final_norm"], cfg.norm_eps)
     head = params["embed"].T if cfg.tie_embeddings else params["lm_head"]
     logits = jnp.dot(x, head, preferred_element_type=jnp.float32)
     return logits, new_caches
@@ -75,8 +78,12 @@ def decode_step(
     positions: jnp.ndarray,  # [B] int32 — its position index
     caches: list[KVCache],
     cfg: ModelConfig,
+    active: jnp.ndarray | None = None,  # [B] bool — continuous batching
 ) -> tuple[jnp.ndarray, list[KVCache]]:
-    """One decode step -> (logits [B, vocab], updated caches)."""
+    """One decode step -> (logits [B, vocab], updated caches).
+
+    Inactive slots (active=False) compute but do not advance their cache —
+    their logits are garbage and must be ignored by the caller."""
     b = token.shape[0]
     x = jnp.take(params["embed"], token, axis=0)  # [B, H]
     cos, sin = llama.rope_tables(cfg, positions)  # [B, hd/2]
@@ -89,7 +96,7 @@ def decode_step(
         v = jnp.dot(xn, layer["wv"]).reshape(b, cfg.num_kv_heads, 1, cfg.head_dim)
         q = llama.apply_rope(q, cos[:, None], sin[:, None])
         k = llama.apply_rope(k, cos[:, None], sin[:, None])
-        cache = update_cache(cache, k, v)
+        cache = update_cache(cache, k, v, active=active)
         new_caches.append(cache)
         o = decode_attention(q[:, :, 0], cache)  # [B, Hq, D]
         o = o.reshape(b, cfg.num_heads * cfg.head_dim)

@@ -1,0 +1,155 @@
+"""Continuous-batching inference server (BASELINE.json north_star:
+"cu_seqlens continuous batching" — the serving-side realization).
+
+Slot-based scheduler over the flash-decode path: a fixed-shape batch of
+`max_slots` cache rows; requests admit into free slots (prefill runs B=1 on
+a bucket-padded prompt and the filled cache installs via kvcache.write_slot),
+every decode step advances ALL active slots in one fused kernel launch
+(inactive slots compute but do not advance — update_cache(active=...)), and
+finished slots free immediately for the next queued request. All device
+shapes are static, so the serving loop reuses a bounded set of compiled
+executables (one prefill per prompt bucket + one decode step).
+
+The reference has no serving layer (SURVEY.md §0: "no training loop, no
+model, no serving"); the varlen design it defers (Phase_6.md:118-178) covers
+the packed-training side, this covers decode.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from collections import deque
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+from flashattn_tpu.models import generate
+from flashattn_tpu.models.config import ModelConfig
+from flashattn_tpu.ops.common import round_up
+from flashattn_tpu.ops.kvcache import init_cache, write_slot
+
+Params = dict[str, Any]
+
+
+@dataclasses.dataclass
+class Request:
+    uid: int
+    prompt: list[int]
+    max_new_tokens: int
+    eos_token: int | None = None
+
+
+@dataclasses.dataclass
+class _Slot:
+    uid: int = -1
+    remaining: int = 0
+    position: int = 0  # position index of the token in self.tokens
+    eos: int | None = None
+    out: list[int] = dataclasses.field(default_factory=list)
+
+    @property
+    def free(self) -> bool:
+        return self.uid < 0
+
+
+class InferenceServer:
+    """Greedy continuous-batching engine. Synchronous API: submit() any
+    time, step() advances one token for every active slot, run() drains."""
+
+    def __init__(
+        self,
+        params: Params,
+        cfg: ModelConfig,
+        max_slots: int = 8,
+        max_len: int = 2048,
+        quant: str | None = None,
+        prompt_bucket: int = 128,
+    ):
+        self.params = params
+        self.cfg = cfg
+        self.max_len = max_len
+        self.quant = quant
+        self.prompt_bucket = prompt_bucket
+        self.caches = [
+            init_cache(max_slots, cfg.num_kv_heads, max_len, cfg.head_dim,
+                       quant=quant)
+            for _ in range(cfg.num_layers)
+        ]
+        self.slots = [_Slot() for _ in range(max_slots)]
+        self.queue: deque[Request] = deque()
+        self.tokens = jnp.zeros((max_slots,), jnp.int32)
+        self.finished: dict[int, list[int]] = {}
+
+    def submit(self, req: Request) -> None:
+        assert len(req.prompt) + req.max_new_tokens <= self.max_len, (
+            "request exceeds max_len")
+        self.queue.append(req)
+
+    def _admit(self) -> None:
+        for s, slot in enumerate(self.slots):
+            if not self.queue or not slot.free:
+                continue
+            req = self.queue.popleft()
+            plen = len(req.prompt)
+            padded = min(round_up(max(plen, 1), self.prompt_bucket),
+                         self.max_len)
+            prompt = jnp.zeros((1, padded), jnp.int32).at[0, :plen].set(
+                jnp.asarray(req.prompt, jnp.int32))
+            single = [
+                init_cache(1, self.cfg.num_kv_heads, self.max_len,
+                           self.cfg.head_dim, quant=self.quant)
+                for _ in range(self.cfg.num_layers)
+            ]
+            logits, single = generate.prefill(
+                self.params, prompt, single, self.cfg, return_all=True)
+            # Padding tokens sit AFTER the prompt, so causal attention keeps
+            # real rows exact; resetting length=plen makes the padded k/v
+            # dead (next appends land at plen and overwrite them).
+            for li in range(self.cfg.num_layers):
+                single[li] = dataclasses.replace(
+                    single[li], length=jnp.asarray([plen], jnp.int32))
+                self.caches[li] = write_slot(self.caches[li], single[li], s)
+            first = int(jnp.argmax(logits[0, plen - 1]))
+            self.slots[s] = slot = _Slot(
+                uid=req.uid, remaining=req.max_new_tokens - 1,
+                position=plen, eos=req.eos_token, out=[first])
+            self.tokens = self.tokens.at[s].set(first)
+            if slot.remaining <= 0 or (slot.eos is not None
+                                       and first == slot.eos):
+                self._finish(s)
+
+    def _finish(self, s: int) -> None:
+        slot = self.slots[s]
+        self.finished[slot.uid] = slot.out
+        self.slots[s] = _Slot()
+
+    def step(self) -> None:
+        """Admit queued requests, then advance every active slot one token."""
+        self._admit()
+        active = [not s.free for s in self.slots]
+        if not any(active):
+            return
+        positions = jnp.asarray([s.position for s in self.slots], jnp.int32)
+        logits, self.caches = generate.decode_step(
+            self.params, self.tokens, positions, self.caches, self.cfg,
+            active=jnp.asarray(active))
+        nxt = jax.device_get(jnp.argmax(logits, axis=-1).astype(jnp.int32))
+        for s, slot in enumerate(self.slots):
+            if slot.free:
+                continue
+            tok = int(nxt[s])
+            slot.position += 1
+            slot.remaining -= 1
+            slot.out.append(tok)
+            self.tokens = self.tokens.at[s].set(tok)
+            if slot.remaining <= 0 or (slot.eos is not None
+                                       and tok == slot.eos):
+                self._finish(s)
+
+    def run(self) -> dict[int, list[int]]:
+        """Drain queue + slots; returns {uid: generated tokens}."""
+        while self.queue or any(not s.free for s in self.slots):
+            self.step()
+        out, self.finished = self.finished, {}
+        return out

@@ -90,12 +90,18 @@ def quantize_tokens(x: jnp.ndarray, store_dtype) -> tuple[jnp.ndarray, jnp.ndarr
     return q, scale[:, :, None, :]  # scales [B,Hkv,1,T]
 
 
-def update_cache(cache: KVCache, k_new: jnp.ndarray, v_new: jnp.ndarray) -> KVCache:
+def update_cache(
+    cache: KVCache,
+    k_new: jnp.ndarray,
+    v_new: jnp.ndarray,
+    active: jnp.ndarray | None = None,
+) -> KVCache:
     """Append T new tokens per sequence at the current length.
 
     k_new/v_new: [B, Hkv, T, D] in compute dtype (bf16). Quantizes on insert
-    when the cache is quantized. All sequences advance by T (continuous
-    batching with ragged appends goes through the varlen path).
+    when the cache is quantized. `active` [B] bool (continuous batching):
+    inactive sequences do not advance — their write lands at the current
+    length and is harmlessly overwritten by the next real append.
     """
     b, hkv, t, d = k_new.shape
     if cache.quantized:
@@ -125,9 +131,10 @@ def update_cache(cache: KVCache, k_new: jnp.ndarray, v_new: jnp.ndarray) -> KVCa
         v_scale = upd_scale(cache.v_scale, v_s, cache.length)
     else:
         k_scale = v_scale = None
+    advance = t if active is None else t * active.astype(jnp.int32)
     return KVCache(
         k=k, v=v, k_scale=k_scale, v_scale=v_scale,
-        length=cache.length + t,
+        length=cache.length + advance,
     )
 
 
@@ -137,3 +144,27 @@ def dequantize(values: jnp.ndarray, scales: jnp.ndarray | None) -> jnp.ndarray:
         return values
     out = values.astype(jnp.float32) * scales.transpose(0, 1, 3, 2)
     return out.astype(jnp.bfloat16)
+
+
+def write_slot(batch: KVCache, single: KVCache, slot) -> KVCache:
+    """Install a single-sequence cache (B=1, same Smax/layout) into `slot`
+    of a batch cache — continuous-batching admission. The slot's previous
+    contents are logically dead (length resets), so only [0, single.length)
+    matters; the whole buffer row is copied for a static shape."""
+    assert single.k.shape[0] == 1 and single.k.shape[1:] == batch.k.shape[1:]
+    assert (single.k_scale is None) == (batch.k_scale is None)
+    slot = jnp.asarray(slot, jnp.int32)
+
+    def put(buf, new):
+        return jax.lax.dynamic_update_slice(
+            buf, new.astype(buf.dtype), (slot,) + (0,) * (buf.ndim - 1))
+
+    return KVCache(
+        k=put(batch.k, single.k),
+        v=put(batch.v, single.v),
+        k_scale=None if batch.k_scale is None else put(batch.k_scale,
+                                                       single.k_scale),
+        v_scale=None if batch.v_scale is None else put(batch.v_scale,
+                                                       single.v_scale),
+        length=batch.length.at[slot].set(single.length[0]),
+    )
