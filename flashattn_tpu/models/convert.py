@@ -1,0 +1,84 @@
+"""HuggingFace Llama checkpoint -> flashattn_tpu param pytree.
+
+Lets a user of the reference ecosystem bring real weights: any
+``LlamaForCausalLM``-style state dict (torch tensors or numpy arrays) maps
+onto the functional pytree in models/llama.py. Conventions verified by the
+logits-parity test (tests/test_hf_parity.py) against transformers itself:
+  - HF stores projections as [out, in]; our matmuls are x @ W, so every
+    weight transposes.
+  - HF RoPE is the rotate-half convention (first/second half split), same
+    as llama.apply_rope — no permutation needed.
+  - RMSNorm/SwiGLU match directly.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Mapping
+
+import jax.numpy as jnp
+import numpy as np
+
+from flashattn_tpu.models.config import ModelConfig
+
+Params = dict[str, Any]
+
+
+def _np(x) -> np.ndarray:
+    if hasattr(x, "detach"):  # torch tensor
+        x = x.detach().to("cpu").float().numpy()
+    return np.asarray(x, np.float32)
+
+
+def params_from_hf(state_dict: Mapping[str, Any], cfg: ModelConfig) -> Params:
+    """Convert an HF Llama state dict to our param pytree (cfg.dtype)."""
+    sd = {k: v for k, v in state_dict.items()}
+
+    def take(name):
+        return _np(sd[name])
+
+    def linear(name):
+        # HF nn.Linear weight is [out, in]; ours right-multiplies.
+        return jnp.asarray(take(name).T, cfg.dtype)
+
+    params: Params = {
+        "embed": jnp.asarray(take("model.embed_tokens.weight"), cfg.dtype),
+        "final_norm": jnp.asarray(take("model.norm.weight"), cfg.dtype),
+        "layers": [],
+    }
+    if not cfg.tie_embeddings:
+        params["lm_head"] = linear("lm_head.weight")
+    for i in range(cfg.num_layers):
+        p = f"model.layers.{i}."
+        params["layers"].append({
+            "attn_norm": jnp.asarray(take(p + "input_layernorm.weight"),
+                                     cfg.dtype),
+            "wq": linear(p + "self_attn.q_proj.weight"),
+            "wk": linear(p + "self_attn.k_proj.weight"),
+            "wv": linear(p + "self_attn.v_proj.weight"),
+            "wo": linear(p + "self_attn.o_proj.weight"),
+            "mlp_norm": jnp.asarray(
+                take(p + "post_attention_layernorm.weight"), cfg.dtype),
+            "w_gate": linear(p + "mlp.gate_proj.weight"),
+            "w_up": linear(p + "mlp.up_proj.weight"),
+            "w_down": linear(p + "mlp.down_proj.weight"),
+        })
+    return params
+
+
+def config_from_hf(hf_config, dtype=jnp.bfloat16) -> ModelConfig:
+    """Map a transformers LlamaConfig onto ModelConfig."""
+    return ModelConfig(
+        vocab_size=hf_config.vocab_size,
+        hidden_size=hf_config.hidden_size,
+        intermediate_size=hf_config.intermediate_size,
+        num_layers=hf_config.num_hidden_layers,
+        num_heads=hf_config.num_attention_heads,
+        num_kv_heads=getattr(hf_config, "num_key_value_heads",
+                             hf_config.num_attention_heads),
+        head_dim=hf_config.hidden_size // hf_config.num_attention_heads,
+        rope_theta=getattr(hf_config, "rope_theta", 10000.0),
+        norm_eps=hf_config.rms_norm_eps,
+        dtype=dtype,
+        tie_embeddings=getattr(hf_config, "tie_word_embeddings", False),
+        max_seq_len=hf_config.max_position_embeddings,
+    )
