@@ -50,9 +50,9 @@ def prefill(
     new_caches = []
     for layer, cache in zip(params["layers"], caches):
         xn = llama.rms_norm(x, layer["attn_norm"], cfg.norm_eps)
-        q = jnp.dot(xn, layer["wq"]).reshape(b, s, cfg.num_heads, cfg.head_dim)
-        k = jnp.dot(xn, layer["wk"]).reshape(b, s, cfg.num_kv_heads, cfg.head_dim)
-        v = jnp.dot(xn, layer["wv"]).reshape(b, s, cfg.num_kv_heads, cfg.head_dim)
+        q = llama.proj(xn, layer["wq"]).reshape(b, s, cfg.num_heads, cfg.head_dim)
+        k = llama.proj(xn, layer["wk"]).reshape(b, s, cfg.num_kv_heads, cfg.head_dim)
+        v = llama.proj(xn, layer["wv"]).reshape(b, s, cfg.num_kv_heads, cfg.head_dim)
         q, k, v = (t.transpose(0, 2, 1, 3) for t in (q, k, v))
         q = llama.apply_rope(q, cos, sin)
         k = llama.apply_rope(k, cos, sin)
@@ -61,13 +61,13 @@ def prefill(
 
         o = flash_attention(q, k, v, is_causal=True)
         o = o.transpose(0, 2, 1, 3).reshape(b, s, cfg.num_heads * cfg.head_dim)
-        x = x + jnp.dot(o, layer["wo"])
+        x = x + llama.proj(o, layer["wo"])
         x = x + llama._mlp_block(layer, x, cfg)
 
     x = llama.rms_norm(x if return_all else x[:, -1],
                        params["final_norm"], cfg.norm_eps)
     head = params["embed"].T if cfg.tie_embeddings else params["lm_head"]
-    logits = jnp.dot(x, head, preferred_element_type=jnp.float32)
+    logits = llama.proj(x, head, out_dtype=jnp.float32)
     return logits, new_caches
 
 
@@ -91,21 +91,21 @@ def decode_step(
     new_caches = []
     for layer, cache in zip(params["layers"], caches):
         xn = llama.rms_norm(x, layer["attn_norm"], cfg.norm_eps)
-        q = jnp.dot(xn, layer["wq"]).reshape(b, cfg.num_heads, 1, cfg.head_dim)
-        k = jnp.dot(xn, layer["wk"]).reshape(b, cfg.num_kv_heads, 1, cfg.head_dim)
-        v = jnp.dot(xn, layer["wv"]).reshape(b, cfg.num_kv_heads, 1, cfg.head_dim)
+        q = llama.proj(xn, layer["wq"]).reshape(b, cfg.num_heads, 1, cfg.head_dim)
+        k = llama.proj(xn, layer["wk"]).reshape(b, cfg.num_kv_heads, 1, cfg.head_dim)
+        v = llama.proj(xn, layer["wv"]).reshape(b, cfg.num_kv_heads, 1, cfg.head_dim)
         q = llama.apply_rope(q, cos[:, None], sin[:, None])
         k = llama.apply_rope(k, cos[:, None], sin[:, None])
         cache = update_cache(cache, k, v, active=active)
         new_caches.append(cache)
         o = decode_attention(q[:, :, 0], cache)  # [B, Hq, D]
         o = o.reshape(b, cfg.num_heads * cfg.head_dim)
-        x = x + jnp.dot(o, layer["wo"])
+        x = x + llama.proj(o, layer["wo"])
         x = x + llama._mlp_block(layer, x[:, None], cfg)[:, 0]
 
     x = llama.rms_norm(x, params["final_norm"], cfg.norm_eps)
     head = params["embed"].T if cfg.tie_embeddings else params["lm_head"]
-    logits = jnp.dot(x, head, preferred_element_type=jnp.float32)
+    logits = llama.proj(x, head, out_dtype=jnp.float32)
     return logits, new_caches
 
 

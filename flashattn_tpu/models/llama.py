@@ -21,8 +21,43 @@ from jax.sharding import PartitionSpec as P
 
 from flashattn_tpu.models.config import ModelConfig
 from flashattn_tpu.ops.attention import flash_attention
+from flashattn_tpu.ops.quant_matmul import (
+    QuantizedLinear,
+    quant_matmul,
+    quantize_weights,
+)
 
 Params = dict[str, Any]
+
+# Projection leaves eligible for weight-only quantization (T8): everything
+# except embeddings (gather, not matmul) and norms.
+_QUANT_KEYS = ("wq", "wk", "wv", "wo", "w_gate", "w_up", "w_down")
+
+
+def proj(x: jnp.ndarray, w, out_dtype=None) -> jnp.ndarray:
+    """x @ w for plain arrays OR weight-only-quantized projections (the
+    int8/int4 Pallas matmul streams quantized bytes from HBM and dequants
+    in VMEM — decode projections are weight-bandwidth-bound)."""
+    if isinstance(w, QuantizedLinear):
+        flat = x.reshape(-1, x.shape[-1])
+        y = quant_matmul(flat, w, out_dtype=out_dtype)
+        return y.reshape(*x.shape[:-1], w.out_features)
+    return jnp.dot(x, w, preferred_element_type=out_dtype)
+
+
+def quantize_params(params: Params, bits: int = 8) -> Params:
+    """Weight-only quantization of all projection matrices (embeddings and
+    norms stay in the compute dtype). Works on any param pytree from
+    init_params or convert.params_from_hf."""
+    out = dict(params)
+    if "lm_head" in params:
+        out["lm_head"] = quantize_weights(params["lm_head"], bits)
+    out["layers"] = [
+        {k: (quantize_weights(v, bits) if k in _QUANT_KEYS else v)
+         for k, v in layer.items()}
+        for layer in params["layers"]
+    ]
+    return out
 
 
 # ---------------- init ----------------
@@ -174,15 +209,15 @@ def forward(
     head = (
         params["embed"].T if cfg.tie_embeddings else params["lm_head"]
     )
-    return jnp.dot(x, head, preferred_element_type=jnp.float32)
+    return proj(x, head, out_dtype=jnp.float32)
 
 
 def _attn_block(layer, x, cos, sin, cfg, mesh, block_sizes):
     b, s, h = x.shape
     xn = rms_norm(x, layer["attn_norm"], cfg.norm_eps)
-    q = jnp.dot(xn, layer["wq"]).reshape(b, s, cfg.num_heads, cfg.head_dim)
-    k = jnp.dot(xn, layer["wk"]).reshape(b, s, cfg.num_kv_heads, cfg.head_dim)
-    v = jnp.dot(xn, layer["wv"]).reshape(b, s, cfg.num_kv_heads, cfg.head_dim)
+    q = proj(xn, layer["wq"]).reshape(b, s, cfg.num_heads, cfg.head_dim)
+    k = proj(xn, layer["wk"]).reshape(b, s, cfg.num_kv_heads, cfg.head_dim)
+    v = proj(xn, layer["wv"]).reshape(b, s, cfg.num_kv_heads, cfg.head_dim)
     # [B, H, S, D] layout for the kernel
     q = q.transpose(0, 2, 1, 3)
     k = k.transpose(0, 2, 1, 3)
@@ -191,15 +226,15 @@ def _attn_block(layer, x, cos, sin, cfg, mesh, block_sizes):
     k = apply_rope(k, cos, sin)
     o = _attention(q, k, v, mesh, block_sizes)  # [B, H, S, D]
     o = o.transpose(0, 2, 1, 3).reshape(b, s, cfg.num_heads * cfg.head_dim)
-    return jnp.dot(o, layer["wo"])
+    return proj(o, layer["wo"])
 
 
 def _mlp_block(layer, x, cfg):
     xn = rms_norm(x, layer["mlp_norm"], cfg.norm_eps)
-    gate = jnp.dot(xn, layer["w_gate"])
-    up = jnp.dot(xn, layer["w_up"])
-    return jnp.dot(jax.nn.silu(gate.astype(jnp.float32)).astype(x.dtype) * up,
-                   layer["w_down"])
+    gate = proj(xn, layer["w_gate"])
+    up = proj(xn, layer["w_up"])
+    return proj(jax.nn.silu(gate.astype(jnp.float32)).astype(x.dtype) * up,
+                layer["w_down"])
 
 
 # ---------------- training ----------------

@@ -169,11 +169,13 @@ def _dq_kernel(
 
     mask = None
     if needs_mask:
-        rows = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_kv), 0)
-        cols = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_kv), 1)
-        mask = ((cols - rows) <= meta_ref[step, META_RTHRESH]) & (
-            cols <= meta_ref[step, META_CTHRESH]
-        )
+        # Collapsed causal+ragged mask (see flash_fwd): one broadcasted
+        # compare against a per-row column limit.
+        rows1 = jax.lax.broadcasted_iota(jnp.int32, (block_q, 1), 0)
+        limit = jnp.minimum(rows1 + meta_ref[step, META_RTHRESH],
+                            meta_ref[step, META_CTHRESH])  # (bq, 1)
+        cols1 = jax.lax.broadcasted_iota(jnp.int32, (1, block_kv), 1)
+        mask = cols1 <= limit  # (bq, bkv)
     if segmented:
         seg_mask = segq_ref[0] == segk_ref[0]  # (bq,1)==(1,bkv) -> (bq,bkv)
         mask = seg_mask if mask is None else (mask & seg_mask)
@@ -267,13 +269,15 @@ def _dkv_kernel(
 
     mask = None
     if needs_mask:
-        rows = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_kv), 0)
-        cols = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_kv), 1)
         # Padded query rows carry zero LSE — they MUST contribute nothing to
-        # dK/dV (padding-row masking, reference :355-356).
-        mask = ((cols - rows) <= meta_ref[step, DKV_RTHRESH]) & (
-            rows <= meta_ref[step, DKV_ROWTHRESH]
-        )
+        # dK/dV (padding-row masking, reference :355-356). Folding the row
+        # threshold into the per-row column limit (-BIG for dead rows) keeps
+        # the full-tile work to ONE broadcasted compare.
+        rows1 = jax.lax.broadcasted_iota(jnp.int32, (block_q, 1), 0)
+        limit = jnp.where(rows1 <= meta_ref[step, DKV_ROWTHRESH],
+                          rows1 + meta_ref[step, DKV_RTHRESH], -_BIG)
+        cols1 = jax.lax.broadcasted_iota(jnp.int32, (1, block_kv), 1)
+        mask = cols1 <= limit  # (bq, bkv)
     if segmented:
         seg_mask = segq_ref[0] == segk_ref[0]  # (bq,1)==(1,bkv) -> (bq,bkv)
         mask = seg_mask if mask is None else (mask & seg_mask)

@@ -75,3 +75,31 @@ def test_quantized_kv_ppl_gate(trained, quant, budget):
     assert delta < budget, (
         f"{quant} KV cache ppl delta {delta:.4f} exceeds {budget} "
         f"(bf16 {ppl_bf16:.4f} vs {quant} {ppl_q:.4f})")
+
+
+@pytest.mark.parametrize("bits,budget", [(8, 0.1), (4, 1.0)])
+def test_weight_only_quant_ppl(trained, bits, budget):
+    """Weight-only INT8/INT4 projections (T8) through the decode path:
+    int8 must stay within the same 0.1-ppl budget as the KV gates; int4
+    (4-bit weights on a sharply memorized model) gets a looser, honest one."""
+    from flashattn_tpu.models import llama
+
+    params, tokens = trained
+    ppl_full = decode_ppl(params, tokens, quant=None)
+    qparams = llama.quantize_params(params, bits=bits)
+    ppl_q = decode_ppl(qparams, tokens, quant=None)
+    delta = abs(ppl_q - ppl_full)
+    assert delta < budget, (
+        f"int{bits} weights ppl delta {delta:.4f} exceeds {budget} "
+        f"(full {ppl_full:.4f} vs int{bits} {ppl_q:.4f})")
+
+
+def test_weight_quant_plus_kv_quant_generation(trained):
+    """The full quantized-inference stack: int8 weights + int8 KV cache."""
+    from flashattn_tpu.models import generate, llama
+
+    params, tokens = trained
+    qparams = llama.quantize_params(params, bits=8)
+    out = generate.generate(qparams, tokens[:1, :8], CFG,
+                            max_new_tokens=8, max_len=128, quant="int8")
+    assert out.shape == (1, 8)
