@@ -24,9 +24,11 @@ import jax.numpy as jnp
 from flashattn_tpu.ops.common import BlockSizes, round_up
 
 # Candidate tiles. VMEM bound: bq*bkv*4B (S tile) + operands must stay under
-# ~100MB; 2048x2048 is the practical ceiling at D=128.
-FWD_CONFIGS = [(1024, 1024), (1024, 2048), (2048, 1024), (2048, 2048), (512, 1024)]
-BWD_CONFIGS = [(1024, 1024), (2048, 1024), (1024, 2048), (512, 1024), (512, 512)]
+# ~100MB; 4096x2048 is the practical ceiling at D=128.
+FWD_CONFIGS = [(1024, 1024), (2048, 2048), (4096, 1024), (4096, 2048),
+               (1024, 2048), (2048, 1024), (512, 1024)]
+BWD_CONFIGS = [(1024, 1024), (2048, 2048), (2048, 1024), (1024, 2048),
+               (4096, 2048), (512, 1024)]
 
 _CACHE_ENV = "FLASHATTN_TPU_AUTOTUNE_CACHE"
 _DEFAULT_CACHE = pathlib.Path.home() / ".cache" / "flashattn_tpu" / "autotune.json"
@@ -61,11 +63,19 @@ def _key(b, hq, hkv, s_q, s_k, d, is_causal, dtype) -> str:
 
 
 def default_block_sizes(s_q: int, s_k: int, d: int, is_causal: bool) -> BlockSizes:
-    """Measured-defaults table (v5e sweeps, benchmarks/attention_bench.py):
-    1024x1024 wins or ties across S in [2048, 16384], D in {64, 128}; larger
-    kv tiles only help long non-causal forwards."""
-    if not is_causal and max(s_q, s_k) >= 8192:
-        return BlockSizes(block_q=2048, block_kv=2048)
+    """Measured-defaults table (v5e sweeps @S=16384, D=128):
+    - causal: 1024x1024 wins everywhere (finer tiles = sharper wavefront
+      pruning at the diagonal; 4096-row q tiles LOSE ~13% to masked work).
+    - non-causal, long S: 2048x2048 (+6-8% fwd AND bwd — fewer grid steps,
+      same VPU per element).
+    Used automatically when no block_sizes are passed; `autotune()` refines
+    per shape and caches."""
+    if not is_causal and max(s_q, s_k) >= 4096:
+        return BlockSizes(
+            block_q=2048, block_kv=2048,
+            block_q_dq=2048, block_kv_dq=2048,
+            block_q_dkv=2048, block_kv_dkv=2048,
+        )
     return BlockSizes()
 
 

@@ -378,7 +378,9 @@ def flash_attention_backward(
     if interpret is None:
         interpret = interpret_default()
     if block_sizes is None:
-        block_sizes = BlockSizes()
+        from flashattn_tpu.ops.autotune import default_block_sizes
+
+        block_sizes = default_block_sizes(s_q, s_k, d, is_causal)
     block_sizes = block_sizes.clamp(s_q, s_k)
     causal_offset = s_k - s_q
     guard_zero_rows = is_causal and causal_offset < 0

@@ -268,7 +268,9 @@ def flash_attention_forward(
     if interpret is None:
         interpret = interpret_default()
     if block_sizes is None:
-        block_sizes = BlockSizes()
+        from flashattn_tpu.ops.autotune import default_block_sizes
+
+        block_sizes = default_block_sizes(s_q, s_k, d, is_causal)
     block_sizes = block_sizes.clamp(s_q, s_k)
     bq, bkv = block_sizes.block_q, block_sizes.block_kv
 
