@@ -21,35 +21,35 @@ from flashattn_tpu.ops.flash_bwd import flash_attention_backward
 
 
 @functools.partial(
-    jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8)
+    jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8, 9)
 )
 def _flash_attention(q, k, v, seed, is_causal, scale, block_sizes, interpret,
-                     dropout_rate):
+                     dropout_rate, window):
     o, _ = flash_attention_forward(
         q, k, v, is_causal=is_causal, scale=scale,
         block_sizes=block_sizes, interpret=interpret,
-        dropout_rate=dropout_rate, dropout_seed=seed,
+        dropout_rate=dropout_rate, dropout_seed=seed, window=window,
     )
     return o
 
 
 def _fwd(q, k, v, seed, is_causal, scale, block_sizes, interpret,
-         dropout_rate):
+         dropout_rate, window):
     o, lse = flash_attention_forward(
         q, k, v, is_causal=is_causal, scale=scale,
         block_sizes=block_sizes, interpret=interpret,
-        dropout_rate=dropout_rate, dropout_seed=seed,
+        dropout_rate=dropout_rate, dropout_seed=seed, window=window,
     )
     return o, (q, k, v, seed, o, lse)
 
 
-def _bwd(is_causal, scale, block_sizes, interpret, dropout_rate, residuals,
-         do):
+def _bwd(is_causal, scale, block_sizes, interpret, dropout_rate, window,
+         residuals, do):
     q, k, v, seed, o, lse = residuals
     dq, dk, dv = flash_attention_backward(
         q, k, v, o, do, lse, is_causal=is_causal, scale=scale,
         block_sizes=block_sizes, interpret=interpret,
-        dropout_rate=dropout_rate, dropout_seed=seed,
+        dropout_rate=dropout_rate, dropout_seed=seed, window=window,
     )
     return dq, dk, dv, np.zeros(seed.shape, dtype=jax.dtypes.float0)
 
@@ -67,6 +67,7 @@ def flash_attention(
     interpret: bool | None = None,
     dropout_rate: float = 0.0,
     dropout_seed: jnp.ndarray | int | None = None,
+    window: int | None = None,
 ) -> jnp.ndarray:
     """Differentiable fused flash attention (public entry point, mirroring
     the reference ``flash_attention`` at ``My_FlashAttention_optimized.py:169-170``).
@@ -82,6 +83,9 @@ def flash_attention(
         (the reference's deferred Philox design, ``Phase_6.md:54-114``).
       dropout_seed: int32 scalar; required when dropout_rate > 0. Vary it
         per training step.
+      window: sliding-window size (requires is_causal): query i attends
+        keys in (i - window, i] — blocks left of the window are pruned from
+        the wavefront, not just masked.
 
     Returns:
       O: [B, Hq, S_q, D] in q.dtype.
@@ -91,7 +95,7 @@ def flash_attention(
         0 if dropout_seed is None else dropout_seed, jnp.int32
     )
     return _flash_attention(q, k, v, seed, is_causal, scale, block_sizes,
-                            interpret, dropout_rate)
+                            interpret, dropout_rate, window)
 
 
 # Re-exported for API parity with the reference's launcher layer.

@@ -55,6 +55,7 @@ from flashattn_tpu.ops.flash_fwd import (
     META_FIRST,
     META_KJ,
     META_LAST,
+    META_LTHRESH,
     META_QI,
     META_RTHRESH,
     _BIG,
@@ -69,7 +70,8 @@ DKV_FIRST = 3
 DKV_LAST = 4
 DKV_RTHRESH = 5  # causal: (col - row) <= rthresh
 DKV_ROWTHRESH = 6  # q-row padding: rows <= rowthresh
-DKV_COLS = 7
+DKV_LTHRESH = 7  # sliding window: (col - row) >= lthresh, or -BIG
+DKV_COLS = 8
 
 
 def build_dkv_wavefront(
@@ -80,12 +82,15 @@ def build_dkv_wavefront(
     s_q: int,
     q_per_kv: int,
     causal_offset: int | None,
+    window: int | None = None,
 ) -> np.ndarray:
     """Live (kv_block, group, q_block) triples for the dKV kernel.
 
     Causal: a q block contributes to kv block kj iff its last row sees kj's
-    first key (reference causal start, ``:341-342``).
+    first key (reference causal start, ``:341-342``); a sliding window also
+    bounds the q range from above (rows beyond the window see nothing).
     """
+    assert window is None or causal_offset is not None
     rows = []
     for kj in range(num_kv_blocks):
         if causal_offset is not None:
@@ -96,8 +101,14 @@ def build_dkv_wavefront(
             first = min(first, num_q_blocks - 1)
         else:
             first = 0
+        last_q = num_q_blocks - 1
+        if window is not None:
+            # Largest q row seeing kj's last key:
+            # r <= ((kj+1)*bkv - 1) - offset + window - 1.
+            max_row = (kj + 1) * block_kv - 1 - causal_offset + window - 1
+            last_q = min(last_q, max(first, max_row // block_q))
         for g in range(q_per_kv):
-            for qi in range(first, num_q_blocks):
+            for qi in range(first, last_q + 1):
                 if causal_offset is not None and (
                     (kj + 1) * block_kv - 1 > qi * block_q + causal_offset
                 ):
@@ -108,11 +119,17 @@ def build_dkv_wavefront(
                     rowthresh = s_q - 1 - qi * block_q
                 else:
                     rowthresh = _BIG
+                lthresh = -_BIG
+                if window is not None:
+                    lth = (causal_offset - window + 1 + qi * block_q
+                           - kj * block_kv)
+                    if lth > -(block_q - 1):
+                        lthresh = lth
                 rows.append([
                     kj, g, qi,
                     int(g == 0 and qi == first),
-                    int(g == q_per_kv - 1 and qi == num_q_blocks - 1),
-                    rthresh, rowthresh,
+                    int(g == q_per_kv - 1 and qi == last_q),
+                    rthresh, rowthresh, lthresh,
                 ])
     return np.asarray(rows, dtype=np.int32)
 
@@ -123,6 +140,7 @@ def _dq_kernel(
     needs_mask: bool,
     guard_zero_rows: bool,
     segmented: bool,
+    windowed: bool,
     dropout_rate: float,
     hq: int,
     block_q: int,
@@ -176,6 +194,8 @@ def _dq_kernel(
                             meta_ref[step, META_CTHRESH])  # (bq, 1)
         cols1 = jax.lax.broadcasted_iota(jnp.int32, (1, block_kv), 1)
         mask = cols1 <= limit  # (bq, bkv)
+        if windowed:
+            mask = mask & (cols1 >= rows1 + meta_ref[step, META_LTHRESH])
     if segmented:
         seg_mask = segq_ref[0] == segk_ref[0]  # (bq,1)==(1,bkv) -> (bq,bkv)
         mask = seg_mask if mask is None else (mask & seg_mask)
@@ -227,6 +247,7 @@ def _dkv_kernel(
     needs_mask: bool,
     guard_zero_rows: bool,
     segmented: bool,
+    windowed: bool,
     dropout_rate: float,
     hq: int,
     q_per_kv: int,
@@ -278,6 +299,8 @@ def _dkv_kernel(
                           rows1 + meta_ref[step, DKV_RTHRESH], -_BIG)
         cols1 = jax.lax.broadcasted_iota(jnp.int32, (1, block_kv), 1)
         mask = cols1 <= limit  # (bq, bkv)
+        if windowed:
+            mask = mask & (cols1 >= rows1 + meta_ref[step, DKV_LTHRESH])
     if segmented:
         seg_mask = segq_ref[0] == segk_ref[0]  # (bq,1)==(1,bkv) -> (bq,bkv)
         mask = seg_mask if mask is None else (mask & seg_mask)
@@ -340,7 +363,7 @@ def _dkv_kernel(
 @functools.partial(
     jax.jit,
     static_argnames=("is_causal", "scale", "block_sizes", "interpret",
-                     "debug", "dropout_rate"),
+                     "debug", "dropout_rate", "window"),
 )
 def flash_attention_backward(
     q: jnp.ndarray,
@@ -357,6 +380,7 @@ def flash_attention_backward(
     segment_ids: tuple[jnp.ndarray, jnp.ndarray] | None = None,
     dropout_rate: float = 0.0,
     dropout_seed: jnp.ndarray | int | None = None,
+    window: int | None = None,
 ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Two-kernel flash-attention backward (launcher layer).
 
@@ -402,9 +426,11 @@ def flash_attention_backward(
     meta = build_wavefront(
         num_q_blocks, num_kv_blocks, bq, bkv, s_k,
         causal_offset if is_causal else None,
+        window=window,
     )
-    needs_mask = bool((meta[:, META_RTHRESH] != _BIG).any()
-                      or (meta[:, META_CTHRESH] != _BIG).any())
+    windowed = window is not None
+    needs_mask = windowed or bool((meta[:, META_RTHRESH] != _BIG).any()
+                                  or (meta[:, META_CTHRESH] != _BIG).any())
     segmented = segment_ids is not None
     assert 0.0 <= dropout_rate < 1.0, dropout_rate
     seed_prefetch = []
@@ -435,6 +461,7 @@ def flash_attention_backward(
         needs_mask=needs_mask,
         guard_zero_rows=guard_zero_rows,
         segmented=segmented,
+        windowed=windowed,
         dropout_rate=dropout_rate,
         hq=hq,
         block_q=bq,
@@ -505,9 +532,10 @@ def flash_attention_backward(
     meta2 = build_dkv_wavefront(
         num_q_blocks2, num_kv_blocks2, bq2, bkv2, s_q, q_per_kv,
         causal_offset if is_causal else None,
+        window=window,
     )
-    needs_mask2 = bool((meta2[:, DKV_RTHRESH] != _BIG).any()
-                       or (meta2[:, DKV_ROWTHRESH] != _BIG).any())
+    needs_mask2 = windowed or bool((meta2[:, DKV_RTHRESH] != _BIG).any()
+                                   or (meta2[:, DKV_ROWTHRESH] != _BIG).any())
 
     def q_index2(b_i, h_i, s_i, m, *_):
         return (b_i, h_i * q_per_kv + m[s_i, DKV_G], m[s_i, DKV_QI], 0)
@@ -520,6 +548,7 @@ def flash_attention_backward(
         needs_mask=needs_mask2,
         guard_zero_rows=guard_zero_rows,
         segmented=segmented,
+        windowed=windowed,
         dropout_rate=dropout_rate,
         hq=hq,
         q_per_kv=q_per_kv,

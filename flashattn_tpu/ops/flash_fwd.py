@@ -56,7 +56,8 @@ META_FIRST = 2  # 1 if first kv step of this q row
 META_LAST = 3  # 1 if last kv step of this q row
 META_RTHRESH = 4  # causal mask threshold on (col - row), or BIG
 META_CTHRESH = 5  # ragged-tail threshold on col, or BIG
-META_COLS = 6
+META_LTHRESH = 6  # sliding-window lower threshold on (col - row), or -BIG
+META_COLS = 7
 
 _BIG = 2**30
 
@@ -68,14 +69,19 @@ def build_wavefront(
     block_kv: int,
     s_k: int,
     causal_offset: int | None,
+    window: int | None = None,
 ) -> np.ndarray:
     """Enumerate live (q, kv) tile pairs row-major -> meta array [L, 7].
 
     causal_offset None => non-causal (all pairs live). The per-block mask
     thresholds implement the reference's full-visible/partial/skip taxonomy
     (Phase_3.md:273-322): partial blocks get real thresholds, full-visible
-    get +BIG, skip blocks are simply not enumerated.
+    get +BIG, skip blocks are simply not enumerated. `window` (requires
+    causal) additionally prunes blocks left of the sliding window and sets
+    the lower (col - row) threshold for partial left-edge blocks.
     """
+    assert window is None or causal_offset is not None, (
+        "sliding window requires is_causal")
     rows = []
     for qi in range(num_q_blocks):
         if causal_offset is not None:
@@ -83,12 +89,18 @@ def build_wavefront(
             if max_key < 0:
                 # Entire q row sees no keys: emit a single masked step so the
                 # output block still gets written (zeros / -inf LSE).
-                rows.append([qi, 0, 1, 1, -_BIG, _BIG])
+                rows.append([qi, 0, 1, 1, -_BIG, _BIG, -_BIG])
                 continue
             last = min(num_kv_blocks - 1, max_key // block_kv)
         else:
             last = num_kv_blocks - 1
-        for kj in range(last + 1):
+        first = 0
+        if window is not None:
+            # Row r sees keys >= r + causal_offset - window + 1; the block
+            # row's smallest visible key comes from its first row.
+            min_key = qi * block_q + causal_offset - window + 1
+            first = min(max(0, min_key // block_kv), last)
+        for kj in range(first, last + 1):
             if causal_offset is not None and (
                 (kj + 1) * block_kv - 1 > qi * block_q + causal_offset
             ):
@@ -99,7 +111,15 @@ def build_wavefront(
                 cthresh = s_k - 1 - kj * block_kv
             else:
                 cthresh = _BIG
-            rows.append([qi, kj, int(kj == 0), int(kj == last), rthresh, cthresh])
+            lthresh = -_BIG
+            if window is not None:
+                # Visible iff (col - row) >= lthresh in block-local coords;
+                # only the window's left-edge blocks get a real threshold.
+                lth = causal_offset - window + 1 + qi * block_q - kj * block_kv
+                if lth > -(block_q - 1):  # touches this block
+                    lthresh = lth
+            rows.append([qi, kj, int(kj == first), int(kj == last),
+                         rthresh, cthresh, lthresh])
     meta = np.asarray(rows, dtype=np.int32)
     return meta
 
@@ -110,6 +130,7 @@ def _fwd_kernel(
     needs_mask: bool,
     guard_zero_rows: bool,
     segmented: bool,
+    windowed: bool,
     dropout_rate: float,
     hq: int,
     block_q: int,
@@ -158,6 +179,9 @@ def _fwd_kernel(
                             meta_ref[step, META_CTHRESH])  # (bq, 1)
         cols1 = jax.lax.broadcasted_iota(jnp.int32, (1, block_kv), 1)
         mask = cols1 <= limit  # (bq, bkv)
+        if windowed:
+            # Sliding window: left edge is a per-row LOWER column bound.
+            mask = mask & (cols1 >= rows1 + meta_ref[step, META_LTHRESH])
     if segmented:
         seg_mask = segq_ref[0] == segk_ref[0]  # (bq,1)==(1,bkv) -> (bq,bkv)
         mask = seg_mask if mask is None else (mask & seg_mask)
@@ -170,8 +194,9 @@ def _fwd_kernel(
     m_new = jnp.maximum(m_prev, m_cur)
     alpha = jnp.exp2(m_prev - m_new)
     p = jnp.exp2(s - m_new)  # (block_q, block_kv) f32
-    if segmented:
-        # Rows whose segment has no keys in this tile would get
+    if segmented or windowed:
+        # Rows with no visible keys in this tile (segment absent, or the
+        # sliding window starts in a later block) would get
         # p = exp2(s - m) with s = m = MASK_VALUE -> 1; zero them exactly.
         p = jnp.where(mask, p, 0.0)
     if guard_zero_rows:
@@ -226,7 +251,7 @@ def _fwd_kernel(
 @functools.partial(
     jax.jit,
     static_argnames=("is_causal", "scale", "block_sizes", "interpret",
-                     "debug", "dropout_rate"),
+                     "debug", "dropout_rate", "window"),
 )
 def flash_attention_forward(
     q: jnp.ndarray,
@@ -240,6 +265,7 @@ def flash_attention_forward(
     segment_ids: tuple[jnp.ndarray, jnp.ndarray] | None = None,
     dropout_rate: float = 0.0,
     dropout_seed: jnp.ndarray | int | None = None,
+    window: int | None = None,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Fused flash-attention forward.
 
@@ -284,22 +310,28 @@ def flash_attention_forward(
     num_kv_blocks = s_k_p // bkv
 
     causal_offset = s_k - s_q
+    assert window is None or (is_causal and window >= 1), (
+        "window requires is_causal and window >= 1")
     meta = build_wavefront(
         num_q_blocks, num_kv_blocks, bq, bkv, s_k,
         causal_offset if is_causal else None,
+        window=window,
     )
     num_steps = meta.shape[0]
+    windowed = window is not None
     needs_mask = bool((meta[:, META_RTHRESH] != _BIG).any()
-                      or (meta[:, META_CTHRESH] != _BIG).any())
+                      or (meta[:, META_CTHRESH] != _BIG).any()
+                      or (meta[:, META_LTHRESH] != -_BIG).any())
     guard_zero_rows = is_causal and causal_offset < 0
     segmented = segment_ids is not None
     assert 0.0 <= dropout_rate < 1.0, dropout_rate
 
     kernel = functools.partial(
         _fwd_kernel,
-        needs_mask=needs_mask,
+        needs_mask=needs_mask or windowed,
         guard_zero_rows=guard_zero_rows,
         segmented=segmented,
+        windowed=windowed,
         dropout_rate=dropout_rate,
         hq=hq,
         block_q=bq,

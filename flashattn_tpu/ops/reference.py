@@ -22,6 +22,7 @@ def reference_attention_with_lse(
     is_causal: bool = False,
     scale: float | None = None,
     segment_ids: tuple[jnp.ndarray, jnp.ndarray] | None = None,
+    window: int | None = None,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Unfused attention oracle returning (O, LSE).
 
@@ -62,6 +63,8 @@ def reference_attention_with_lse(
         qi = jnp.arange(s_q)[:, None]
         kj = jnp.arange(s_k)[None, :]
         mask = kj <= qi + (s_k - s_q)
+        if window is not None:
+            mask = mask & (kj >= qi + (s_k - s_q) - window + 1)
     if segment_ids is not None:
         seg_q, seg_k = segment_ids
         seg_mask = (seg_q[:, :, None] == seg_k[:, None, :])[:, None]
@@ -88,9 +91,10 @@ def reference_attention(
     is_causal: bool = False,
     scale: float | None = None,
     segment_ids: tuple[jnp.ndarray, jnp.ndarray] | None = None,
+    window: int | None = None,
 ) -> jnp.ndarray:
     """Unfused attention oracle (O only) — differentiable, used as the
     gradient oracle in alignment tests (reference's SDPA role,
     ``My_FlashAttention_optimized.py:172-212``)."""
     return reference_attention_with_lse(q, k, v, is_causal, scale,
-                                        segment_ids)[0]
+                                        segment_ids, window)[0]

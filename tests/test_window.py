@@ -1,0 +1,77 @@
+"""Sliding-window attention tests: masking AND wavefront pruning (blocks
+left of the window must not even be enumerated)."""
+
+import jax
+import jax.numpy as jnp
+import pytest
+
+from flashattn_tpu import flash_attention
+from flashattn_tpu.ops.common import BlockSizes
+from flashattn_tpu.ops.flash_fwd import build_wavefront
+from flashattn_tpu.ops.reference import reference_attention
+from flashattn_tpu.utils.verify import verify_results
+
+BS = BlockSizes(
+    block_q=128, block_kv=128,
+    block_q_dq=128, block_kv_dq=128,
+    block_q_dkv=128, block_kv_dkv=128,
+)
+
+
+def make_inputs(b, h, s, d, seed=0):
+    keys = jax.random.split(jax.random.PRNGKey(seed), 4)
+    return tuple(jax.random.normal(kk, (b, h, s, d)) for kk in keys)
+
+
+@pytest.mark.parametrize("window", [1, 64, 128, 300, 1000])
+def test_window_forward(window):
+    q, k, v, _ = make_inputs(1, 2, 768, 64)
+    o = flash_attention(q, k, v, is_causal=True, window=window,
+                        block_sizes=BS)
+    o_ref = reference_attention(q, k, v, is_causal=True, window=window)
+    r = verify_results(o_ref, o, atol=1e-5, rtol=1e-5)
+    assert r.passed, f"window={window}: {r}"
+
+
+@pytest.mark.parametrize("window", [64, 300])
+def test_window_grads(window):
+    q, k, v, do = make_inputs(1, 2, 512, 64, seed=3)
+    ours = lambda q, k, v: flash_attention(
+        q, k, v, is_causal=True, window=window, block_sizes=BS)
+    ref = lambda q, k, v: reference_attention(
+        q, k, v, is_causal=True, window=window)
+    g = lambda fn: jax.grad(
+        lambda q, k, v: jnp.sum(fn(q, k, v) * do), argnums=(0, 1, 2)
+    )(q, k, v)
+    for name, a, b in zip(("dQ", "dK", "dV"), g(ref), g(ours)):
+        r = verify_results(a, b, atol=1e-5, rtol=1e-5)
+        assert r.passed, f"{name} window={window}: {r}"
+
+
+def test_window_prunes_wavefront():
+    """A small window must shrink the enumerated tile pairs, not just mask."""
+    full = build_wavefront(16, 16, 128, 128, 2048, causal_offset=0)
+    windowed = build_wavefront(16, 16, 128, 128, 2048, causal_offset=0,
+                               window=256)
+    assert windowed.shape[0] < full.shape[0] // 2
+    # Every q block appears, with at most ceil(256/128)+1 = 3 kv blocks.
+    import numpy as np
+    counts = np.bincount(windowed[:, 0])
+    assert counts.max() <= 3 and len(counts) == 16
+
+
+def test_window_larger_than_seq_equals_causal():
+    q, k, v, _ = make_inputs(1, 2, 384, 64, seed=5)
+    o_w = flash_attention(q, k, v, is_causal=True, window=10_000,
+                          block_sizes=BS)
+    o_c = flash_attention(q, k, v, is_causal=True, block_sizes=BS)
+    assert jnp.allclose(o_w, o_c, atol=1e-6)
+
+
+def test_window_with_ragged_tail():
+    """S not a multiple of the block exercises window + tail masks at once."""
+    q, k, v, _ = make_inputs(1, 2, 500, 64, seed=7)
+    o = flash_attention(q, k, v, is_causal=True, window=200, block_sizes=BS)
+    o_ref = reference_attention(q, k, v, is_causal=True, window=200)
+    r = verify_results(o_ref, o, atol=1e-5, rtol=1e-5)
+    assert r.passed, r
