@@ -21,35 +21,38 @@ from flashattn_tpu.ops.flash_bwd import flash_attention_backward
 
 
 @functools.partial(
-    jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8, 9)
+    jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8, 9, 10)
 )
 def _flash_attention(q, k, v, seed, is_causal, scale, block_sizes, interpret,
-                     dropout_rate, window):
+                     dropout_rate, window, logit_softcap):
     o, _ = flash_attention_forward(
         q, k, v, is_causal=is_causal, scale=scale,
         block_sizes=block_sizes, interpret=interpret,
         dropout_rate=dropout_rate, dropout_seed=seed, window=window,
+        logit_softcap=logit_softcap,
     )
     return o
 
 
 def _fwd(q, k, v, seed, is_causal, scale, block_sizes, interpret,
-         dropout_rate, window):
+         dropout_rate, window, logit_softcap):
     o, lse = flash_attention_forward(
         q, k, v, is_causal=is_causal, scale=scale,
         block_sizes=block_sizes, interpret=interpret,
         dropout_rate=dropout_rate, dropout_seed=seed, window=window,
+        logit_softcap=logit_softcap,
     )
     return o, (q, k, v, seed, o, lse)
 
 
 def _bwd(is_causal, scale, block_sizes, interpret, dropout_rate, window,
-         residuals, do):
+         logit_softcap, residuals, do):
     q, k, v, seed, o, lse = residuals
     dq, dk, dv = flash_attention_backward(
         q, k, v, o, do, lse, is_causal=is_causal, scale=scale,
         block_sizes=block_sizes, interpret=interpret,
         dropout_rate=dropout_rate, dropout_seed=seed, window=window,
+        logit_softcap=logit_softcap,
     )
     return dq, dk, dv, np.zeros(seed.shape, dtype=jax.dtypes.float0)
 
@@ -68,6 +71,7 @@ def flash_attention(
     dropout_rate: float = 0.0,
     dropout_seed: jnp.ndarray | int | None = None,
     window: int | None = None,
+    logit_softcap: float | None = None,
 ) -> jnp.ndarray:
     """Differentiable fused flash attention (public entry point, mirroring
     the reference ``flash_attention`` at ``My_FlashAttention_optimized.py:169-170``).
@@ -86,6 +90,8 @@ def flash_attention(
       window: sliding-window size (requires is_causal): query i attends
         keys in (i - window, i] — blocks left of the window are pruned from
         the wavefront, not just masked.
+      logit_softcap: Gemma-style logit soft-capping cap·tanh(S/cap) applied
+        to the raw logits before the softmax (fwd and bwd agree exactly).
 
     Returns:
       O: [B, Hq, S_q, D] in q.dtype.
@@ -95,7 +101,7 @@ def flash_attention(
         0 if dropout_seed is None else dropout_seed, jnp.int32
     )
     return _flash_attention(q, k, v, seed, is_causal, scale, block_sizes,
-                            interpret, dropout_rate, window)
+                            interpret, dropout_rate, window, logit_softcap)
 
 
 # Re-exported for API parity with the reference's launcher layer.

@@ -141,6 +141,7 @@ def _dq_kernel(
     guard_zero_rows: bool,
     segmented: bool,
     windowed: bool,
+    softcap: float,
     dropout_rate: float,
     hq: int,
     block_q: int,
@@ -183,7 +184,10 @@ def _dq_kernel(
         q, k,
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
-    )  # log2 domain (q pre-scaled)
+    )  # log2 domain (q pre-scaled); true logits under softcap
+    if softcap > 0.0:
+        t_cap = jnp.tanh(s * (1.0 / softcap))
+        s = t_cap * (softcap * LOG2E)
 
     mask = None
     if needs_mask:
@@ -230,6 +234,8 @@ def _dq_kernel(
                                  dropout_rate)
         dp = jnp.where(keep, dp * (1.0 / (1.0 - dropout_rate)), 0.0)
     ds = p * (dp - delta_scratch[:, :1])  # (bq, bkv) f32
+    if softcap > 0.0:
+        ds = ds * (1.0 - t_cap * t_cap)  # d(cap·tanh(x/cap))/dx
     dq_acc[...] += jax.lax.dot_general(
         ds.astype(q.dtype), k,
         dimension_numbers=(((1,), (0,)), ((), ())),
@@ -248,6 +254,7 @@ def _dkv_kernel(
     guard_zero_rows: bool,
     segmented: bool,
     windowed: bool,
+    softcap: float,
     dropout_rate: float,
     hq: int,
     q_per_kv: int,
@@ -286,7 +293,10 @@ def _dkv_kernel(
         q, k,
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
-    )  # log2 domain (k pre-scaled)
+    )  # log2 domain (k pre-scaled); true logits under softcap
+    if softcap > 0.0:
+        t_cap = jnp.tanh(s * (1.0 / softcap))
+        s = t_cap * (softcap * LOG2E)
 
     mask = None
     if needs_mask:
@@ -347,6 +357,8 @@ def _dkv_kernel(
     if dropout_rate > 0.0:
         dp = jnp.where(keep, dp * inv, 0.0)
     ds = p * (dp - delta)  # delta loaded, not recomputed (reference :375-376)
+    if softcap > 0.0:
+        ds = ds * (1.0 - t_cap * t_cap)
     # dK += dSᵀ · Q
     dk_acc[...] += jax.lax.dot_general(
         ds.astype(q.dtype), q,
@@ -363,7 +375,7 @@ def _dkv_kernel(
 @functools.partial(
     jax.jit,
     static_argnames=("is_causal", "scale", "block_sizes", "interpret",
-                     "debug", "dropout_rate", "window"),
+                     "debug", "dropout_rate", "window", "logit_softcap"),
 )
 def flash_attention_backward(
     q: jnp.ndarray,
@@ -381,6 +393,7 @@ def flash_attention_backward(
     dropout_rate: float = 0.0,
     dropout_seed: jnp.ndarray | int | None = None,
     window: int | None = None,
+    logit_softcap: float | None = None,
 ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Two-kernel flash-attention backward (launcher layer).
 
@@ -411,8 +424,11 @@ def flash_attention_backward(
     lse4 = lse[..., None]  # [B,Hq,Sq,1] — sublane-aligned row stats
 
     # ---- Kernel 1: dQ (+ delta persisted for kernel 2) ----
+    # With soft-capping only `scale` folds into the operand (tanh needs true
+    # logits); the kernels apply ·log2(e) after the cap.
+    pre = scale if logit_softcap else scale * LOG2E
     bq, bkv = block_sizes.block_q_dq, block_sizes.block_kv_dq
-    q_pre = (q * (scale * LOG2E)).astype(q.dtype)
+    q_pre = (q * pre).astype(q.dtype)
     q_p = pad_to_block(q_pre, 2, bq)
     o_p = pad_to_block(o, 2, bq)
     do_p = pad_to_block(do, 2, bq)
@@ -462,6 +478,7 @@ def flash_attention_backward(
         guard_zero_rows=guard_zero_rows,
         segmented=segmented,
         windowed=windowed,
+        softcap=float(logit_softcap or 0.0),
         dropout_rate=dropout_rate,
         hq=hq,
         block_q=bq,
@@ -522,7 +539,7 @@ def flash_attention_backward(
     delta_p = (
         delta if bq2 == bq else pad_to_block(delta[:, :, :s_q], 2, bq2)
     )
-    k_pre = (k * (scale * LOG2E)).astype(k.dtype)
+    k_pre = (k * pre).astype(k.dtype)
     k_p2 = pad_to_block(k_pre, 2, bkv2)
     v_p2 = pad_to_block(v, 2, bkv2)
     s_q_p2, s_k_p2 = q_p2.shape[2], k_p2.shape[2]
@@ -549,6 +566,7 @@ def flash_attention_backward(
         guard_zero_rows=guard_zero_rows,
         segmented=segmented,
         windowed=windowed,
+        softcap=float(logit_softcap or 0.0),
         dropout_rate=dropout_rate,
         hq=hq,
         q_per_kv=q_per_kv,

@@ -131,6 +131,7 @@ def _fwd_kernel(
     guard_zero_rows: bool,
     segmented: bool,
     windowed: bool,
+    softcap: float,
     dropout_rate: float,
     hq: int,
     block_q: int,
@@ -159,12 +160,15 @@ def _fwd_kernel(
 
     q = q_ref[0, 0]  # (block_q, D)
     k = k_ref[0, 0]  # (block_kv, D)
-    # S tile directly in the log2 domain (Q pre-scaled host-side).
+    # S tile directly in the log2 domain (Q pre-scaled host-side); with
+    # soft-capping Q carries only `scale` so tanh sees TRUE logits.
     s = jax.lax.dot_general(
         q, k,
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
+    if softcap > 0.0:
+        s = jnp.tanh(s * (1.0 / softcap)) * (softcap * LOG2E)
 
     mask = None
     if needs_mask:
@@ -251,7 +255,7 @@ def _fwd_kernel(
 @functools.partial(
     jax.jit,
     static_argnames=("is_causal", "scale", "block_sizes", "interpret",
-                     "debug", "dropout_rate", "window"),
+                     "debug", "dropout_rate", "window", "logit_softcap"),
 )
 def flash_attention_forward(
     q: jnp.ndarray,
@@ -266,6 +270,7 @@ def flash_attention_forward(
     dropout_rate: float = 0.0,
     dropout_seed: jnp.ndarray | int | None = None,
     window: int | None = None,
+    logit_softcap: float | None = None,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Fused flash-attention forward.
 
@@ -302,7 +307,10 @@ def flash_attention_forward(
 
     # Pre-scale Q by scale·log2(e): S = Q̃·Kᵀ lands directly in the log2
     # domain, saving a full VPU pass over every S² tile in the hot loop.
-    q_p = pad_to_block((q * (scale * LOG2E)).astype(q.dtype), 2, bq)
+    # With soft-capping the tanh needs TRUE logits, so only `scale` folds
+    # and the kernel applies ·log2(e) after the cap.
+    pre = scale if logit_softcap else scale * LOG2E
+    q_p = pad_to_block((q * pre).astype(q.dtype), 2, bq)
     k_p = pad_to_block(k, 2, bkv)
     v_p = pad_to_block(v, 2, bkv)
     s_q_p, s_k_p = q_p.shape[2], k_p.shape[2]
@@ -332,6 +340,7 @@ def flash_attention_forward(
         guard_zero_rows=guard_zero_rows,
         segmented=segmented,
         windowed=windowed,
+        softcap=float(logit_softcap or 0.0),
         dropout_rate=dropout_rate,
         hq=hq,
         block_q=bq,

@@ -23,6 +23,7 @@ def reference_attention_with_lse(
     scale: float | None = None,
     segment_ids: tuple[jnp.ndarray, jnp.ndarray] | None = None,
     window: int | None = None,
+    logit_softcap: float | None = None,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Unfused attention oracle returning (O, LSE).
 
@@ -58,6 +59,8 @@ def reference_attention_with_lse(
         vf = jnp.repeat(vf, rep, axis=1)
 
     s = jnp.einsum("bhqd,bhkd->bhqk", qf, kf) * scale
+    if logit_softcap:
+        s = logit_softcap * jnp.tanh(s / logit_softcap)
     mask = None
     if is_causal:
         qi = jnp.arange(s_q)[:, None]
@@ -92,9 +95,10 @@ def reference_attention(
     scale: float | None = None,
     segment_ids: tuple[jnp.ndarray, jnp.ndarray] | None = None,
     window: int | None = None,
+    logit_softcap: float | None = None,
 ) -> jnp.ndarray:
     """Unfused attention oracle (O only) — differentiable, used as the
     gradient oracle in alignment tests (reference's SDPA role,
     ``My_FlashAttention_optimized.py:172-212``)."""
     return reference_attention_with_lse(q, k, v, is_causal, scale,
-                                        segment_ids, window)[0]
+                                        segment_ids, window, logit_softcap)[0]
