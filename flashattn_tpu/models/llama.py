@@ -158,11 +158,21 @@ def apply_rope(x: jnp.ndarray, cos: jnp.ndarray, sin: jnp.ndarray) -> jnp.ndarra
     return out.astype(x.dtype)
 
 
-def _attention(q, k, v, mesh, block_sizes=None):
+def _attention(q, k, v, mesh, block_sizes=None, segment_ids=None):
     """Fused attention; shard_map island under a mesh: batch over 'data',
     heads over 'model', and — when the mesh carries an 'sp' axis — sequence
     over 'sp' with ring-attention K/V rotation (context parallelism, the
-    pallas kernel itself is mesh-oblivious)."""
+    pallas kernel itself is mesh-oblivious). segment_ids [B, S] enables
+    packed-document training (within-segment causal attention, T7)."""
+    if segment_ids is not None:
+        assert mesh is None, (
+            "packed segments + mesh sharding not wired yet — shard batch "
+            "with pjit outside, or drop the sp axis")
+        from flashattn_tpu.ops.varlen import flash_attention_varlen
+
+        return flash_attention_varlen(
+            q, k, v, segment_ids=segment_ids, is_causal=True,
+            block_sizes=block_sizes)
     if mesh is None:
         return flash_attention(q, k, v, is_causal=True, block_sizes=block_sizes)
     use_sp = "sp" in mesh.axis_names and mesh.shape["sp"] > 1
@@ -194,15 +204,29 @@ def forward(
     cfg: ModelConfig,
     mesh=None,
     block_sizes=None,
+    segment_ids: jnp.ndarray | None = None,  # [B, S] packed-document ids
 ) -> jnp.ndarray:
-    """Training/prefill forward -> logits [B, S, vocab] (f32)."""
+    """Training/prefill forward -> logits [B, S, vocab] (f32).
+
+    With segment_ids, rows are packed documents: attention stays within a
+    segment (varlen kernels) and RoPE positions restart at each boundary."""
     b, s = tokens.shape
     x = jnp.take(params["embed"], tokens, axis=0)  # [B, S, H]
-    positions = jnp.arange(s)
+    if segment_ids is not None:
+        # Per-document positions: index since the segment's first token.
+        pos = jnp.broadcast_to(jnp.arange(s)[None], (b, s))
+        change = jnp.concatenate(
+            [jnp.ones((b, 1), bool),
+             segment_ids[:, 1:] != segment_ids[:, :-1]], axis=1)
+        starts = jax.lax.cummax(jnp.where(change, pos, 0), axis=1)
+        positions = pos - starts  # [B, S]
+    else:
+        positions = jnp.arange(s)
     cos, sin = rope_tables(cfg, positions)
 
     for layer in params["layers"]:
-        x = x + _attn_block(layer, x, cos, sin, cfg, mesh, block_sizes)
+        x = x + _attn_block(layer, x, cos, sin, cfg, mesh, block_sizes,
+                            segment_ids)
         x = x + _mlp_block(layer, x, cfg)
 
     x = rms_norm(x, params["final_norm"], cfg.norm_eps)
@@ -212,7 +236,8 @@ def forward(
     return proj(x, head, out_dtype=jnp.float32)
 
 
-def _attn_block(layer, x, cos, sin, cfg, mesh, block_sizes):
+def _attn_block(layer, x, cos, sin, cfg, mesh, block_sizes,
+                segment_ids=None):
     b, s, h = x.shape
     xn = rms_norm(x, layer["attn_norm"], cfg.norm_eps)
     q = proj(xn, layer["wq"]).reshape(b, s, cfg.num_heads, cfg.head_dim)
@@ -224,7 +249,7 @@ def _attn_block(layer, x, cos, sin, cfg, mesh, block_sizes):
     v = v.transpose(0, 2, 1, 3)
     q = apply_rope(q, cos, sin)
     k = apply_rope(k, cos, sin)
-    o = _attention(q, k, v, mesh, block_sizes)  # [B, H, S, D]
+    o = _attention(q, k, v, mesh, block_sizes, segment_ids)  # [B, H, S, D]
     o = o.transpose(0, 2, 1, 3).reshape(b, s, cfg.num_heads * cfg.head_dim)
     return proj(o, layer["wo"])
 
@@ -240,13 +265,24 @@ def _mlp_block(layer, x, cfg):
 # ---------------- training ----------------
 
 
-def loss_fn(params, tokens, cfg, mesh=None, block_sizes=None) -> jnp.ndarray:
-    """Next-token cross-entropy over tokens[:, :-1] -> tokens[:, 1:]."""
-    logits = forward(params, tokens[:, :-1], cfg, mesh, block_sizes)
+def loss_fn(params, tokens, cfg, mesh=None, block_sizes=None,
+            segment_ids=None) -> jnp.ndarray:
+    """Next-token cross-entropy over tokens[:, :-1] -> tokens[:, 1:].
+
+    With segment_ids (packed documents), predictions across document
+    boundaries and padding (ids < 0) are masked out of the mean."""
+    seg_in = segment_ids[:, :-1] if segment_ids is not None else None
+    logits = forward(params, tokens[:, :-1], cfg, mesh, block_sizes, seg_in)
     targets = tokens[:, 1:]
     logz = jax.scipy.special.logsumexp(logits, axis=-1)
     gold = jnp.take_along_axis(logits, targets[..., None], axis=-1)[..., 0]
-    return jnp.mean(logz - gold)
+    nll = logz - gold
+    if segment_ids is None:
+        return jnp.mean(nll)
+    valid = (segment_ids[:, :-1] == segment_ids[:, 1:]) & (
+        segment_ids[:, :-1] >= 0)
+    denom = jnp.maximum(jnp.sum(valid), 1)
+    return jnp.sum(jnp.where(valid, nll, 0.0)) / denom
 
 
 def sgd_train_step(params, tokens, cfg, lr=1e-3, mesh=None, block_sizes=None):

@@ -135,7 +135,7 @@ def build_dkv_wavefront(
 
 
 def _dq_kernel(
-    meta_ref,  # SMEM (L, 7) int32 — fwd wavefront layout
+    meta_ref,  # SMEM (L, 7) int32 — fwd wavefront layout (META_COLS)
     *refs,  # [seed,] q, k, v, o, do, lse, [seg_q, seg_k,] dq, delta, scratch
     needs_mask: bool,
     guard_zero_rows: bool,
@@ -248,7 +248,7 @@ def _dq_kernel(
 
 
 def _dkv_kernel(
-    meta_ref,  # SMEM (L, 7) int32 — dKV wavefront layout
+    meta_ref,  # SMEM (L, 8) int32 — dKV wavefront layout
     *refs,  # [seed,] q, do, lse, delta, k, v, [seg_q, seg_k,] dk, dv, scr.
     needs_mask: bool,
     guard_zero_rows: bool,
