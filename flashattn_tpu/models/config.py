@@ -25,6 +25,8 @@ class ModelConfig:
     dtype: jnp.dtype = jnp.bfloat16
     tie_embeddings: bool = False
     max_seq_len: int = 4096
+    # Sliding-window attention (Mistral-style); None = full causal.
+    attn_window: int | None = None
 
     @property
     def q_per_kv(self) -> int:
@@ -33,6 +35,20 @@ class ModelConfig:
 
 # TinyLlama-1.1B-like geometry (BASELINE config 4: "Llama-style 1B").
 LLAMA_1B = ModelConfig()
+
+# Mistral-7B geometry: GQA + 4096-token sliding-window attention.
+MISTRAL_7B = ModelConfig(
+    vocab_size=32000,
+    hidden_size=4096,
+    intermediate_size=14336,
+    num_layers=32,
+    num_heads=32,
+    num_kv_heads=8,
+    head_dim=128,
+    rope_theta=10000.0,
+    max_seq_len=8192,
+    attn_window=4096,
+)
 
 # Llama-3-8B geometry (BASELINE config 5: "8B decode on v5e multi-host").
 LLAMA_8B = ModelConfig(

@@ -26,7 +26,8 @@ def init_caches(
     cfg: ModelConfig, batch: int, max_len: int, quant: str | None = None
 ) -> list[KVCache]:
     return [
-        init_cache(batch, cfg.num_kv_heads, max_len, cfg.head_dim, quant=quant)
+        init_cache(batch, cfg.num_kv_heads, max_len, cfg.head_dim,
+                   dtype=cfg.dtype, quant=quant)
         for _ in range(cfg.num_layers)
     ]
 
@@ -59,7 +60,8 @@ def prefill(
         new_caches.append(update_cache(cache, k, v))
         from flashattn_tpu.ops.attention import flash_attention
 
-        o = flash_attention(q, k, v, is_causal=True)
+        o = flash_attention(q, k, v, is_causal=True,
+                            window=cfg.attn_window)
         o = o.transpose(0, 2, 1, 3).reshape(b, s, cfg.num_heads * cfg.head_dim)
         x = x + llama.proj(o, layer["wo"])
         x = x + llama._mlp_block(layer, x, cfg)
@@ -98,7 +100,8 @@ def decode_step(
         k = llama.apply_rope(k, cos[:, None], sin[:, None])
         cache = update_cache(cache, k, v, active=active)
         new_caches.append(cache)
-        o = decode_attention(q[:, :, 0], cache)  # [B, Hq, D]
+        o = decode_attention(q[:, :, 0], cache,
+                             window=cfg.attn_window)  # [B, Hq, D]
         o = o.reshape(b, cfg.num_heads * cfg.head_dim)
         x = x + llama.proj(o, layer["wo"])
         x = x + llama._mlp_block(layer, x[:, None], cfg)[:, 0]

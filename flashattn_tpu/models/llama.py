@@ -158,7 +158,8 @@ def apply_rope(x: jnp.ndarray, cos: jnp.ndarray, sin: jnp.ndarray) -> jnp.ndarra
     return out.astype(x.dtype)
 
 
-def _attention(q, k, v, mesh, block_sizes=None, segment_ids=None):
+def _attention(q, k, v, mesh, block_sizes=None, segment_ids=None,
+               window=None):
     """Fused attention; shard_map island under a mesh: batch over 'data',
     heads over 'model', and — when the mesh carries an 'sp' axis — sequence
     over 'sp' with ring-attention K/V rotation (context parallelism, the
@@ -170,13 +171,17 @@ def _attention(q, k, v, mesh, block_sizes=None, segment_ids=None):
             "with pjit outside, or drop the sp axis")
         from flashattn_tpu.ops.varlen import flash_attention_varlen
 
+        assert window is None, "packed segments + window not wired yet"
         return flash_attention_varlen(
             q, k, v, segment_ids=segment_ids, is_causal=True,
             block_sizes=block_sizes)
     if mesh is None:
-        return flash_attention(q, k, v, is_causal=True, block_sizes=block_sizes)
+        return flash_attention(q, k, v, is_causal=True,
+                               block_sizes=block_sizes, window=window)
     use_sp = "sp" in mesh.axis_names and mesh.shape["sp"] > 1
     if use_sp:
+        assert window is None, (
+            "sliding window + ring context parallelism not wired yet")
         from flashattn_tpu.parallel.ring import ring_flash_attention
 
         fn = functools.partial(
@@ -186,7 +191,8 @@ def _attention(q, k, v, mesh, block_sizes=None, segment_ids=None):
         spec = P("data", "model", "sp", None)
     else:
         fn = functools.partial(
-            flash_attention, is_causal=True, block_sizes=block_sizes
+            flash_attention, is_causal=True, block_sizes=block_sizes,
+            window=window,
         )
         spec = P("data", "model", None, None)
     return jax.shard_map(
@@ -249,7 +255,8 @@ def _attn_block(layer, x, cos, sin, cfg, mesh, block_sizes,
     v = v.transpose(0, 2, 1, 3)
     q = apply_rope(q, cos, sin)
     k = apply_rope(k, cos, sin)
-    o = _attention(q, k, v, mesh, block_sizes, segment_ids)  # [B, H, S, D]
+    o = _attention(q, k, v, mesh, block_sizes, segment_ids,
+                   cfg.attn_window)  # [B, H, S, D]
     o = o.transpose(0, 2, 1, 3).reshape(b, s, cfg.num_heads * cfg.head_dim)
     return proj(o, layer["wo"])
 

@@ -73,7 +73,7 @@ class InferenceServer:
         self.prompt_bucket = prompt_bucket
         self.caches = [
             init_cache(max_slots, cfg.num_kv_heads, max_len, cfg.head_dim,
-                       quant=quant)
+                       dtype=cfg.dtype, quant=quant)
             for _ in range(cfg.num_layers)
         ]
         self.slots = [_Slot() for _ in range(max_slots)]
@@ -98,7 +98,8 @@ class InferenceServer:
                 jnp.asarray(req.prompt, jnp.int32))
             single = [
                 init_cache(1, self.cfg.num_kv_heads, self.max_len,
-                           self.cfg.head_dim, quant=self.quant)
+                           self.cfg.head_dim, dtype=self.cfg.dtype,
+                           quant=self.quant)
                 for _ in range(self.cfg.num_layers)
             ]
             logits, single = generate.prefill(

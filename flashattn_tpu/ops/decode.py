@@ -46,6 +46,7 @@ def _decode_kernel(
     group: int,
     block_kv: int,
     num_kv_blocks: int,
+    window: int | None,
 ):
     if int8_mode:
         (q_scale_ref, k_scale_ref, v_scale_ref, o_ref,
@@ -58,6 +59,9 @@ def _decode_kernel(
     b = pl.program_id(0)
     kj = pl.program_id(2)
     length = lengths_ref[b]
+    # Sliding window: only positions in [length - window, length) are live.
+    start = (jnp.maximum(length - window, 0) if window is not None
+             else jnp.int32(0))
 
     @pl.when(kj == 0)
     def _init():
@@ -65,7 +69,7 @@ def _decode_kernel(
         l_scratch[...] = jnp.zeros_like(l_scratch)
         acc_scratch[...] = jnp.zeros_like(acc_scratch)
 
-    @pl.when(kj * block_kv < length)
+    @pl.when((kj * block_kv < length) & ((kj + 1) * block_kv > start))
     def _step():
         q = q_ref[0, 0]  # (G, D)
         k = k_ref[0, 0]  # (bkv, D)
@@ -93,9 +97,13 @@ def _decode_kernel(
                 # (q·k_qᵀ) ⊙ s_k (per column), BEFORE exp.
                 s = s * k_scale_ref[0, 0]  # (1, bkv) broadcasts over G rows
 
-        # Length mask on the tail block.
+        # Length mask on the tail block (+ window mask on the head block).
         cols = jax.lax.broadcasted_iota(jnp.int32, (group, block_kv), 1)
-        s = jnp.where(cols + kj * block_kv < length, s, MASK_VALUE)
+        pos = cols + kj * block_kv
+        live = pos < length
+        if window is not None:
+            live = live & (pos >= start)
+        s = jnp.where(live, s, MASK_VALUE)
 
         m_prev = m_scratch[:, :1]
         l_prev = l_scratch[:, :1]
@@ -128,8 +136,10 @@ def _decode_kernel(
                      else v.astype(jnp.bfloat16))
                 # v dequant folded into P (per-token scale = P columns).
                 p = p * v_scale_ref[0, 0]
+            # Cast P to v's dtype (matches the training-path kernel: full
+            # f32 caches keep f32 P, bf16 caches feed the MXU in bf16).
             pv = jax.lax.dot_general(
-                p.astype(jnp.bfloat16), v,
+                p.astype(v.dtype), v,
                 dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
@@ -143,7 +153,8 @@ def _decode_kernel(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("scale", "block_kv", "interpret", "debug")
+    jax.jit, static_argnames=("scale", "block_kv", "interpret", "debug",
+                              "window")
 )
 def decode_attention(
     q: jnp.ndarray,  # [B, Hq, D] — one new token per sequence
@@ -152,11 +163,14 @@ def decode_attention(
     block_kv: int | None = None,  # default: v5e sweep winners per mode
     interpret: bool | None = None,
     debug: bool = False,
+    window: int | None = None,
 ) -> jnp.ndarray:
     """Single-step decode attention against the cache -> [B, Hq, D].
 
     The new token's K/V must already be appended (kvcache.update_cache), so
-    position t attends tokens [0, length) including itself.
+    position t attends tokens [0, length) including itself — or only the
+    last `window` of them (sliding window): dead head blocks are skipped
+    AND their DMA is clamped away, so long caches stream O(window) bytes.
     """
     b, hq, d = q.shape
     _, hkv, s_max, dk = cache.k.shape
@@ -200,14 +214,18 @@ def decode_attention(
     def q_index(b_i, h_i, kv_i, lens):
         return (b_i, h_i, 0, 0)
 
-    def kv_index(b_i, h_i, kv_i, lens):
-        # Clamp dead tail blocks onto the last live block: no re-fetch DMA.
+    def _clamped(kv_i, lens, b_i):
+        # Clamp dead head/tail blocks onto the live range: no re-fetch DMA.
         last = jnp.maximum(pl.cdiv(lens[b_i], block_kv) - 1, 0)
-        return (b_i, h_i, jnp.minimum(kv_i, last), 0)
+        first = (jnp.maximum(lens[b_i] - window, 0) // block_kv
+                 if window is not None else 0)
+        return jnp.clip(kv_i, first, last)
+
+    def kv_index(b_i, h_i, kv_i, lens):
+        return (b_i, h_i, _clamped(kv_i, lens, b_i), 0)
 
     def scale_index(b_i, h_i, kv_i, lens):
-        last = jnp.maximum(pl.cdiv(lens[b_i], block_kv) - 1, 0)
-        return (b_i, h_i, 0, jnp.minimum(kv_i, last))
+        return (b_i, h_i, 0, _clamped(kv_i, lens, b_i))
 
     in_specs = [
         pl.BlockSpec((1, 1, group, d), q_index),
@@ -232,6 +250,7 @@ def decode_attention(
         group=group,
         block_kv=block_kv,
         num_kv_blocks=num_kv_blocks,
+        window=window,
     )
     o = pl.pallas_call(
         kernel,

@@ -110,3 +110,38 @@ def test_fp8e4m3_to_bf16_exhaustive():
     assert np.array_equal(got[normal], exact[normal])
     sub = mag < 8
     assert np.all(got[sub] == 0.0)
+
+
+@pytest.mark.parametrize("quant", [None, "int8"])
+def test_decode_sliding_window(quant):
+    """Windowed decode matches the oracle restricted to the last W tokens,
+    per-sequence (ragged lengths)."""
+    import numpy as np
+    from flashattn_tpu.ops.decode import decode_attention
+    from flashattn_tpu.ops.kvcache import dequantize, init_cache, update_cache
+    from flashattn_tpu.ops.reference import reference_attention
+    from flashattn_tpu.utils.verify import verify_results
+
+    b, hq, hkv, d, s_max, w = 3, 4, 2, 64, 512, 100
+    lens = [512, 200, 60]
+    cache = init_cache(b, hkv, s_max, d, quant=quant)
+    kn = jax.random.normal(jax.random.PRNGKey(0), (b, hkv, s_max, d),
+                           jnp.bfloat16)
+    vn = jax.random.normal(jax.random.PRNGKey(1), (b, hkv, s_max, d),
+                           jnp.bfloat16)
+    cache = update_cache(cache, kn, vn)
+    cache = dataclasses.replace(cache,
+                                length=jnp.asarray(lens, jnp.int32))
+    q = jax.random.normal(jax.random.PRNGKey(2), (b, hq, d), jnp.bfloat16)
+
+    o = decode_attention(q, cache, window=w)
+    kd = dequantize(cache.k, cache.k_scale).astype(jnp.float32)
+    vd = dequantize(cache.v, cache.v_scale).astype(jnp.float32)
+    for i, ln in enumerate(lens):
+        lo = max(0, ln - w)
+        o_ref = reference_attention(
+            q[i:i + 1, :, None].astype(jnp.float32),
+            kd[i:i + 1, :, lo:ln], vd[i:i + 1, :, lo:ln])
+        r = verify_results(o_ref[:, :, 0], o[i:i + 1],
+                           atol=3e-2, rtol=3e-2)
+        assert r.passed, f"seq {i}: {r}"

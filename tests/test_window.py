@@ -75,3 +75,34 @@ def test_window_with_ragged_tail():
     o_ref = reference_attention(q, k, v, is_causal=True, window=200)
     r = verify_results(o_ref, o, atol=1e-5, rtol=1e-5)
     assert r.passed, r
+
+
+def test_windowed_model_train_decode_agree():
+    """attn_window threads through both the training forward and the decode
+    path: teacher-forced logits must agree between them."""
+    import numpy as np
+    from flashattn_tpu.models import generate, llama
+    from flashattn_tpu.models.config import ModelConfig
+
+    cfg = ModelConfig(
+        vocab_size=64, hidden_size=64, intermediate_size=128, num_layers=2,
+        num_heads=2, num_kv_heads=2, head_dim=32, max_seq_len=256,
+        dtype=jnp.float32, attn_window=40,
+    )
+    params = llama.init_params(cfg, jax.random.PRNGKey(0))
+    tokens = jax.random.randint(jax.random.PRNGKey(1), (1, 96), 0,
+                                cfg.vocab_size, jnp.int32)
+    train_logits = llama.forward(params, tokens, cfg)  # [1, S, V]
+
+    caches = generate.init_caches(cfg, 1, 128)
+    logits, caches = generate.prefill(params, tokens[:, :1], caches, cfg)
+    np.testing.assert_allclose(np.asarray(logits),
+                               np.asarray(train_logits[:, 0]),
+                               rtol=2e-4, atol=2e-4)
+    for t in range(1, 96):
+        positions = jnp.full((1,), t, jnp.int32)
+        logits, caches = generate.decode_step(
+            params, tokens[:, t], positions, caches, cfg)
+        np.testing.assert_allclose(
+            np.asarray(logits), np.asarray(train_logits[:, t]),
+            rtol=2e-4, atol=2e-4, err_msg=f"position {t}")
