@@ -9,7 +9,10 @@ import pytest
 
 from flashattn_tpu.ops.common import BlockSizes
 from flashattn_tpu.ops.flash_fwd import flash_attention_forward
-from flashattn_tpu.ops.reference import reference_attention_with_lse
+from flashattn_tpu.ops.reference import (
+    reference_attention,
+    reference_attention_with_lse,
+)
 from flashattn_tpu.utils.verify import verify_results
 
 BS = BlockSizes(block_q=128, block_kv=128)
@@ -74,3 +77,15 @@ def test_fwd_custom_scale():
     o, _ = flash_attention_forward(q, k, v, scale=0.5, block_sizes=BS)
     o_ref, _ = reference_attention_with_lse(q, k, v, scale=0.5)
     assert verify_results(o_ref, o, atol=1e-5, rtol=1e-5).passed
+
+
+@pytest.mark.parametrize("d", [80, 96, 256])
+def test_fwd_odd_head_dims(d):
+    """Non-128-multiple head dims (D=80/96 models exist): lane padding is
+    Mosaic's job; numerics must be exact."""
+    keys = jax.random.split(jax.random.PRNGKey(11), 3)
+    q, k, v = (jax.random.normal(kk, (1, 2, 256, d)) for kk in keys)
+    o, _ = flash_attention_forward(q, k, v, is_causal=True, block_sizes=BS)
+    o_ref = reference_attention(q, k, v, is_causal=True)
+    r = verify_results(o_ref, o, atol=1e-5, rtol=1e-5)
+    assert r.passed, r
