@@ -164,11 +164,21 @@ def quant_matmul(
     if interpret is None:
         interpret = interpret_default()
 
+    def fit_divisor(limit: int, dim: int, step: int = 128) -> int:
+        """Largest multiple of `step` <= limit that divides dim (real dims
+        like 5632 or 32000 are 128-multiples but not powers of two); small
+        dims (< step) use one whole-dim block."""
+        if dim <= limit:
+            return dim
+        b = limit - limit % step
+        while b >= step and dim % b:
+            b -= step
+        assert b >= step and dim % b == 0, (dim, limit)
+        return b
+
     bm = max(8, min(block_m, round_up(m, 8)))
-    bn = min(block_n, n)
-    bk = min(block_k, k)
-    assert n % bn == 0, (n, bn)
-    assert k % bk == 0, (k, bk)
+    bn = fit_divisor(block_n, n)
+    bk = fit_divisor(block_k, k)
     # int4: the packed contraction dim is K/2; keep nibble pairs in one tile.
     assert qw.bits == 8 or bk % 2 == 0
 

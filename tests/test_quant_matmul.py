@@ -7,6 +7,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+from flashattn_tpu.utils.verify import verify_results
+
 from flashattn_tpu.ops.quant_matmul import (
     dequantize_weights,
     quant_matmul,
@@ -66,3 +68,17 @@ def test_ragged_m():
         / float(jnp.max(jnp.abs(y_oracle)))
     )
     assert rel < 5e-2, rel
+
+
+@pytest.mark.parametrize("k,n", [(5632, 2048), (2048, 32000)])
+def test_quant_matmul_awkward_real_dims(k, n):
+    """LLAMA-1B's real projection dims (5632 = 512*11, 32000 = 256*125) are
+    128-multiples but not powers of two; block sizes must adapt."""
+    key = jax.random.PRNGKey(0)
+    x = jax.random.normal(key, (4, k), jnp.float32)
+    w = jax.random.normal(jax.random.PRNGKey(1), (k, n), jnp.float32) * 0.02
+    qw = quantize_weights(w, bits=8)
+    y = quant_matmul(x, qw)
+    y_ref = x @ dequantize_weights(qw)
+    r = verify_results(y_ref, y, atol=1e-3, rtol=1e-3)
+    assert r.passed, r
