@@ -79,14 +79,17 @@ def dequantize_weights(qw: QuantizedLinear) -> jnp.ndarray:
 
 
 def _qmm8_kernel(
-    x_ref,  # (bm, bk) bf16
+    x_ref,  # (bm, bk) bf16 — or int8 in a8 mode
     w_ref,  # (bk, bn) int8
     scale_ref,  # (1, bn) f32
-    o_ref,  # (bm, bn) out dtype
-    acc_scratch,  # (bm, bn) f32
-    *,
+    *rest,  # [x_scale_ref (bm, 1) f32,] o_ref, acc_scratch
     num_k_blocks: int,
+    a8: bool,
 ):
+    if a8:
+        x_scale_ref, o_ref, acc_scratch = rest
+    else:
+        o_ref, acc_scratch = rest
     kb = pl.program_id(2)
 
     @pl.when(kb == 0)
@@ -94,27 +97,42 @@ def _qmm8_kernel(
         acc_scratch[...] = jnp.zeros_like(acc_scratch)
 
     x = x_ref[...]
-    acc_scratch[...] += jax.lax.dot_general(
-        x, w_ref[...].astype(x.dtype),
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
+    if a8:
+        # W8A8: both operands int8 into the native int8 MXU — no (bk, bn)
+        # dequant cast in the hot loop; both scales fold at finalize.
+        acc_scratch[...] += jax.lax.dot_general(
+            x, w_ref[...],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        ).astype(jnp.float32)
+    else:
+        acc_scratch[...] += jax.lax.dot_general(
+            x, w_ref[...].astype(x.dtype),
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
 
     @pl.when(kb == num_k_blocks - 1)
     def _finalize():
-        o_ref[...] = (acc_scratch[...] * scale_ref[...]).astype(o_ref.dtype)
+        out = acc_scratch[...] * scale_ref[...]
+        if a8:
+            out = out * x_scale_ref[...]
+        o_ref[...] = out.astype(o_ref.dtype)
 
 
 def _qmm4_kernel(
-    x_lo_ref,  # (bm, bk/2) bf16 — x columns [kb·bk/2, ...)
-    x_hi_ref,  # (bm, bk/2) bf16 — x columns [K/2 + kb·bk/2, ...)
+    x_lo_ref,  # (bm, bk/2) bf16|int8 — x columns [kb·bk/2, ...)
+    x_hi_ref,  # (bm, bk/2) bf16|int8 — x columns [K/2 + kb·bk/2, ...)
     w_ref,  # (bk/2, bn) nibble-packed int8
     scale_ref,  # (1, bn) f32
-    o_ref,  # (bm, bn)
-    acc_scratch,  # (bm, bn) f32
-    *,
+    *rest,  # [x_scale_ref (bm, 1) f32,] o_ref, acc_scratch
     num_k_blocks: int,
+    a8: bool,
 ):
+    if a8:
+        x_scale_ref, o_ref, acc_scratch = rest
+    else:
+        o_ref, acc_scratch = rest
     kb = pl.program_id(2)
 
     @pl.when(kb == 0)
@@ -124,38 +142,53 @@ def _qmm4_kernel(
     x_lo = x_lo_ref[...]
     x_hi = x_hi_ref[...]
     raw = w_ref[...].view(jnp.uint8).astype(jnp.int32)  # (bk/2, bn)
-    lo = (((raw & 0xF) ^ 8) - 8).astype(x_lo.dtype)  # original rows [0, K/2)
-    hi = (((raw >> 4) ^ 8) - 8).astype(x_lo.dtype)  # original rows [K/2, K)
+    # W4A8 unpacks nibbles to int8 (integer ops only) and dots on the int8
+    # MXU; weight-only unpacks straight to the activation dtype.
+    unpack_dtype = jnp.int8 if a8 else x_lo.dtype
+    lo = (((raw & 0xF) ^ 8) - 8).astype(unpack_dtype)  # rows [0, K/2)
+    hi = (((raw >> 4) ^ 8) - 8).astype(unpack_dtype)  # rows [K/2, K)
+    acc_t = jnp.int32 if a8 else jnp.float32
     acc_scratch[...] += jax.lax.dot_general(
         x_lo, lo,
         dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
+        preferred_element_type=acc_t,
+    ).astype(jnp.float32)
     acc_scratch[...] += jax.lax.dot_general(
         x_hi, hi,
         dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
+        preferred_element_type=acc_t,
+    ).astype(jnp.float32)
 
     @pl.when(kb == num_k_blocks - 1)
     def _finalize():
-        o_ref[...] = (acc_scratch[...] * scale_ref[...]).astype(o_ref.dtype)
+        out = acc_scratch[...] * scale_ref[...]
+        if a8:
+            out = out * x_scale_ref[...]
+        o_ref[...] = out.astype(o_ref.dtype)
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("block_m", "block_n", "block_k", "interpret", "out_dtype"),
+    static_argnames=("block_m", "block_n", "block_k", "interpret",
+                     "out_dtype", "quantize_activations"),
 )
 def quant_matmul(
     x: jnp.ndarray,  # [M, K] bf16
     qw: QuantizedLinear,
     block_m: int = 256,
-    block_n: int = 512,
-    block_k: int = 1024,
+    block_n: int = 2048,  # big tiles: per-grid-step overhead (~1us) must be
+    block_k: int = 2048,  # amortized over MBs of weight DMA (v5e measured)
     out_dtype=None,
     interpret: bool | None = None,
+    quantize_activations: bool = False,
 ) -> jnp.ndarray:
-    """y = x @ dequant(qw) with the dequant fused after the int8/int4 DMA."""
+    """y = x @ dequant(qw) with the dequant fused after the int8/int4 DMA.
+
+    quantize_activations=True (W8A8 / W4A8): activations quantize per row
+    (symmetric int8) and both dots run on the native int8 MXU — no
+    weight-tile dequant cast at all. Adds ~0.4% activation quantization
+    noise; gate with the ppl tests when wiring into a model.
+    """
     m, k = x.shape
     assert k == qw.k, (k, qw.k)
     n = qw.out_features
@@ -187,6 +220,16 @@ def quant_matmul(
         x = jnp.pad(x, ((0, m_p - m), (0, 0)))
     num_k_blocks = k // bk
 
+    a8 = quantize_activations
+    extra_specs, extra_args = [], []
+    if a8:
+        amax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=1, keepdims=True)
+        x_scale = jnp.maximum(amax / INT8_MAX, 1e-10)  # [M_p, 1]
+        x = jnp.clip(jnp.round(x.astype(jnp.float32) / x_scale),
+                     -INT8_MAX, INT8_MAX).astype(jnp.int8)
+        extra_specs = [pl.BlockSpec((bm, 1), lambda i, j, kb: (i, 0))]
+        extra_args = [x_scale]
+
     common = dict(
         out_specs=pl.BlockSpec((bm, bn), lambda i, j, kb: (i, j)),
         out_shape=jax.ShapeDtypeStruct((m_p, n), out_dtype),
@@ -199,15 +242,15 @@ def quant_matmul(
     )
     if qw.bits == 8:
         y = pl.pallas_call(
-            functools.partial(_qmm8_kernel, num_k_blocks=num_k_blocks),
+            functools.partial(_qmm8_kernel, num_k_blocks=num_k_blocks, a8=a8),
             grid=(m_p // bm, n // bn, num_k_blocks),
             in_specs=[
                 pl.BlockSpec((bm, bk), lambda i, j, kb: (i, kb)),
                 pl.BlockSpec((bk, bn), lambda i, j, kb: (kb, j)),
                 pl.BlockSpec((1, bn), lambda i, j, kb: (0, j)),
-            ],
+            ] + extra_specs,
             **common,
-        )(x, qw.w, qw.scale)
+        )(x, qw.w, qw.scale, *extra_args)
     else:
         # x is consumed as two half-K streams matching the nibble planes:
         # packed tile kb pairs x[:, kb·bk/2 :] (low) with x[:, K/2 + kb·bk/2 :]
@@ -215,14 +258,14 @@ def quant_matmul(
         kp = bk // 2
         num_half = k // 2 // kp  # == num_k_blocks
         y = pl.pallas_call(
-            functools.partial(_qmm4_kernel, num_k_blocks=num_half),
+            functools.partial(_qmm4_kernel, num_k_blocks=num_half, a8=a8),
             grid=(m_p // bm, n // bn, num_half),
             in_specs=[
                 pl.BlockSpec((bm, kp), lambda i, j, kb: (i, kb)),
                 pl.BlockSpec((bm, kp), lambda i, j, kb, nh=num_half: (i, nh + kb)),
                 pl.BlockSpec((kp, bn), lambda i, j, kb: (kb, j)),
                 pl.BlockSpec((1, bn), lambda i, j, kb: (0, j)),
-            ],
+            ] + extra_specs,
             **common,
-        )(x, x, qw.w, qw.scale)
+        )(x, x, qw.w, qw.scale, *extra_args)
     return y[:m] if m_p != m else y

@@ -82,3 +82,17 @@ def test_quant_matmul_awkward_real_dims(k, n):
     y_ref = x @ dequantize_weights(qw)
     r = verify_results(y_ref, y, atol=1e-3, rtol=1e-3)
     assert r.passed, r
+
+
+@pytest.mark.parametrize("bits", [8, 4])
+def test_quant_matmul_a8(bits):
+    """W8A8 / W4A8: int8-MXU path with per-row activation quantization —
+    accuracy budget is looser (activation quant noise ~0.4%)."""
+    key = jax.random.PRNGKey(3)
+    x = jax.random.normal(key, (16, 512), jnp.float32)
+    w = jax.random.normal(jax.random.PRNGKey(4), (512, 256), jnp.float32) * 0.05
+    qw = quantize_weights(w, bits=bits)
+    y = quant_matmul(x, qw, quantize_activations=True)
+    y_ref = x @ dequantize_weights(qw)
+    r = verify_results(y_ref, y, atol=5e-2, rtol=5e-2)
+    assert r.passed, r
