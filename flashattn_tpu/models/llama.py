@@ -302,3 +302,93 @@ def sgd_train_step(params, tokens, cfg, lr=1e-3, mesh=None, block_sizes=None):
         params, grads,
     )
     return loss, new_params
+
+
+# ---------------- pipeline parallelism (GPipe over a 'pp' mesh axis) ----
+
+
+def pipeline_forward(
+    params: Params,
+    tokens: jnp.ndarray,  # [B, S] int32, B divisible by num_microbatches
+    cfg: ModelConfig,
+    mesh,
+    num_microbatches: int,
+    pp_axis: str = "pp",
+    block_sizes=None,
+) -> jnp.ndarray:
+    """Training forward with the LAYER STACK pipelined over `pp_axis`
+    (SURVEY.md T10; parallel/pipeline.py). Embedding and head are cheap and
+    run replicated outside the pipeline; each stage applies
+    num_layers / n_pp transformer layers. Returns logits [B, S, vocab].
+
+    Params must be the STAGE-STACKED tree from `stack_pipeline_params`
+    (leaves carry a leading pp axis, shard with P('pp', ...))."""
+    from flashattn_tpu.parallel.pipeline import pipeline_apply, unstack_stage_params
+
+    b, s = tokens.shape
+    assert b % num_microbatches == 0, (b, num_microbatches)
+    mb = b // num_microbatches
+    x = jnp.take(params["embed"], tokens, axis=0)  # [B, S, H]
+    cos, sin = rope_tables(cfg, jnp.arange(s))
+
+    def stage_fn(stage_layers, x_mb):
+        # stage_layers: stacked [K, ...] leaves for this stage's K layers.
+        n_local = jax.tree_util.tree_leaves(stage_layers)[0].shape[0]
+        for i in range(n_local):
+            layer = jax.tree_util.tree_map(lambda l: l[i], stage_layers)
+            x_mb = x_mb + _attn_block(layer, x_mb, cos, sin, cfg, None,
+                                      block_sizes)
+            x_mb = x_mb + _mlp_block(layer, x_mb, cfg)
+        return x_mb
+
+    def body(stage_stacked, x_mbs):
+        stage = unstack_stage_params(stage_stacked)
+        return pipeline_apply(stage_fn, stage, x_mbs, pp_axis)
+
+    from jax.sharding import PartitionSpec as P
+
+    x_mbs = x.reshape(num_microbatches, mb, s, -1)
+    data_axis = "data" if "data" in mesh.axis_names else None
+    x_spec = P(None, data_axis, None, None)
+    stage_spec = jax.tree_util.tree_map(
+        lambda _: P(pp_axis), params["stages"])
+    y = jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(stage_spec, x_spec), out_specs=x_spec,
+        check_vma=False,
+    )(params["stages"], x_mbs)
+    x = y.reshape(b, s, -1)
+
+    x = rms_norm(x, params["final_norm"], cfg.norm_eps)
+    head = params["embed"].T if cfg.tie_embeddings else params["lm_head"]
+    return proj(x, head, out_dtype=jnp.float32)
+
+
+def stack_pipeline_params(params: Params, n_stages: int) -> Params:
+    """Regroup a plain param tree for the pipeline: cfg.num_layers layers
+    split into n_stages equal stages, each stage's layers stacked on a
+    leading per-stage axis, stages stacked on a leading 'pp' axis
+    ('stages' leaves: [n_stages, layers_per_stage, ...])."""
+    from flashattn_tpu.parallel.pipeline import stack_stage_params
+
+    layers = params["layers"]
+    assert len(layers) % n_stages == 0, (len(layers), n_stages)
+    k = len(layers) // n_stages
+    stages = []
+    for st in range(n_stages):
+        group = layers[st * k:(st + 1) * k]
+        stages.append(jax.tree_util.tree_map(
+            lambda *ls: jnp.stack(ls), *group))
+    out = {kk: v for kk, v in params.items() if kk != "layers"}
+    out["stages"] = stack_stage_params(stages)
+    return out
+
+
+def pipeline_loss_fn(params, tokens, cfg, mesh, num_microbatches,
+                     block_sizes=None):
+    logits = pipeline_forward(params, tokens[:, :-1], cfg, mesh,
+                              num_microbatches, block_sizes=block_sizes)
+    targets = tokens[:, 1:]
+    logz = jax.scipy.special.logsumexp(logits, axis=-1)
+    gold = jnp.take_along_axis(logits, targets[..., None], axis=-1)[..., 0]
+    return jnp.mean(logz - gold)
