@@ -22,6 +22,15 @@ from flashattn_tpu.parallel.ring import (
     zigzag_shard,
     zigzag_unshard,
 )
+from flashattn_tpu.parallel.moe import (
+    init_moe_params,
+    moe_ffn,
+    moe_ffn_dense_reference,
+)
+from flashattn_tpu.parallel.pipeline import (
+    pipeline_apply,
+    stack_stage_params,
+)
 from flashattn_tpu.parallel.ulysses import ulysses_flash_attention
 
 __all__ = [
@@ -30,6 +39,11 @@ __all__ = [
     "zigzag_shard",
     "zigzag_unshard",
     "ulysses_flash_attention",
+    "pipeline_apply",
+    "stack_stage_params",
+    "init_moe_params",
+    "moe_ffn",
+    "moe_ffn_dense_reference",
     "make_mesh",
     "sharded_ring_attention",
 ]
