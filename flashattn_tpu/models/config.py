@@ -27,6 +27,9 @@ class ModelConfig:
     max_seq_len: int = 4096
     # Sliding-window attention (Mistral-style); None = full causal.
     attn_window: int | None = None
+    # Mixture-of-Experts FFN (Mixtral-style); 0 = dense MLP.
+    num_experts: int = 0
+    top_k_experts: int = 2
 
     @property
     def q_per_kv(self) -> int:
@@ -73,4 +76,19 @@ TINY = ModelConfig(
     num_kv_heads=4,
     head_dim=32,
     max_seq_len=512,
+)
+
+
+# Tiny Mixtral-style MoE config for tests / dryruns.
+TINY_MOE = ModelConfig(
+    vocab_size=256,
+    hidden_size=128,
+    intermediate_size=256,
+    num_layers=2,
+    num_heads=4,
+    num_kv_heads=2,
+    head_dim=32,
+    max_seq_len=256,
+    num_experts=4,
+    top_k_experts=2,
 )

@@ -81,21 +81,29 @@ def init_params(cfg: ModelConfig, key: jax.Array) -> Params:
         params["lm_head"] = dense(keys[1], (h, cfg.vocab_size), h**-0.5)
     for i in range(cfg.num_layers):
         lk = jax.random.split(keys[3 + i], 7)
-        params["layers"].append(
-            {
-                "attn_norm": jnp.ones((h,), cfg.dtype),
-                "wq": dense(lk[0], (h, nq * hd), h**-0.5),
-                "wk": dense(lk[1], (h, nkv * hd), h**-0.5),
-                "wv": dense(lk[2], (h, nkv * hd), h**-0.5),
-                "wo": dense(lk[3], (nq * hd, h), (nq * hd) ** -0.5),
-                "mlp_norm": jnp.ones((h,), cfg.dtype),
-                "w_gate": dense(lk[4], (h, cfg.intermediate_size), h**-0.5),
-                "w_up": dense(lk[5], (h, cfg.intermediate_size), h**-0.5),
-                "w_down": dense(
-                    lk[6], (cfg.intermediate_size, h), cfg.intermediate_size**-0.5
-                ),
-            }
-        )
+        layer = {
+            "attn_norm": jnp.ones((h,), cfg.dtype),
+            "wq": dense(lk[0], (h, nq * hd), h**-0.5),
+            "wk": dense(lk[1], (h, nkv * hd), h**-0.5),
+            "wv": dense(lk[2], (h, nkv * hd), h**-0.5),
+            "wo": dense(lk[3], (nq * hd, h), (nq * hd) ** -0.5),
+            "mlp_norm": jnp.ones((h,), cfg.dtype),
+        }
+        if cfg.num_experts:
+            from flashattn_tpu.parallel.moe import init_moe_params
+
+            layer["moe"] = init_moe_params(
+                lk[4], h, cfg.intermediate_size, cfg.num_experts,
+                dtype=cfg.dtype)
+        else:
+            layer.update(
+                w_gate=dense(lk[4], (h, cfg.intermediate_size), h**-0.5),
+                w_up=dense(lk[5], (h, cfg.intermediate_size), h**-0.5),
+                w_down=dense(
+                    lk[6], (cfg.intermediate_size, h),
+                    cfg.intermediate_size**-0.5),
+            )
+        params["layers"].append(layer)
     return params
 
 
@@ -110,10 +118,16 @@ def param_shardings(cfg: ModelConfig) -> Params:
         "wv": P(None, "model"),
         "wo": P("model", None),
         "mlp_norm": P(),
-        "w_gate": P(None, "model"),
-        "w_up": P(None, "model"),
-        "w_down": P("model", None),
     }
+    if cfg.num_experts:
+        # Experts shard over 'ep' at rest (matches the shard_map island).
+        layer["moe"] = {
+            "router": P(),
+            "w_gate": P("ep"), "w_up": P("ep"), "w_down": P("ep"),
+        }
+    else:
+        layer.update(w_gate=P(None, "model"), w_up=P(None, "model"),
+                     w_down=P("model", None))
     shardings: Params = {
         "embed": P("model", None),
         "final_norm": P(),
@@ -178,6 +192,8 @@ def _attention(q, k, v, mesh, block_sizes=None, segment_ids=None,
     if mesh is None:
         return flash_attention(q, k, v, is_causal=True,
                                block_sizes=block_sizes, window=window)
+    da = "data" if "data" in mesh.axis_names else None
+    ma = "model" if "model" in mesh.axis_names else None
     use_sp = "sp" in mesh.axis_names and mesh.shape["sp"] > 1
     if use_sp:
         assert window is None, (
@@ -188,13 +204,13 @@ def _attention(q, k, v, mesh, block_sizes=None, segment_ids=None,
             ring_flash_attention, axis_name="sp", is_causal=True,
             block_sizes=block_sizes,
         )
-        spec = P("data", "model", "sp", None)
+        spec = P(da, ma, "sp", None)
     else:
         fn = functools.partial(
             flash_attention, is_causal=True, block_sizes=block_sizes,
             window=window,
         )
-        spec = P("data", "model", None, None)
+        spec = P(da, ma, None, None)
     return jax.shard_map(
         fn, mesh=mesh, in_specs=(spec, spec, spec), out_specs=spec,
         check_vma=False,
@@ -233,7 +249,7 @@ def forward(
     for layer in params["layers"]:
         x = x + _attn_block(layer, x, cos, sin, cfg, mesh, block_sizes,
                             segment_ids)
-        x = x + _mlp_block(layer, x, cfg)
+        x = x + _mlp_block(layer, x, cfg, mesh)
 
     x = rms_norm(x, params["final_norm"], cfg.norm_eps)
     head = (
@@ -261,8 +277,27 @@ def _attn_block(layer, x, cos, sin, cfg, mesh, block_sizes,
     return proj(o, layer["wo"])
 
 
-def _mlp_block(layer, x, cfg):
+def _mlp_block(layer, x, cfg, mesh=None):
     xn = rms_norm(x, layer["mlp_norm"], cfg.norm_eps)
+    if "moe" in layer:  # Mixture-of-Experts FFN (cfg.num_experts > 0)
+        from flashattn_tpu.parallel.moe import (
+            moe_ffn, moe_ffn_dense_reference)
+
+        flat = xn.reshape(-1, xn.shape[-1])
+        if mesh is not None and "ep" in mesh.axis_names and (
+                mesh.shape["ep"] > 1):
+            specs = {"router": P(), "w_gate": P("ep"), "w_up": P("ep"),
+                     "w_down": P("ep")}
+            out = jax.shard_map(
+                functools.partial(moe_ffn, axis_name="ep",
+                                  top_k=cfg.top_k_experts),
+                mesh=mesh, in_specs=(P(), specs), out_specs=P(),
+                check_vma=False,
+            )(flat, layer["moe"])
+        else:
+            out = moe_ffn_dense_reference(flat, layer["moe"],
+                                          top_k=cfg.top_k_experts)
+        return out.reshape(xn.shape)
     gate = proj(xn, layer["w_gate"])
     up = proj(xn, layer["w_up"])
     return proj(jax.nn.silu(gate.astype(jnp.float32)).astype(x.dtype) * up,
