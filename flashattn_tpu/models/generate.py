@@ -134,3 +134,54 @@ def generate(
         token = jnp.argmax(logits, axis=-1).astype(jnp.int32)
         out.append(token)
     return jnp.stack(out, axis=1)
+
+
+def chunked_prefill(
+    params: Params,
+    tokens: jnp.ndarray,  # [B, S] int32
+    caches: list[KVCache],
+    cfg: ModelConfig,
+    chunk: int = 256,
+) -> tuple[jnp.ndarray, list[KVCache]]:
+    """Prefill in fixed-size chunks through the chunked-decode kernel:
+    activation memory is O(chunk · S) instead of O(S²) and each chunk
+    attends the cache so far + itself causally — the serving-side prefill
+    for long prompts (and the schedule continuous batching interleaves with
+    decode steps). Returns (last-position logits [B, vocab], caches).
+
+    Requires S % chunk == 0 (pad prompts to the chunk grid)."""
+    from flashattn_tpu.ops.decode import decode_attention_chunk
+
+    b, s = tokens.shape
+    assert s % chunk == 0, (s, chunk)
+    logits = None
+    for c0 in range(0, s, chunk):
+        piece = tokens[:, c0:c0 + chunk]
+        x = jnp.take(params["embed"], piece, axis=0)  # [B, C, H]
+        positions = jnp.arange(c0, c0 + chunk)
+        cos, sin = llama.rope_tables(cfg, positions)
+        new_caches = []
+        for layer, cache in zip(params["layers"], caches):
+            xn = llama.rms_norm(x, layer["attn_norm"], cfg.norm_eps)
+            q = llama.proj(xn, layer["wq"]).reshape(
+                b, chunk, cfg.num_heads, cfg.head_dim).transpose(0, 2, 1, 3)
+            k = llama.proj(xn, layer["wk"]).reshape(
+                b, chunk, cfg.num_kv_heads, cfg.head_dim).transpose(0, 2, 1, 3)
+            v = llama.proj(xn, layer["wv"]).reshape(
+                b, chunk, cfg.num_kv_heads, cfg.head_dim).transpose(0, 2, 1, 3)
+            q = llama.apply_rope(q, cos, sin)
+            k = llama.apply_rope(k, cos, sin)
+            cache = update_cache(cache, k, v)
+            new_caches.append(cache)
+            o = decode_attention_chunk(q, cache, window=cfg.attn_window)
+            o = o.transpose(0, 2, 1, 3).reshape(
+                b, chunk, cfg.num_heads * cfg.head_dim)
+            x = x + llama.proj(o, layer["wo"])
+            x = x + llama._mlp_block(layer, x, cfg)
+        caches = new_caches
+        if c0 + chunk == s:
+            xl = llama.rms_norm(x[:, -1], params["final_norm"], cfg.norm_eps)
+            head = (params["embed"].T if cfg.tie_embeddings
+                    else params["lm_head"])
+            logits = llama.proj(xl, head, out_dtype=jnp.float32)
+    return logits, caches

@@ -47,6 +47,7 @@ def _decode_kernel(
     block_kv: int,
     num_kv_blocks: int,
     window: int | None,
+    chunk: int,
 ):
     if int8_mode:
         (q_scale_ref, k_scale_ref, v_scale_ref, o_ref,
@@ -59,9 +60,10 @@ def _decode_kernel(
     b = pl.program_id(0)
     kj = pl.program_id(2)
     length = lengths_ref[b]
-    # Sliding window: only positions in [length - window, length) are live.
-    start = (jnp.maximum(length - window, 0) if window is not None
-             else jnp.int32(0))
+    # Sliding window: only positions in [length - window, length) are live
+    # (chunked mode: the EARLIEST row's window start bounds the block skip).
+    start = (jnp.maximum(length - (chunk - 1) - window, 0)
+             if window is not None else jnp.int32(0))
 
     @pl.when(kj == 0)
     def _init():
@@ -98,11 +100,21 @@ def _decode_kernel(
                 s = s * k_scale_ref[0, 0]  # (1, bkv) broadcasts over G rows
 
         # Length mask on the tail block (+ window mask on the head block).
+        # Chunked mode (T > 1): row r is the g = r // T query head's t-th new
+        # token (t = r % T, global position length - T + t), which attends
+        # keys at positions <= its own — causal within the chunk.
         cols = jax.lax.broadcasted_iota(jnp.int32, (group, block_kv), 1)
         pos = cols + kj * block_kv
-        live = pos < length
-        if window is not None:
-            live = live & (pos >= start)
+        if chunk > 1:
+            riota = jax.lax.broadcasted_iota(jnp.int32, (group, 1), 0)
+            row_pos = length - chunk + riota % chunk  # (rows, 1)
+            live = pos <= row_pos
+            if window is not None:
+                live = live & (pos > row_pos - window)
+        else:
+            live = pos < length
+            if window is not None:
+                live = live & (pos >= start)
         s = jnp.where(live, s, MASK_VALUE)
 
         m_prev = m_scratch[:, :1]
@@ -111,6 +123,10 @@ def _decode_kernel(
         m_new = jnp.maximum(m_prev, m_cur)
         alpha = jnp.exp2(m_prev - m_new)
         p = jnp.exp2(s - m_new)  # (G, bkv) f32
+        if chunk > 1 and window is not None:
+            # A row whose window misses this (visited) block would get
+            # p = exp2(MASK - MASK) = 1; zero exactly.
+            p = jnp.where(live, p, 0.0)
         l_new = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
         m_scratch[...] = jnp.broadcast_to(m_new, m_scratch.shape)
         l_scratch[...] = jnp.broadcast_to(l_new, l_scratch.shape)
@@ -172,7 +188,42 @@ def decode_attention(
     last `window` of them (sliding window): dead head blocks are skipped
     AND their DMA is clamped away, so long caches stream O(window) bytes.
     """
-    b, hq, d = q.shape
+    return _decode_attention(q[:, :, None], cache, scale, block_kv,
+                             interpret, debug, window)[:, :, 0]
+
+
+@functools.partial(
+    jax.jit, static_argnames=("scale", "block_kv", "interpret", "debug",
+                              "window")
+)
+def decode_attention_chunk(
+    q: jnp.ndarray,  # [B, Hq, T, D] — T new tokens per sequence
+    cache: KVCache,
+    scale: float | None = None,
+    block_kv: int | None = None,
+    interpret: bool | None = None,
+    debug: bool = False,
+    window: int | None = None,
+) -> jnp.ndarray:
+    """Chunked decode: T new tokens attend the cache + themselves causally
+    (chunked prefill / speculative-verification primitive) -> [B, Hq, T, D].
+
+    The chunk's K/V must already be appended: token t of the chunk sits at
+    position length - T + t and attends positions <= its own."""
+    return _decode_attention(q, cache, scale, block_kv, interpret, debug,
+                             window)
+
+
+def _decode_attention(
+    q: jnp.ndarray,  # [B, Hq, T, D]
+    cache: KVCache,
+    scale: float | None,
+    block_kv: int | None,
+    interpret: bool | None,
+    debug: bool,
+    window: int | None,
+) -> jnp.ndarray:
+    b, hq, t_chunk, d = q.shape
     _, hkv, s_max, dk = cache.k.shape
     assert dk == d
     assert hq % hkv == 0
@@ -196,11 +247,14 @@ def decode_attention(
         block_kv -= 128
     num_kv_blocks = s_max // block_kv
 
-    # [B, Hq, D] -> [B, Hkv, G, D]: all q heads of a KV group share a stream.
+    # [B, Hq, T, D] -> [B, Hkv, G*T, D]: all q heads of a KV group share one
+    # cache stream; chunk tokens ride as extra rows (row r = head r // T,
+    # token r % T).
+    rows = group * t_chunk
     quantized = cache.quantized
     int8_mode = quantized and cache.k.dtype == jnp.int8
     q_pre = (q.astype(jnp.float32) * (scale * LOG2E)).reshape(
-        b, hkv, group, d)
+        b, hkv, rows, d)
     if int8_mode:
         # Per-row symmetric q quantization: the whole attention then runs on
         # the native int8 MXU (q·kᵀ and p·v), no bulk dequant casts.
@@ -216,9 +270,11 @@ def decode_attention(
 
     def _clamped(kv_i, lens, b_i):
         # Clamp dead head/tail blocks onto the live range: no re-fetch DMA.
+        # (Chunked: the earliest chunk row's window start bounds `first`.)
         last = jnp.maximum(pl.cdiv(lens[b_i], block_kv) - 1, 0)
-        first = (jnp.maximum(lens[b_i] - window, 0) // block_kv
-                 if window is not None else 0)
+        first = (
+            jnp.maximum(lens[b_i] - (t_chunk - 1) - window, 0) // block_kv
+            if window is not None else 0)
         return jnp.clip(kv_i, first, last)
 
     def kv_index(b_i, h_i, kv_i, lens):
@@ -228,13 +284,13 @@ def decode_attention(
         return (b_i, h_i, 0, _clamped(kv_i, lens, b_i))
 
     in_specs = [
-        pl.BlockSpec((1, 1, group, d), q_index),
+        pl.BlockSpec((1, 1, rows, d), q_index),
         pl.BlockSpec((1, 1, block_kv, d), kv_index),
         pl.BlockSpec((1, 1, block_kv, d), kv_index),
     ]
     args = [q4, cache.k, cache.v]
     if int8_mode:
-        in_specs.append(pl.BlockSpec((1, 1, group, 1), q_index))
+        in_specs.append(pl.BlockSpec((1, 1, rows, 1), q_index))
         args.append(q_scale)
     if quantized:
         in_specs += [
@@ -247,10 +303,11 @@ def decode_attention(
         _decode_kernel,
         quantized=quantized,
         int8_mode=int8_mode,
-        group=group,
+        group=rows,
         block_kv=block_kv,
         num_kv_blocks=num_kv_blocks,
         window=window,
+        chunk=t_chunk,
     )
     o = pl.pallas_call(
         kernel,
@@ -258,14 +315,14 @@ def decode_attention(
             num_scalar_prefetch=1,
             grid=(b, hkv, num_kv_blocks),
             in_specs=in_specs,
-            out_specs=pl.BlockSpec((1, 1, group, d), q_index),
+            out_specs=pl.BlockSpec((1, 1, rows, d), q_index),
             scratch_shapes=[
-                pltpu.VMEM((group, 128), jnp.float32),
-                pltpu.VMEM((group, 128), jnp.float32),
-                pltpu.VMEM((group, d), jnp.float32),
+                pltpu.VMEM((rows, 128), jnp.float32),
+                pltpu.VMEM((rows, 128), jnp.float32),
+                pltpu.VMEM((rows, d), jnp.float32),
             ],
         ),
-        out_shape=jax.ShapeDtypeStruct((b, hkv, group, d), q.dtype),
+        out_shape=jax.ShapeDtypeStruct((b, hkv, rows, d), q.dtype),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
             vmem_limit_bytes=100 * 1024 * 1024,
@@ -273,4 +330,4 @@ def decode_attention(
         interpret=interpret,
         debug=debug,
     )(cache.length, *args)
-    return o.reshape(b, hq, d)
+    return o.reshape(b, hq, t_chunk, d)

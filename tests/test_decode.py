@@ -145,3 +145,61 @@ def test_decode_sliding_window(quant):
         r = verify_results(o_ref[:, :, 0], o[i:i + 1],
                            atol=3e-2, rtol=3e-2)
         assert r.passed, f"seq {i}: {r}"
+
+
+@pytest.mark.parametrize("quant", [None, "int8"])
+def test_decode_chunked(quant):
+    """Chunked decode: T new tokens attend cache + themselves causally; must
+    equal the full-attention oracle rows."""
+    from flashattn_tpu.ops.decode import decode_attention_chunk
+    from flashattn_tpu.ops.kvcache import dequantize, init_cache, update_cache
+    from flashattn_tpu.ops.reference import reference_attention
+    from flashattn_tpu.utils.verify import verify_results
+
+    b, hq, hkv, d, s_max, t = 2, 4, 2, 64, 512, 16
+    prior = 100
+    cache = init_cache(b, hkv, s_max, d, quant=quant)
+    kn = jax.random.normal(jax.random.PRNGKey(0), (b, hkv, prior + t, d),
+                           jnp.bfloat16)
+    vn = jax.random.normal(jax.random.PRNGKey(1), (b, hkv, prior + t, d),
+                           jnp.bfloat16)
+    cache = update_cache(cache, kn, vn)  # length = prior + t
+    q = jax.random.normal(jax.random.PRNGKey(2), (b, hq, t, d), jnp.bfloat16)
+
+    o = decode_attention_chunk(q, cache)
+    kd = dequantize(cache.k, cache.k_scale)[:, :, :prior + t].astype(
+        jnp.float32)
+    vd = dequantize(cache.v, cache.v_scale)[:, :, :prior + t].astype(
+        jnp.float32)
+    # Oracle: causal cross-attention of the t chunk rows vs all keys
+    # (causal offset s_k - s_q aligns the chunk to the key tail).
+    o_ref = reference_attention(q.astype(jnp.float32), kd, vd,
+                                is_causal=True)
+    r = verify_results(o_ref, o, atol=3e-2, rtol=3e-2)
+    assert r.passed, r
+
+
+def test_chunked_prefill_matches_prefill():
+    from flashattn_tpu.models import generate, llama
+    from flashattn_tpu.models.config import ModelConfig
+    import numpy as np
+
+    cfg = ModelConfig(
+        vocab_size=64, hidden_size=64, intermediate_size=128, num_layers=2,
+        num_heads=2, num_kv_heads=2, head_dim=32, max_seq_len=256,
+        dtype=jnp.float32,
+    )
+    params = llama.init_params(cfg, jax.random.PRNGKey(0))
+    tokens = jax.random.randint(jax.random.PRNGKey(1), (2, 128), 0,
+                                cfg.vocab_size, jnp.int32)
+    caches_a = generate.init_caches(cfg, 2, 256)
+    logits_a, caches_a = generate.prefill(params, tokens, caches_a, cfg)
+    caches_b = generate.init_caches(cfg, 2, 256)
+    logits_b, caches_b = generate.chunked_prefill(params, tokens, caches_b,
+                                                  cfg, chunk=32)
+    np.testing.assert_allclose(np.asarray(logits_b), np.asarray(logits_a),
+                               rtol=2e-4, atol=2e-4)
+    for ca, cb in zip(caches_a, caches_b):
+        np.testing.assert_allclose(np.asarray(cb.k), np.asarray(ca.k),
+                                   rtol=1e-5, atol=1e-5)
+        assert jnp.array_equal(ca.length, cb.length)
