@@ -136,6 +136,46 @@ def generate(
     return jnp.stack(out, axis=1)
 
 
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def chunk_step(
+    params: Params,
+    piece: jnp.ndarray,  # [B, C] int32 — C new tokens per sequence
+    positions: jnp.ndarray,  # [C] or [B, C] int32 — their position indices
+    caches: list[KVCache],
+    cfg: ModelConfig,
+) -> tuple[jnp.ndarray, list[KVCache]]:
+    """Process C new tokens against the caches (appending them): the
+    multi-token analogue of decode_step, via the chunked-decode kernel.
+    Returns (logits [B, C, vocab] for every chunk position, caches)."""
+    from flashattn_tpu.ops.decode import decode_attention_chunk
+
+    b, chunk = piece.shape
+    x = jnp.take(params["embed"], piece, axis=0)  # [B, C, H]
+    cos, sin = llama.rope_tables(cfg, positions)
+    new_caches = []
+    for layer, cache in zip(params["layers"], caches):
+        xn = llama.rms_norm(x, layer["attn_norm"], cfg.norm_eps)
+        q = llama.proj(xn, layer["wq"]).reshape(
+            b, chunk, cfg.num_heads, cfg.head_dim).transpose(0, 2, 1, 3)
+        k = llama.proj(xn, layer["wk"]).reshape(
+            b, chunk, cfg.num_kv_heads, cfg.head_dim).transpose(0, 2, 1, 3)
+        v = llama.proj(xn, layer["wv"]).reshape(
+            b, chunk, cfg.num_kv_heads, cfg.head_dim).transpose(0, 2, 1, 3)
+        q = llama.apply_rope(q, cos, sin)
+        k = llama.apply_rope(k, cos, sin)
+        cache = update_cache(cache, k, v)
+        new_caches.append(cache)
+        o = decode_attention_chunk(q, cache, window=cfg.attn_window)
+        o = o.transpose(0, 2, 1, 3).reshape(
+            b, chunk, cfg.num_heads * cfg.head_dim)
+        x = x + llama.proj(o, layer["wo"])
+        x = x + llama._mlp_block(layer, x, cfg)
+    x = llama.rms_norm(x, params["final_norm"], cfg.norm_eps)
+    head = params["embed"].T if cfg.tie_embeddings else params["lm_head"]
+    logits = llama.proj(x, head, out_dtype=jnp.float32)
+    return logits, new_caches
+
+
 def chunked_prefill(
     params: Params,
     tokens: jnp.ndarray,  # [B, S] int32
@@ -150,38 +190,11 @@ def chunked_prefill(
     decode steps). Returns (last-position logits [B, vocab], caches).
 
     Requires S % chunk == 0 (pad prompts to the chunk grid)."""
-    from flashattn_tpu.ops.decode import decode_attention_chunk
-
     b, s = tokens.shape
     assert s % chunk == 0, (s, chunk)
     logits = None
     for c0 in range(0, s, chunk):
         piece = tokens[:, c0:c0 + chunk]
-        x = jnp.take(params["embed"], piece, axis=0)  # [B, C, H]
         positions = jnp.arange(c0, c0 + chunk)
-        cos, sin = llama.rope_tables(cfg, positions)
-        new_caches = []
-        for layer, cache in zip(params["layers"], caches):
-            xn = llama.rms_norm(x, layer["attn_norm"], cfg.norm_eps)
-            q = llama.proj(xn, layer["wq"]).reshape(
-                b, chunk, cfg.num_heads, cfg.head_dim).transpose(0, 2, 1, 3)
-            k = llama.proj(xn, layer["wk"]).reshape(
-                b, chunk, cfg.num_kv_heads, cfg.head_dim).transpose(0, 2, 1, 3)
-            v = llama.proj(xn, layer["wv"]).reshape(
-                b, chunk, cfg.num_kv_heads, cfg.head_dim).transpose(0, 2, 1, 3)
-            q = llama.apply_rope(q, cos, sin)
-            k = llama.apply_rope(k, cos, sin)
-            cache = update_cache(cache, k, v)
-            new_caches.append(cache)
-            o = decode_attention_chunk(q, cache, window=cfg.attn_window)
-            o = o.transpose(0, 2, 1, 3).reshape(
-                b, chunk, cfg.num_heads * cfg.head_dim)
-            x = x + llama.proj(o, layer["wo"])
-            x = x + llama._mlp_block(layer, x, cfg)
-        caches = new_caches
-        if c0 + chunk == s:
-            xl = llama.rms_norm(x[:, -1], params["final_norm"], cfg.norm_eps)
-            head = (params["embed"].T if cfg.tie_embeddings
-                    else params["lm_head"])
-            logits = llama.proj(xl, head, out_dtype=jnp.float32)
-    return logits, caches
+        logits, caches = chunk_step(params, piece, positions, caches, cfg)
+    return logits[:, -1], caches

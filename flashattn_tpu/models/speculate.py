@@ -1,0 +1,107 @@
+"""Speculative decoding: draft-model proposals verified in ONE chunked
+target pass (greedy acceptance — output is EXACTLY the target model's greedy
+generation, just cheaper per accepted token).
+
+Built on the chunked-decode kernel (ops/decode.py): the target scores the
+draft's k tokens + the anchor token in a single decode_attention_chunk call
+instead of k+1 sequential steps; rejected suffixes roll back by resetting
+the caches' per-sequence ``length`` (writes beyond length are dead by
+construction, so rollback is one int per layer — no buffer copies).
+
+B=1 per call (acceptance lengths are data-dependent; batching speculation
+is a scheduler concern, not a kernel one).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+from flashattn_tpu.models import generate
+from flashattn_tpu.models.config import ModelConfig
+
+Params = dict[str, Any]
+
+
+def _rollback(caches, length: int):
+    arr = jnp.asarray([length], jnp.int32)
+    return [dataclasses.replace(c, length=arr) for c in caches]
+
+
+def speculative_generate(
+    target_params: Params,
+    target_cfg: ModelConfig,
+    draft_params: Params,
+    draft_cfg: ModelConfig,
+    prompt: jnp.ndarray,  # [1, S] int32
+    max_new_tokens: int = 32,
+    k: int = 4,
+    max_len: int | None = None,
+) -> tuple[jnp.ndarray, float]:
+    """Greedy speculative decoding.
+
+    Returns ([1, max_new_tokens] tokens — identical to the target model's
+    greedy output — and the draft acceptance rate)."""
+    b, s = prompt.shape
+    assert b == 1, "speculation is per-sequence; batch via the scheduler"
+    if max_len is None:
+        max_len = -(-(s + max_new_tokens + k + 1) // 128) * 128
+
+    t_caches = generate.init_caches(target_cfg, 1, max_len)
+    d_caches = generate.init_caches(draft_cfg, 1, max_len)
+    t_logits, t_caches = generate.prefill(target_params, prompt, t_caches,
+                                          target_cfg)
+    _, d_caches = generate.prefill(draft_params, prompt, d_caches, draft_cfg)
+
+    out: list[int] = []
+    token = int(jnp.argmax(t_logits[0]))  # anchor: target's first token
+    out.append(token)
+    pos = s  # position of `token`
+    proposed = accepted = 0
+
+    while len(out) < max_new_tokens:
+        budget = max_new_tokens - len(out)
+        k_now = min(k, budget)
+        # --- draft proposes k_now tokens after `token` ---
+        drafts: list[int] = []
+        d_tok = token
+        for i in range(k_now):
+            d_logits, d_caches = generate.decode_step(
+                draft_params, jnp.asarray([d_tok], jnp.int32),
+                jnp.asarray([pos + i], jnp.int32), d_caches, draft_cfg)
+            d_tok = int(jnp.argmax(d_logits[0]))
+            drafts.append(d_tok)
+        # --- target verifies anchor + drafts in ONE chunked pass ---
+        piece = jnp.asarray([[token] + drafts], jnp.int32)  # [1, k_now+1]
+        positions = jnp.arange(pos, pos + k_now + 1)
+        v_logits, t_caches = generate.chunk_step(
+            target_params, piece, positions, t_caches, target_cfg)
+        greedy = [int(t) for t in jnp.argmax(v_logits[0], axis=-1)]
+        # greedy[i] = target's next token after piece[..i]; accept drafts
+        # while they match.
+        n_acc = 0
+        while n_acc < k_now and drafts[n_acc] == greedy[n_acc]:
+            n_acc += 1
+        proposed += k_now
+        accepted += n_acc
+        new_tokens = drafts[:n_acc] + [greedy[n_acc]]
+        out.extend(new_tokens)
+        # --- roll back to the accepted frontier ---
+        # Target appended k_now+1 entries (positions pos..pos+k_now); keep
+        # the anchor + accepted drafts.
+        t_caches = _rollback(t_caches, pos + n_acc + 1)
+        # Draft appended [anchor, drafts[:k_now-1]] — on full acceptance the
+        # last draft's kv is missing, so re-ingest the accepted piece in one
+        # chunk pass (cheap: it's the draft model).
+        d_caches = _rollback(d_caches, pos)
+        _, d_caches = generate.chunk_step(
+            draft_params, piece[:, :n_acc + 1], positions[:n_acc + 1],
+            d_caches, draft_cfg)
+        token = new_tokens[-1]
+        pos += n_acc + 1
+
+    rate = accepted / proposed if proposed else 0.0
+    return jnp.asarray([out[:max_new_tokens]], jnp.int32), rate
