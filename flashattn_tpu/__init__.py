@@ -21,6 +21,9 @@ from flashattn_tpu.ops.attention import (
     flash_attention_forward,
     flash_attention_backward,
 )
+from flashattn_tpu.ops.decode import decode_attention, decode_attention_chunk
+from flashattn_tpu.ops.kvcache import KVCache, init_cache, update_cache
+from flashattn_tpu.ops.quant_matmul import quant_matmul, quantize_weights
 from flashattn_tpu.ops.reference import reference_attention, reference_attention_with_lse
 from flashattn_tpu.ops.varlen import (
     flash_attention_varlen,
@@ -36,6 +39,13 @@ __all__ = [
     "flash_attention_backward",
     "flash_attention_varlen",
     "segment_ids_from_cu_seqlens",
+    "decode_attention",
+    "decode_attention_chunk",
+    "KVCache",
+    "init_cache",
+    "update_cache",
+    "quant_matmul",
+    "quantize_weights",
     "reference_attention",
     "reference_attention_with_lse",
     "verify_results",
