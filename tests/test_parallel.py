@@ -177,7 +177,7 @@ def test_zigzag_backward():
     from flashattn_tpu.parallel import sharded_ring_attention
 
     mesh = make_mesh({"sp": 4})
-    q, k, v, do = make_inputs(1, 2, 2, 1024, 64, seed=13)
+    q, k, v, do = make_inputs(1, 2, 2, 512, 64, seed=13)
     ours = lambda q, k, v: sharded_ring_attention(
         q, k, v, mesh, is_causal=True, block_sizes=BS, mode="zigzag",
         batch_axis=None, head_axis=None)
@@ -193,7 +193,7 @@ def test_zigzag_gqa():
     from flashattn_tpu.parallel import sharded_ring_attention
 
     mesh = make_mesh({"sp": 2})
-    q, k, v, do = make_inputs(1, 4, 2, 512, 64, seed=17)
+    q, k, v, do = make_inputs(1, 4, 2, 256, 64, seed=17)
     ours = lambda q, k, v: sharded_ring_attention(
         q, k, v, mesh, is_causal=True, block_sizes=BS, mode="zigzag",
         batch_axis=None, head_axis=None)

@@ -12,9 +12,11 @@ from flashattn_tpu.models.config import ModelConfig
 from flashattn_tpu.parallel import make_mesh
 from flashattn_tpu.parallel.pipeline import pipeline_apply
 
+# Small on purpose: pipelined autodiff compiles a (M + n - 1)-tick unrolled
+# graph; keep the per-tick graph tiny so the suite stays fast.
 CFG = ModelConfig(
-    vocab_size=128, hidden_size=128, intermediate_size=256, num_layers=4,
-    num_heads=4, num_kv_heads=2, head_dim=32, max_seq_len=128,
+    vocab_size=64, hidden_size=64, intermediate_size=128, num_layers=4,
+    num_heads=2, num_kv_heads=2, head_dim=32, max_seq_len=64,
     dtype=jnp.float32,
 )
 
@@ -41,7 +43,7 @@ def test_pipeline_apply_identity_math():
 def test_pipeline_forward_matches_plain(n_pp, n_mb):
     mesh = make_mesh({"pp": n_pp})
     params = llama.init_params(CFG, jax.random.PRNGKey(0))
-    tokens = jax.random.randint(jax.random.PRNGKey(1), (8, 64), 0,
+    tokens = jax.random.randint(jax.random.PRNGKey(1), (8, 32), 0,
                                 CFG.vocab_size, jnp.int32)
     plain = llama.forward(params, tokens, CFG)
     stacked = llama.stack_pipeline_params(params, n_pp)
@@ -51,10 +53,10 @@ def test_pipeline_forward_matches_plain(n_pp, n_mb):
 
 
 def test_pipeline_grads_match_plain():
-    n_pp, n_mb = 4, 4
+    n_pp, n_mb = 2, 2
     mesh = make_mesh({"pp": n_pp})
     params = llama.init_params(CFG, jax.random.PRNGKey(0))
-    tokens = jax.random.randint(jax.random.PRNGKey(2), (8, 33), 0,
+    tokens = jax.random.randint(jax.random.PRNGKey(2), (4, 17), 0,
                                 CFG.vocab_size, jnp.int32)
 
     plain_loss = lambda p: llama.loss_fn(p, tokens, CFG)
@@ -74,7 +76,7 @@ def test_pipeline_with_data_axis():
     """pp x data 2D mesh: batch sharded over data, stages over pp."""
     mesh = make_mesh({"data": 2, "pp": 2})
     params = llama.init_params(CFG, jax.random.PRNGKey(0))
-    tokens = jax.random.randint(jax.random.PRNGKey(3), (8, 64), 0,
+    tokens = jax.random.randint(jax.random.PRNGKey(3), (8, 32), 0,
                                 CFG.vocab_size, jnp.int32)
     plain = llama.forward(params, tokens, CFG)
     stacked = llama.stack_pipeline_params(params, 2)
