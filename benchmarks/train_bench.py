@@ -1,0 +1,75 @@
+"""Single-chip training-step benchmark: tokens/s and model FLOPs/s for the
+Llama-style stack (BASELINE config 4 scale). Uses the SGD step (AdamW adds
+8 bytes/param of optimizer state — too big for 1B on a 16 GiB chip together
+with activations; multi-chip runs shard it).
+
+  python benchmarks/train_bench.py --model 1b --batch 4 --seq 2048
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+import jax
+import jax.numpy as jnp
+
+sys.path.insert(0, ".")
+
+from flashattn_tpu.models import llama  # noqa: E402
+from flashattn_tpu.models.config import LLAMA_1B, TINY  # noqa: E402
+from flashattn_tpu.utils.roofline import detect_chip  # noqa: E402
+from flashattn_tpu.utils.timing import measure  # noqa: E402
+
+
+def model_flops_per_token(cfg, seq: int) -> float:
+    """6·N matmul FLOPs per token + attention term (fwd+bwd, standard
+    approximation: 6 = 2 fwd + 4 bwd passes over the weights)."""
+    n_params = (
+        cfg.vocab_size * cfg.hidden_size * (1 if cfg.tie_embeddings else 2)
+        + cfg.num_layers * (
+            cfg.hidden_size * (cfg.num_heads + 2 * cfg.num_kv_heads)
+            * cfg.head_dim
+            + cfg.num_heads * cfg.head_dim * cfg.hidden_size
+            + 3 * cfg.hidden_size * cfg.intermediate_size
+        )
+    )
+    attn = cfg.num_layers * 12 * cfg.num_heads * cfg.head_dim * seq / 2
+    return 6.0 * n_params + attn
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--model", default="1b", choices=["1b", "tiny"])
+    ap.add_argument("--batch", type=int, default=4)
+    ap.add_argument("--seq", type=int, default=2048)
+    args = ap.parse_args()
+
+    cfg = LLAMA_1B if args.model == "1b" else TINY
+    chip = detect_chip()
+    params = llama.init_params(cfg, jax.random.PRNGKey(0))
+    tokens = jax.random.randint(jax.random.PRNGKey(1),
+                                (args.batch, args.seq + 1), 0,
+                                cfg.vocab_size, jnp.int32)
+
+    @jax.jit
+    def step(params, tokens):
+        # remat: 1B fwd+bwd activations do not fit 16 GiB without it.
+        return llama.sgd_train_step(params, tokens, cfg, remat=True)
+
+    sec = measure(step, params, tokens, warmup=3, n1=2, n2=6)
+    toks = args.batch * args.seq
+    flops = model_flops_per_token(cfg, args.seq) * toks
+    rec = {
+        "bench": "train_step", "model": args.model, "B": args.batch,
+        "S": args.seq, "ms_per_step": round(sec * 1e3, 1),
+        "tokens_per_s": round(toks / sec, 1),
+        "model_tflops": round(flops / sec / 1e12, 1),
+        "mfu": round(flops / sec / (chip.bf16_tflops * 1e12), 3),
+    }
+    print(json.dumps(rec))
+
+
+if __name__ == "__main__":
+    main()

@@ -227,11 +227,16 @@ def forward(
     mesh=None,
     block_sizes=None,
     segment_ids: jnp.ndarray | None = None,  # [B, S] packed-document ids
+    remat: bool = False,
 ) -> jnp.ndarray:
     """Training/prefill forward -> logits [B, S, vocab] (f32).
 
     With segment_ids, rows are packed documents: attention stays within a
-    segment (varlen kernels) and RoPE positions restart at each boundary."""
+    segment (varlen kernels) and RoPE positions restart at each boundary.
+    remat=True wraps each layer in jax.checkpoint (rematerialization):
+    activations per layer shrink to the block boundary, trading one extra
+    forward pass for O(layers) memory — required for 1B+ training on a
+    single 16 GiB chip."""
     b, s = tokens.shape
     x = jnp.take(params["embed"], tokens, axis=0)  # [B, S, H]
     if segment_ids is not None:
@@ -246,10 +251,15 @@ def forward(
         positions = jnp.arange(s)
     cos, sin = rope_tables(cfg, positions)
 
-    for layer in params["layers"]:
+    def layer_fn(x, layer):
         x = x + _attn_block(layer, x, cos, sin, cfg, mesh, block_sizes,
                             segment_ids)
-        x = x + _mlp_block(layer, x, cfg, mesh)
+        return x + _mlp_block(layer, x, cfg, mesh)
+
+    if remat:
+        layer_fn = jax.checkpoint(layer_fn)
+    for layer in params["layers"]:
+        x = layer_fn(x, layer)
 
     x = rms_norm(x, params["final_norm"], cfg.norm_eps)
     head = (
@@ -308,13 +318,14 @@ def _mlp_block(layer, x, cfg, mesh=None):
 
 
 def loss_fn(params, tokens, cfg, mesh=None, block_sizes=None,
-            segment_ids=None) -> jnp.ndarray:
+            segment_ids=None, remat=False) -> jnp.ndarray:
     """Next-token cross-entropy over tokens[:, :-1] -> tokens[:, 1:].
 
     With segment_ids (packed documents), predictions across document
     boundaries and padding (ids < 0) are masked out of the mean."""
     seg_in = segment_ids[:, :-1] if segment_ids is not None else None
-    logits = forward(params, tokens[:, :-1], cfg, mesh, block_sizes, seg_in)
+    logits = forward(params, tokens[:, :-1], cfg, mesh, block_sizes, seg_in,
+                     remat=remat)
     targets = tokens[:, 1:]
     logz = jax.scipy.special.logsumexp(logits, axis=-1)
     gold = jnp.take_along_axis(logits, targets[..., None], axis=-1)[..., 0]
@@ -327,10 +338,12 @@ def loss_fn(params, tokens, cfg, mesh=None, block_sizes=None,
     return jnp.sum(jnp.where(valid, nll, 0.0)) / denom
 
 
-def sgd_train_step(params, tokens, cfg, lr=1e-3, mesh=None, block_sizes=None):
+def sgd_train_step(params, tokens, cfg, lr=1e-3, mesh=None,
+                   block_sizes=None, remat=False):
     """Minimal full training step (loss + grads + SGD update) used by the
     multi-chip dryrun; real runs plug optax in via train.py."""
-    loss, grads = jax.value_and_grad(loss_fn)(params, tokens, cfg, mesh, block_sizes)
+    loss, grads = jax.value_and_grad(loss_fn)(
+        params, tokens, cfg, mesh, block_sizes, None, remat)
     new_params = jax.tree_util.tree_map(
         lambda p, g: (p - lr * g.astype(jnp.float32).astype(p.dtype))
         if jnp.issubdtype(p.dtype, jnp.floating) else p,
