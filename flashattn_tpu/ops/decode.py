@@ -26,6 +26,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from flashattn_tpu.ops.common import (
+    LN2,
     LOG2E,
     MASK_VALUE,
     cdiv,
@@ -40,7 +41,7 @@ def _decode_kernel(
     q_ref,  # (1, 1, G, D) — pre-scaled by scale·log2(e); int8 in int8 mode
     k_ref,  # (1, 1, bkv, D) — bf16 | int8 | fp8
     v_ref,  # (1, 1, bkv, D)
-    *rest,  # [q_scale,] [k_scale, v_scale,] o_ref, m/l/acc scratch
+    *rest,  # [q_scale,] [k_scale, v_scale,] o_ref, [lse_ref,] scratches
     quantized: bool,
     int8_mode: bool,
     group: int,
@@ -48,12 +49,14 @@ def _decode_kernel(
     num_kv_blocks: int,
     window: int | None,
     chunk: int,
+    with_lse: bool,
 ):
     if int8_mode:
-        (q_scale_ref, k_scale_ref, v_scale_ref, o_ref,
-         m_scratch, l_scratch, acc_scratch) = rest
+        q_scale_ref, k_scale_ref, v_scale_ref, *rest = rest
     elif quantized:
-        k_scale_ref, v_scale_ref, o_ref, m_scratch, l_scratch, acc_scratch = rest
+        k_scale_ref, v_scale_ref, *rest = rest
+    if with_lse:
+        o_ref, lse_ref, m_scratch, l_scratch, acc_scratch = rest
     else:
         o_ref, m_scratch, l_scratch, acc_scratch = rest
 
@@ -166,6 +169,13 @@ def _decode_kernel(
         l = l_scratch[:, :1]
         l_safe = jnp.where(l == 0.0, 1.0, l)
         o_ref[0, 0] = (acc_scratch[...] / l_safe).astype(o_ref.dtype)
+        if with_lse:
+            # Natural-log LSE (same convention as the fwd kernel); empty
+            # shards (length 0 under sequence sharding) carry -inf so the
+            # cross-shard merge ignores them exactly.
+            m = m_scratch[:, :1]
+            lse = (m + jnp.log2(l_safe)) * LN2
+            lse_ref[0, 0] = jnp.where(l == 0.0, -jnp.inf, lse)
 
 
 @functools.partial(
@@ -222,7 +232,8 @@ def _decode_attention(
     interpret: bool | None,
     debug: bool,
     window: int | None,
-) -> jnp.ndarray:
+    with_lse: bool = False,
+):
     b, hq, t_chunk, d = q.shape
     _, hkv, s_max, dk = cache.k.shape
     assert dk == d
@@ -308,21 +319,29 @@ def _decode_attention(
         num_kv_blocks=num_kv_blocks,
         window=window,
         chunk=t_chunk,
+        with_lse=with_lse,
     )
-    o = pl.pallas_call(
+    out_specs = pl.BlockSpec((1, 1, rows, d), q_index)
+    out_shape = jax.ShapeDtypeStruct((b, hkv, rows, d), q.dtype)
+    if with_lse:
+        out_specs = [out_specs,
+                     pl.BlockSpec((1, 1, rows, 1), q_index)]
+        out_shape = [out_shape,
+                     jax.ShapeDtypeStruct((b, hkv, rows, 1), jnp.float32)]
+    res = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(b, hkv, num_kv_blocks),
             in_specs=in_specs,
-            out_specs=pl.BlockSpec((1, 1, rows, d), q_index),
+            out_specs=out_specs,
             scratch_shapes=[
                 pltpu.VMEM((rows, 128), jnp.float32),
                 pltpu.VMEM((rows, 128), jnp.float32),
                 pltpu.VMEM((rows, d), jnp.float32),
             ],
         ),
-        out_shape=jax.ShapeDtypeStruct((b, hkv, rows, d), q.dtype),
+        out_shape=out_shape,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
             vmem_limit_bytes=100 * 1024 * 1024,
@@ -330,4 +349,8 @@ def _decode_attention(
         interpret=interpret,
         debug=debug,
     )(cache.length, *args)
-    return o.reshape(b, hq, t_chunk, d)
+    if with_lse:
+        o, lse = res
+        return (o.reshape(b, hq, t_chunk, d),
+                lse.reshape(b, hq, t_chunk))
+    return res.reshape(b, hq, t_chunk, d)
