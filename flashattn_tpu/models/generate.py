@@ -119,19 +119,29 @@ def generate(
     max_new_tokens: int = 32,
     max_len: int | None = None,
     quant: str | None = None,
+    sampling=None,  # SamplingParams; None = greedy
+    rng: jax.Array | None = None,
 ) -> jnp.ndarray:
-    """Greedy generation. Returns [B, max_new_tokens] int32."""
+    """Greedy (default) or sampled generation -> [B, max_new_tokens]."""
+    from flashattn_tpu.models.sampling import SamplingParams, sample
+
     b, s = prompt.shape
     if max_len is None:
         max_len = -(-(s + max_new_tokens) // 128) * 128
+    if sampling is None:
+        sampling = SamplingParams(temperature=0.0)
+    if rng is None:
+        rng = jax.random.PRNGKey(0)
     caches = init_caches(cfg, b, max_len, quant=quant)
     logits, caches = prefill(params, prompt, caches, cfg)
-    token = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    rng, sub = jax.random.split(rng)
+    token = sample(logits, sub, sampling)
     out = [token]
     for i in range(max_new_tokens - 1):
         positions = jnp.full((b,), s + i, jnp.int32)
         logits, caches = decode_step(params, token, positions, caches, cfg)
-        token = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        rng, sub = jax.random.split(rng)
+        token = sample(logits, sub, sampling)
         out.append(token)
     return jnp.stack(out, axis=1)
 
