@@ -64,3 +64,37 @@ def test_greedy_generation_parity(hf_model):
     ours = generate.generate(params, jnp.asarray(prompt, jnp.int32), cfg,
                              max_new_tokens=8, max_len=256)
     assert [int(t) for t in ours[0]] == hf_new
+
+
+def test_mistral_sliding_window_parity():
+    """transformers MistralForCausalLM with sliding_window < seq — validates
+    our window semantics (and config mapping) against HF's implementation."""
+    hf_cfg = transformers.MistralConfig(
+        vocab_size=256,
+        hidden_size=128,
+        intermediate_size=256,
+        num_hidden_layers=2,
+        num_attention_heads=4,
+        num_key_value_heads=2,
+        max_position_embeddings=256,
+        rms_norm_eps=1e-5,
+        rope_theta=10000.0,
+        sliding_window=24,
+        tie_word_embeddings=False,
+        attn_implementation="eager",
+    )
+    torch.manual_seed(7)
+    model = transformers.MistralForCausalLM(hf_cfg).eval()
+    import dataclasses
+
+    cfg = dataclasses.replace(
+        config_from_hf(hf_cfg, dtype=jnp.float32), attn_window=24)
+    params = params_from_hf(model.state_dict(), cfg)
+
+    rng = np.random.default_rng(1)
+    tokens = rng.integers(0, hf_cfg.vocab_size, size=(1, 64))
+    with torch.no_grad():
+        hf_logits = model(torch.from_numpy(tokens)).logits.numpy()
+    ours = np.asarray(llama.forward(params, jnp.asarray(tokens, jnp.int32),
+                                    cfg))
+    np.testing.assert_allclose(ours, hf_logits, rtol=2e-3, atol=2e-3)
