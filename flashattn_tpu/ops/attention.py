@@ -21,38 +21,38 @@ from flashattn_tpu.ops.flash_bwd import flash_attention_backward
 
 
 @functools.partial(
-    jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8, 9, 10)
+    jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8, 9, 10, 11)
 )
 def _flash_attention(q, k, v, seed, is_causal, scale, block_sizes, interpret,
-                     dropout_rate, window, logit_softcap):
+                     dropout_rate, window, logit_softcap, alibi):
     o, _ = flash_attention_forward(
         q, k, v, is_causal=is_causal, scale=scale,
         block_sizes=block_sizes, interpret=interpret,
         dropout_rate=dropout_rate, dropout_seed=seed, window=window,
-        logit_softcap=logit_softcap,
+        logit_softcap=logit_softcap, alibi=alibi,
     )
     return o
 
 
 def _fwd(q, k, v, seed, is_causal, scale, block_sizes, interpret,
-         dropout_rate, window, logit_softcap):
+         dropout_rate, window, logit_softcap, alibi):
     o, lse = flash_attention_forward(
         q, k, v, is_causal=is_causal, scale=scale,
         block_sizes=block_sizes, interpret=interpret,
         dropout_rate=dropout_rate, dropout_seed=seed, window=window,
-        logit_softcap=logit_softcap,
+        logit_softcap=logit_softcap, alibi=alibi,
     )
     return o, (q, k, v, seed, o, lse)
 
 
 def _bwd(is_causal, scale, block_sizes, interpret, dropout_rate, window,
-         logit_softcap, residuals, do):
+         logit_softcap, alibi, residuals, do):
     q, k, v, seed, o, lse = residuals
     dq, dk, dv = flash_attention_backward(
         q, k, v, o, do, lse, is_causal=is_causal, scale=scale,
         block_sizes=block_sizes, interpret=interpret,
         dropout_rate=dropout_rate, dropout_seed=seed, window=window,
-        logit_softcap=logit_softcap,
+        logit_softcap=logit_softcap, alibi=alibi,
     )
     return dq, dk, dv, np.zeros(seed.shape, dtype=jax.dtypes.float0)
 
@@ -72,6 +72,7 @@ def flash_attention(
     dropout_seed: jnp.ndarray | int | None = None,
     window: int | None = None,
     logit_softcap: float | None = None,
+    alibi: bool = False,
 ) -> jnp.ndarray:
     """Differentiable fused flash attention (public entry point, mirroring
     the reference ``flash_attention`` at ``My_FlashAttention_optimized.py:169-170``).
@@ -92,6 +93,8 @@ def flash_attention(
         the wavefront, not just masked.
       logit_softcap: Gemma-style logit soft-capping cap·tanh(S/cap) applied
         to the raw logits before the softmax (fwd and bwd agree exactly).
+      alibi: add ALiBi position bias slope_h·(k_pos - q_pos) with the
+        standard 2^(-8(h+1)/H) slopes (computed in-kernel, no extra inputs).
 
     Returns:
       O: [B, Hq, S_q, D] in q.dtype.
@@ -101,7 +104,8 @@ def flash_attention(
         0 if dropout_seed is None else dropout_seed, jnp.int32
     )
     return _flash_attention(q, k, v, seed, is_causal, scale, block_sizes,
-                            interpret, dropout_rate, window, logit_softcap)
+                            interpret, dropout_rate, window, logit_softcap,
+                            alibi)
 
 
 # Re-exported for API parity with the reference's launcher layer.

@@ -142,6 +142,7 @@ def _dq_kernel(
     segmented: bool,
     windowed: bool,
     softcap: float,
+    alibi: bool,
     dropout_rate: float,
     hq: int,
     block_q: int,
@@ -188,6 +189,15 @@ def _dq_kernel(
     if softcap > 0.0:
         t_cap = jnp.tanh(s * (1.0 / softcap))
         s = t_cap * (softcap * LOG2E)
+    if alibi:
+        h = pl.program_id(1)
+        slope = jnp.exp2(-8.0 * (h + 1).astype(jnp.float32) / hq)
+        r1a = jax.lax.broadcasted_iota(jnp.int32, (block_q, 1), 0)
+        c1a = jax.lax.broadcasted_iota(jnp.int32, (1, block_kv), 1)
+        dist = ((c1a + meta_ref[step, META_KJ] * block_kv)
+                - (r1a + meta_ref[step, META_QI] * block_q)
+                - causal_offset).astype(jnp.float32)
+        s = s + (slope * LOG2E) * dist
 
     mask = None
     if needs_mask:
@@ -255,6 +265,7 @@ def _dkv_kernel(
     segmented: bool,
     windowed: bool,
     softcap: float,
+    alibi: bool,
     dropout_rate: float,
     hq: int,
     q_per_kv: int,
@@ -297,6 +308,15 @@ def _dkv_kernel(
     if softcap > 0.0:
         t_cap = jnp.tanh(s * (1.0 / softcap))
         s = t_cap * (softcap * LOG2E)
+    if alibi:
+        h_q = pl.program_id(1) * q_per_kv + meta_ref[step, DKV_G]
+        slope = jnp.exp2(-8.0 * (h_q + 1).astype(jnp.float32) / hq)
+        r1a = jax.lax.broadcasted_iota(jnp.int32, (block_q, 1), 0)
+        c1a = jax.lax.broadcasted_iota(jnp.int32, (1, block_kv), 1)
+        dist = ((c1a + meta_ref[step, DKV_KJ] * block_kv)
+                - (r1a + meta_ref[step, DKV_QI] * block_q)
+                - causal_offset).astype(jnp.float32)
+        s = s + (slope * LOG2E) * dist
 
     mask = None
     if needs_mask:
@@ -375,7 +395,8 @@ def _dkv_kernel(
 @functools.partial(
     jax.jit,
     static_argnames=("is_causal", "scale", "block_sizes", "interpret",
-                     "debug", "dropout_rate", "window", "logit_softcap"),
+                     "debug", "dropout_rate", "window", "logit_softcap",
+                     "alibi"),
 )
 def flash_attention_backward(
     q: jnp.ndarray,
@@ -394,6 +415,7 @@ def flash_attention_backward(
     dropout_seed: jnp.ndarray | int | None = None,
     window: int | None = None,
     logit_softcap: float | None = None,
+    alibi: bool = False,
 ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Two-kernel flash-attention backward (launcher layer).
 
@@ -479,6 +501,7 @@ def flash_attention_backward(
         segmented=segmented,
         windowed=windowed,
         softcap=float(logit_softcap or 0.0),
+        alibi=alibi,
         dropout_rate=dropout_rate,
         hq=hq,
         block_q=bq,
@@ -567,6 +590,7 @@ def flash_attention_backward(
         segmented=segmented,
         windowed=windowed,
         softcap=float(logit_softcap or 0.0),
+        alibi=alibi,
         dropout_rate=dropout_rate,
         hq=hq,
         q_per_kv=q_per_kv,

@@ -132,6 +132,7 @@ def _fwd_kernel(
     segmented: bool,
     windowed: bool,
     softcap: float,
+    alibi: bool,
     dropout_rate: float,
     hq: int,
     block_q: int,
@@ -169,6 +170,17 @@ def _fwd_kernel(
     )
     if softcap > 0.0:
         s = jnp.tanh(s * (1.0 / softcap)) * (softcap * LOG2E)
+    if alibi:
+        # ALiBi: score += slope_h * (k_pos - q_pos) (<= 0 for the past);
+        # slope 2^(-8(h+1)/H) computed from the grid index — no new inputs.
+        h = pl.program_id(1)
+        slope = jnp.exp2(-8.0 * (h + 1).astype(jnp.float32) / hq)
+        r1a = jax.lax.broadcasted_iota(jnp.int32, (block_q, 1), 0)
+        c1a = jax.lax.broadcasted_iota(jnp.int32, (1, block_kv), 1)
+        dist = ((c1a + meta_ref[step, META_KJ] * block_kv)
+                - (r1a + meta_ref[step, META_QI] * block_q)
+                - causal_offset).astype(jnp.float32)
+        s = s + (slope * LOG2E) * dist
 
     mask = None
     if needs_mask:
@@ -255,7 +267,8 @@ def _fwd_kernel(
 @functools.partial(
     jax.jit,
     static_argnames=("is_causal", "scale", "block_sizes", "interpret",
-                     "debug", "dropout_rate", "window", "logit_softcap"),
+                     "debug", "dropout_rate", "window", "logit_softcap",
+                     "alibi"),
 )
 def flash_attention_forward(
     q: jnp.ndarray,
@@ -271,6 +284,7 @@ def flash_attention_forward(
     dropout_seed: jnp.ndarray | int | None = None,
     window: int | None = None,
     logit_softcap: float | None = None,
+    alibi: bool = False,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Fused flash-attention forward.
 
@@ -341,12 +355,14 @@ def flash_attention_forward(
         segmented=segmented,
         windowed=windowed,
         softcap=float(logit_softcap or 0.0),
+        alibi=alibi,
         dropout_rate=dropout_rate,
         hq=hq,
         block_q=bq,
         block_kv=bkv,
         causal_offset=causal_offset,
     )
+    assert not (alibi and logit_softcap), "alibi + softcap: pick one"
 
     def q_index(b_i, h_i, s_i, meta_ref, *_):
         return (b_i, h_i, meta_ref[s_i, META_QI], 0)

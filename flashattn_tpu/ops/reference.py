@@ -24,6 +24,7 @@ def reference_attention_with_lse(
     segment_ids: tuple[jnp.ndarray, jnp.ndarray] | None = None,
     window: int | None = None,
     logit_softcap: float | None = None,
+    alibi: bool = False,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Unfused attention oracle returning (O, LSE).
 
@@ -61,6 +62,11 @@ def reference_attention_with_lse(
     s = jnp.einsum("bhqd,bhkd->bhqk", qf, kf) * scale
     if logit_softcap:
         s = logit_softcap * jnp.tanh(s / logit_softcap)
+    if alibi:
+        slopes = 2.0 ** (-8.0 * (jnp.arange(hq) + 1) / hq)  # [Hq]
+        dist = (jnp.arange(s_k)[None, :] - jnp.arange(s_q)[:, None]
+                - (s_k - s_q)).astype(jnp.float32)
+        s = s + slopes[:, None, None] * dist[None]
     mask = None
     if is_causal:
         qi = jnp.arange(s_q)[:, None]
@@ -96,9 +102,11 @@ def reference_attention(
     segment_ids: tuple[jnp.ndarray, jnp.ndarray] | None = None,
     window: int | None = None,
     logit_softcap: float | None = None,
+    alibi: bool = False,
 ) -> jnp.ndarray:
     """Unfused attention oracle (O only) — differentiable, used as the
     gradient oracle in alignment tests (reference's SDPA role,
     ``My_FlashAttention_optimized.py:172-212``)."""
     return reference_attention_with_lse(q, k, v, is_causal, scale,
-                                        segment_ids, window, logit_softcap)[0]
+                                        segment_ids, window, logit_softcap,
+                                        alibi)[0]
