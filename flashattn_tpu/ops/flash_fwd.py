@@ -27,6 +27,11 @@ Idiom differences from the Triton original (this is NOT a port):
     a pipeline-stalling branch.
   - GQA/MQA: K/V index maps fold the q-head -> kv-head mapping, which the
     reference (H_q == H_kv only) does not support.
+
+Composable variants carried by the same kernel (each a static flag, zero
+cost when off): sliding window (wavefront-pruned), Gemma-style logit
+soft-capping, ALiBi slopes (computed in-kernel), counter-based dropout,
+and packed-sequence segment masking (varlen).
 """
 
 from __future__ import annotations
