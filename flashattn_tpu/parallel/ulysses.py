@@ -42,15 +42,34 @@ def ulysses_flash_attention(
     """
     n = lax.axis_size(axis_name)
     hq, hkv = q.shape[1], k.shape[1]
-    assert hq % n == 0 and hkv % n == 0, (
-        f"Ulysses needs the axis size ({n}) to divide Hq={hq} and Hkv={hkv}; "
+    assert hq % n == 0, (
+        f"Ulysses needs the axis size ({n}) to divide Hq={hq}; "
         "use ring_flash_attention otherwise"
     )
     # [B, H, S/n, D] -> [B, H/n, S, D]: split heads across the axis, gather
     # the sequence. tiled=True keeps the axis implicit (shard_map style).
     q_h = lax.all_to_all(q, axis_name, split_axis=1, concat_axis=2, tiled=True)
-    k_h = lax.all_to_all(k, axis_name, split_axis=1, concat_axis=2, tiled=True)
-    v_h = lax.all_to_all(v, axis_name, split_axis=1, concat_axis=2, tiled=True)
+    if hkv % n == 0:
+        k_h = lax.all_to_all(k, axis_name, split_axis=1, concat_axis=2,
+                             tiled=True)
+        v_h = lax.all_to_all(v, axis_name, split_axis=1, concat_axis=2,
+                             tiled=True)
+    else:
+        # GQA with Hkv < axis: KV heads can't split — all-gather the full
+        # K/V sequence instead and slice the group each local q-head slice
+        # needs. Costs replicated KV memory (the GQA cache is small) but
+        # keeps causal semantics trivial.
+        k_f = lax.all_gather(k, axis_name, axis=2, tiled=True)
+        v_f = lax.all_gather(v, axis_name, axis=2, tiled=True)
+        hq_local = hq // n
+        assert hq_local % hkv == 0 or hkv % hq_local == 0, (hq, hkv, n)
+        idx = lax.axis_index(axis_name)
+        q_per_kv = hq // hkv
+        # local q heads are [idx*hq_local, (idx+1)*hq_local); their kv heads:
+        start = (idx * hq_local) // q_per_kv
+        span = max(hq_local // q_per_kv, 1)
+        k_h = lax.dynamic_slice_in_dim(k_f, start, span, axis=1)
+        v_h = lax.dynamic_slice_in_dim(v_f, start, span, axis=1)
 
     o_h = flash_attention(
         q_h, k_h, v_h, is_causal=is_causal, scale=scale,

@@ -205,3 +205,20 @@ def test_zigzag_gqa():
     ):
         r = verify_results(a, b, atol=1e-5, rtol=1e-5)
         assert r.passed, f"{name}: {r}"
+
+
+@pytest.mark.parametrize("is_causal", [False, True])
+def test_ulysses_gqa_kv_smaller_than_axis(is_causal):
+    """GQA with Hkv < axis size: the all-gather-KV fallback must still be
+    exact (fwd + grads)."""
+    mesh = make_mesh({"sp": 4})
+    q, k, v, do = make_inputs(1, 8, 2, 512, 64, seed=21)
+    ours = shard_mapped(ulysses_flash_attention, mesh, is_causal=is_causal)
+    ref = lambda q, k, v: reference_attention(q, k, v, is_causal=is_causal)
+    r = verify_results(ref(q, k, v), ours(q, k, v), atol=1e-5, rtol=1e-5)
+    assert r.passed, r
+    for name, a, b in zip(
+        ("dQ", "dK", "dV"), grads(ref, q, k, v, do), grads(ours, q, k, v, do)
+    ):
+        r = verify_results(a, b, atol=1e-5, rtol=1e-5)
+        assert r.passed, f"{name}: {r}"
