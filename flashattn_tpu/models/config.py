@@ -30,6 +30,8 @@ class ModelConfig:
     # Mixture-of-Experts FFN (Mixtral-style); 0 = dense MLP.
     num_experts: int = 0
     top_k_experts: int = 2
+    # Gemma-style attention logit soft-capping; None = off.
+    logit_softcap: float | None = None
 
     @property
     def q_per_kv(self) -> int:

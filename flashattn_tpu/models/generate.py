@@ -61,7 +61,8 @@ def prefill(
         from flashattn_tpu.ops.attention import flash_attention
 
         o = flash_attention(q, k, v, is_causal=True,
-                            window=cfg.attn_window)
+                            window=cfg.attn_window,
+                            logit_softcap=cfg.logit_softcap)
         o = o.transpose(0, 2, 1, 3).reshape(b, s, cfg.num_heads * cfg.head_dim)
         x = x + llama.proj(o, layer["wo"])
         x = x + llama._mlp_block(layer, x, cfg)
@@ -101,7 +102,8 @@ def decode_step(
         cache = update_cache(cache, k, v, active=active)
         new_caches.append(cache)
         o = decode_attention(q[:, :, 0], cache,
-                             window=cfg.attn_window)  # [B, Hq, D]
+                             window=cfg.attn_window,
+                             logit_softcap=cfg.logit_softcap)  # [B, Hq, D]
         o = o.reshape(b, cfg.num_heads * cfg.head_dim)
         x = x + llama.proj(o, layer["wo"])
         x = x + llama._mlp_block(layer, x[:, None], cfg)[:, 0]
@@ -175,7 +177,8 @@ def chunk_step(
         k = llama.apply_rope(k, cos, sin)
         cache = update_cache(cache, k, v)
         new_caches.append(cache)
-        o = decode_attention_chunk(q, cache, window=cfg.attn_window)
+        o = decode_attention_chunk(q, cache, window=cfg.attn_window,
+                                   logit_softcap=cfg.logit_softcap)
         o = o.transpose(0, 2, 1, 3).reshape(
             b, chunk, cfg.num_heads * cfg.head_dim)
         x = x + llama.proj(o, layer["wo"])

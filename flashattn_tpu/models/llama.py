@@ -173,7 +173,7 @@ def apply_rope(x: jnp.ndarray, cos: jnp.ndarray, sin: jnp.ndarray) -> jnp.ndarra
 
 
 def _attention(q, k, v, mesh, block_sizes=None, segment_ids=None,
-               window=None):
+               window=None, logit_softcap=None):
     """Fused attention; shard_map island under a mesh: batch over 'data',
     heads over 'model', and — when the mesh carries an 'sp' axis — sequence
     over 'sp' with ring-attention K/V rotation (context parallelism, the
@@ -191,13 +191,14 @@ def _attention(q, k, v, mesh, block_sizes=None, segment_ids=None,
             block_sizes=block_sizes)
     if mesh is None:
         return flash_attention(q, k, v, is_causal=True,
-                               block_sizes=block_sizes, window=window)
+                               block_sizes=block_sizes, window=window,
+                               logit_softcap=logit_softcap)
     da = "data" if "data" in mesh.axis_names else None
     ma = "model" if "model" in mesh.axis_names else None
     use_sp = "sp" in mesh.axis_names and mesh.shape["sp"] > 1
     if use_sp:
-        assert window is None, (
-            "sliding window + ring context parallelism not wired yet")
+        assert window is None and logit_softcap is None, (
+            "window/softcap + ring context parallelism not wired yet")
         from flashattn_tpu.parallel.ring import ring_flash_attention
 
         fn = functools.partial(
@@ -208,7 +209,7 @@ def _attention(q, k, v, mesh, block_sizes=None, segment_ids=None,
     else:
         fn = functools.partial(
             flash_attention, is_causal=True, block_sizes=block_sizes,
-            window=window,
+            window=window, logit_softcap=logit_softcap,
         )
         spec = P(da, ma, None, None)
     return jax.shard_map(
@@ -282,7 +283,7 @@ def _attn_block(layer, x, cos, sin, cfg, mesh, block_sizes,
     q = apply_rope(q, cos, sin)
     k = apply_rope(k, cos, sin)
     o = _attention(q, k, v, mesh, block_sizes, segment_ids,
-                   cfg.attn_window)  # [B, H, S, D]
+                   cfg.attn_window, cfg.logit_softcap)  # [B, H, S, D]
     o = o.transpose(0, 2, 1, 3).reshape(b, s, cfg.num_heads * cfg.head_dim)
     return proj(o, layer["wo"])
 

@@ -50,6 +50,7 @@ def _decode_kernel(
     window: int | None,
     chunk: int,
     with_lse: bool,
+    softcap: float,
 ):
     if int8_mode:
         q_scale_ref, k_scale_ref, v_scale_ref, *rest = rest
@@ -88,6 +89,8 @@ def _decode_kernel(
                 preferred_element_type=jnp.int32,
             ).astype(jnp.float32)
             s = s * (q_scale_ref[0, 0] * k_scale_ref[0, 0])  # (G,1)*(1,bkv)
+            if softcap > 0.0:  # s is in RAW units under softcap pre-scale
+                s = jnp.tanh(s * (1.0 / softcap)) * (softcap * LOG2E)
         else:
             if quantized:
                 k = (fp8e4m3_to_bf16(k) if k.dtype == jnp.float8_e4m3fn
@@ -101,6 +104,8 @@ def _decode_kernel(
                 # k dequant folded into logits: S = q·(k_q·s_k)ᵀ =
                 # (q·k_qᵀ) ⊙ s_k (per column), BEFORE exp.
                 s = s * k_scale_ref[0, 0]  # (1, bkv) broadcasts over G rows
+            if softcap > 0.0:  # s is in RAW units under softcap pre-scale
+                s = jnp.tanh(s * (1.0 / softcap)) * (softcap * LOG2E)
 
         # Length mask on the tail block (+ window mask on the head block).
         # Chunked mode (T > 1): row r is the g = r // T query head's t-th new
@@ -180,7 +185,7 @@ def _decode_kernel(
 
 @functools.partial(
     jax.jit, static_argnames=("scale", "block_kv", "interpret", "debug",
-                              "window")
+                              "window", "logit_softcap")
 )
 def decode_attention(
     q: jnp.ndarray,  # [B, Hq, D] — one new token per sequence
@@ -190,6 +195,7 @@ def decode_attention(
     interpret: bool | None = None,
     debug: bool = False,
     window: int | None = None,
+    logit_softcap: float | None = None,
 ) -> jnp.ndarray:
     """Single-step decode attention against the cache -> [B, Hq, D].
 
@@ -199,12 +205,13 @@ def decode_attention(
     AND their DMA is clamped away, so long caches stream O(window) bytes.
     """
     return _decode_attention(q[:, :, None], cache, scale, block_kv,
-                             interpret, debug, window)[:, :, 0]
+                             interpret, debug, window,
+                             logit_softcap=logit_softcap)[:, :, 0]
 
 
 @functools.partial(
     jax.jit, static_argnames=("scale", "block_kv", "interpret", "debug",
-                              "window")
+                              "window", "logit_softcap")
 )
 def decode_attention_chunk(
     q: jnp.ndarray,  # [B, Hq, T, D] — T new tokens per sequence
@@ -214,6 +221,7 @@ def decode_attention_chunk(
     interpret: bool | None = None,
     debug: bool = False,
     window: int | None = None,
+    logit_softcap: float | None = None,
 ) -> jnp.ndarray:
     """Chunked decode: T new tokens attend the cache + themselves causally
     (chunked prefill / speculative-verification primitive) -> [B, Hq, T, D].
@@ -221,7 +229,7 @@ def decode_attention_chunk(
     The chunk's K/V must already be appended: token t of the chunk sits at
     position length - T + t and attends positions <= its own."""
     return _decode_attention(q, cache, scale, block_kv, interpret, debug,
-                             window)
+                             window, logit_softcap=logit_softcap)
 
 
 def _decode_attention(
@@ -233,6 +241,7 @@ def _decode_attention(
     debug: bool,
     window: int | None,
     with_lse: bool = False,
+    logit_softcap: float | None = None,
 ):
     b, hq, t_chunk, d = q.shape
     _, hkv, s_max, dk = cache.k.shape
@@ -264,8 +273,10 @@ def _decode_attention(
     rows = group * t_chunk
     quantized = cache.quantized
     int8_mode = quantized and cache.k.dtype == jnp.int8
-    q_pre = (q.astype(jnp.float32) * (scale * LOG2E)).reshape(
-        b, hkv, rows, d)
+    # Softcap needs RAW logits for the tanh: fold only `scale`; the kernel
+    # applies log2(e) after the cap (mirrors the training kernels).
+    pre = scale if logit_softcap else scale * LOG2E
+    q_pre = (q.astype(jnp.float32) * pre).reshape(b, hkv, rows, d)
     if int8_mode:
         # Per-row symmetric q quantization: the whole attention then runs on
         # the native int8 MXU (q·kᵀ and p·v), no bulk dequant casts.
@@ -320,6 +331,7 @@ def _decode_attention(
         window=window,
         chunk=t_chunk,
         with_lse=with_lse,
+        softcap=float(logit_softcap or 0.0),
     )
     out_specs = pl.BlockSpec((1, 1, rows, d), q_index)
     out_shape = jax.ShapeDtypeStruct((b, hkv, rows, d), q.dtype)

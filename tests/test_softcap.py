@@ -78,3 +78,32 @@ def test_softcap_with_window():
     for name, a, b in zip(("dQ", "dK", "dV"), g(ref), g(ours)):
         r = verify_results(a, b, atol=1e-4, rtol=1e-4)
         assert r.passed, f"{name}: {r}"
+
+
+def test_softcapped_model_train_decode_agree():
+    """cfg.logit_softcap threads through training forward AND the decode
+    path (Gemma-family): teacher-forced logits must agree."""
+    import numpy as np
+    from flashattn_tpu.models import generate, llama
+    from flashattn_tpu.models.config import ModelConfig
+
+    cfg = ModelConfig(
+        vocab_size=64, hidden_size=64, intermediate_size=128, num_layers=2,
+        num_heads=2, num_kv_heads=2, head_dim=32, max_seq_len=256,
+        dtype=jnp.float32, logit_softcap=12.0,
+    )
+    params = llama.init_params(cfg, jax.random.PRNGKey(0))
+    tokens = jax.random.randint(jax.random.PRNGKey(1), (1, 48), 0,
+                                cfg.vocab_size, jnp.int32)
+    train_logits = llama.forward(params, tokens, cfg)
+    caches = generate.init_caches(cfg, 1, 128)
+    logits, caches = generate.prefill(params, tokens[:, :1], caches, cfg)
+    np.testing.assert_allclose(np.asarray(logits),
+                               np.asarray(train_logits[:, 0]),
+                               rtol=2e-4, atol=2e-4)
+    for t in range(1, 48):
+        logits, caches = generate.decode_step(
+            params, tokens[:, t], jnp.full((1,), t, jnp.int32), caches, cfg)
+        np.testing.assert_allclose(
+            np.asarray(logits), np.asarray(train_logits[:, t]),
+            rtol=2e-4, atol=2e-4, err_msg=f"position {t}")
