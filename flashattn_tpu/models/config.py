@@ -32,6 +32,8 @@ class ModelConfig:
     top_k_experts: int = 2
     # Gemma-style attention logit soft-capping; None = off.
     logit_softcap: float | None = None
+    # ALiBi position bias (BLOOM/MPT-style) — disables RoPE when True.
+    use_alibi: bool = False
 
     @property
     def q_per_kv(self) -> int:

@@ -55,14 +55,16 @@ def prefill(
         k = llama.proj(xn, layer["wk"]).reshape(b, s, cfg.num_kv_heads, cfg.head_dim)
         v = llama.proj(xn, layer["wv"]).reshape(b, s, cfg.num_kv_heads, cfg.head_dim)
         q, k, v = (t.transpose(0, 2, 1, 3) for t in (q, k, v))
-        q = llama.apply_rope(q, cos, sin)
-        k = llama.apply_rope(k, cos, sin)
+        if not cfg.use_alibi:
+            q = llama.apply_rope(q, cos, sin)
+            k = llama.apply_rope(k, cos, sin)
         new_caches.append(update_cache(cache, k, v))
         from flashattn_tpu.ops.attention import flash_attention
 
         o = flash_attention(q, k, v, is_causal=True,
                             window=cfg.attn_window,
-                            logit_softcap=cfg.logit_softcap)
+                            logit_softcap=cfg.logit_softcap,
+                            alibi=cfg.use_alibi)
         o = o.transpose(0, 2, 1, 3).reshape(b, s, cfg.num_heads * cfg.head_dim)
         x = x + llama.proj(o, layer["wo"])
         x = x + llama._mlp_block(layer, x, cfg)
@@ -97,13 +99,15 @@ def decode_step(
         q = llama.proj(xn, layer["wq"]).reshape(b, cfg.num_heads, 1, cfg.head_dim)
         k = llama.proj(xn, layer["wk"]).reshape(b, cfg.num_kv_heads, 1, cfg.head_dim)
         v = llama.proj(xn, layer["wv"]).reshape(b, cfg.num_kv_heads, 1, cfg.head_dim)
-        q = llama.apply_rope(q, cos[:, None], sin[:, None])
-        k = llama.apply_rope(k, cos[:, None], sin[:, None])
+        if not cfg.use_alibi:
+            q = llama.apply_rope(q, cos[:, None], sin[:, None])
+            k = llama.apply_rope(k, cos[:, None], sin[:, None])
         cache = update_cache(cache, k, v, active=active)
         new_caches.append(cache)
         o = decode_attention(q[:, :, 0], cache,
                              window=cfg.attn_window,
-                             logit_softcap=cfg.logit_softcap)  # [B, Hq, D]
+                             logit_softcap=cfg.logit_softcap,
+                             alibi=cfg.use_alibi)  # [B, Hq, D]
         o = o.reshape(b, cfg.num_heads * cfg.head_dim)
         x = x + llama.proj(o, layer["wo"])
         x = x + llama._mlp_block(layer, x[:, None], cfg)[:, 0]
@@ -173,12 +177,14 @@ def chunk_step(
             b, chunk, cfg.num_kv_heads, cfg.head_dim).transpose(0, 2, 1, 3)
         v = llama.proj(xn, layer["wv"]).reshape(
             b, chunk, cfg.num_kv_heads, cfg.head_dim).transpose(0, 2, 1, 3)
-        q = llama.apply_rope(q, cos, sin)
-        k = llama.apply_rope(k, cos, sin)
+        if not cfg.use_alibi:
+            q = llama.apply_rope(q, cos, sin)
+            k = llama.apply_rope(k, cos, sin)
         cache = update_cache(cache, k, v)
         new_caches.append(cache)
         o = decode_attention_chunk(q, cache, window=cfg.attn_window,
-                                   logit_softcap=cfg.logit_softcap)
+                                   logit_softcap=cfg.logit_softcap,
+                                   alibi=cfg.use_alibi)
         o = o.transpose(0, 2, 1, 3).reshape(
             b, chunk, cfg.num_heads * cfg.head_dim)
         x = x + llama.proj(o, layer["wo"])

@@ -173,7 +173,7 @@ def apply_rope(x: jnp.ndarray, cos: jnp.ndarray, sin: jnp.ndarray) -> jnp.ndarra
 
 
 def _attention(q, k, v, mesh, block_sizes=None, segment_ids=None,
-               window=None, logit_softcap=None):
+               window=None, logit_softcap=None, alibi=False):
     """Fused attention; shard_map island under a mesh: batch over 'data',
     heads over 'model', and — when the mesh carries an 'sp' axis — sequence
     over 'sp' with ring-attention K/V rotation (context parallelism, the
@@ -192,7 +192,7 @@ def _attention(q, k, v, mesh, block_sizes=None, segment_ids=None,
     if mesh is None:
         return flash_attention(q, k, v, is_causal=True,
                                block_sizes=block_sizes, window=window,
-                               logit_softcap=logit_softcap)
+                               logit_softcap=logit_softcap, alibi=alibi)
     da = "data" if "data" in mesh.axis_names else None
     ma = "model" if "model" in mesh.axis_names else None
     use_sp = "sp" in mesh.axis_names and mesh.shape["sp"] > 1
@@ -209,7 +209,7 @@ def _attention(q, k, v, mesh, block_sizes=None, segment_ids=None,
     else:
         fn = functools.partial(
             flash_attention, is_causal=True, block_sizes=block_sizes,
-            window=window, logit_softcap=logit_softcap,
+            window=window, logit_softcap=logit_softcap, alibi=alibi,
         )
         spec = P(da, ma, None, None)
     return jax.shard_map(
@@ -280,10 +280,12 @@ def _attn_block(layer, x, cos, sin, cfg, mesh, block_sizes,
     q = q.transpose(0, 2, 1, 3)
     k = k.transpose(0, 2, 1, 3)
     v = v.transpose(0, 2, 1, 3)
-    q = apply_rope(q, cos, sin)
-    k = apply_rope(k, cos, sin)
+    if not cfg.use_alibi:  # ALiBi models carry position in the bias, not RoPE
+        q = apply_rope(q, cos, sin)
+        k = apply_rope(k, cos, sin)
     o = _attention(q, k, v, mesh, block_sizes, segment_ids,
-                   cfg.attn_window, cfg.logit_softcap)  # [B, H, S, D]
+                   cfg.attn_window, cfg.logit_softcap,
+                   cfg.use_alibi)  # [B, H, S, D]
     o = o.transpose(0, 2, 1, 3).reshape(b, s, cfg.num_heads * cfg.head_dim)
     return proj(o, layer["wo"])
 

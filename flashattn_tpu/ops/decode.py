@@ -51,6 +51,7 @@ def _decode_kernel(
     chunk: int,
     with_lse: bool,
     softcap: float,
+    alibi_hq: int,  # 0 = off; else total query-head count H for the slopes
 ):
     if int8_mode:
         q_scale_ref, k_scale_ref, v_scale_ref, *rest = rest
@@ -62,6 +63,7 @@ def _decode_kernel(
         o_ref, m_scratch, l_scratch, acc_scratch = rest
 
     b = pl.program_id(0)
+    h_kv = pl.program_id(1)
     kj = pl.program_id(2)
     length = lengths_ref[b]
     # Sliding window: only positions in [length - window, length) are live
@@ -113,6 +115,14 @@ def _decode_kernel(
         # keys at positions <= its own — causal within the chunk.
         cols = jax.lax.broadcasted_iota(jnp.int32, (group, block_kv), 1)
         pos = cols + kj * block_kv
+        if alibi_hq:
+            # Row r belongs to q-head h_kv·G/T... = kv_head·(rows/chunk) +
+            # r//chunk; its position is length - chunk + r%chunk.
+            riota = jax.lax.broadcasted_iota(jnp.int32, (group, 1), 0)
+            h_q = h_kv * (group // chunk) + riota // chunk
+            slope = jnp.exp2(-8.0 * (h_q + 1).astype(jnp.float32) / alibi_hq)
+            row_pos_a = length - chunk + riota % chunk
+            s = s + slope * LOG2E * (pos - row_pos_a).astype(jnp.float32)
         if chunk > 1:
             riota = jax.lax.broadcasted_iota(jnp.int32, (group, 1), 0)
             row_pos = length - chunk + riota % chunk  # (rows, 1)
@@ -185,7 +195,7 @@ def _decode_kernel(
 
 @functools.partial(
     jax.jit, static_argnames=("scale", "block_kv", "interpret", "debug",
-                              "window", "logit_softcap")
+                              "window", "logit_softcap", "alibi")
 )
 def decode_attention(
     q: jnp.ndarray,  # [B, Hq, D] — one new token per sequence
@@ -196,6 +206,7 @@ def decode_attention(
     debug: bool = False,
     window: int | None = None,
     logit_softcap: float | None = None,
+    alibi: bool = False,
 ) -> jnp.ndarray:
     """Single-step decode attention against the cache -> [B, Hq, D].
 
@@ -206,12 +217,13 @@ def decode_attention(
     """
     return _decode_attention(q[:, :, None], cache, scale, block_kv,
                              interpret, debug, window,
-                             logit_softcap=logit_softcap)[:, :, 0]
+                             logit_softcap=logit_softcap,
+                             alibi=alibi)[:, :, 0]
 
 
 @functools.partial(
     jax.jit, static_argnames=("scale", "block_kv", "interpret", "debug",
-                              "window", "logit_softcap")
+                              "window", "logit_softcap", "alibi")
 )
 def decode_attention_chunk(
     q: jnp.ndarray,  # [B, Hq, T, D] — T new tokens per sequence
@@ -222,6 +234,7 @@ def decode_attention_chunk(
     debug: bool = False,
     window: int | None = None,
     logit_softcap: float | None = None,
+    alibi: bool = False,
 ) -> jnp.ndarray:
     """Chunked decode: T new tokens attend the cache + themselves causally
     (chunked prefill / speculative-verification primitive) -> [B, Hq, T, D].
@@ -229,7 +242,8 @@ def decode_attention_chunk(
     The chunk's K/V must already be appended: token t of the chunk sits at
     position length - T + t and attends positions <= its own."""
     return _decode_attention(q, cache, scale, block_kv, interpret, debug,
-                             window, logit_softcap=logit_softcap)
+                             window, logit_softcap=logit_softcap,
+                             alibi=alibi)
 
 
 def _decode_attention(
@@ -242,6 +256,7 @@ def _decode_attention(
     window: int | None,
     with_lse: bool = False,
     logit_softcap: float | None = None,
+    alibi: bool = False,
 ):
     b, hq, t_chunk, d = q.shape
     _, hkv, s_max, dk = cache.k.shape
@@ -332,6 +347,7 @@ def _decode_attention(
         chunk=t_chunk,
         with_lse=with_lse,
         softcap=float(logit_softcap or 0.0),
+        alibi_hq=hq if alibi else 0,
     )
     out_specs = pl.BlockSpec((1, 1, rows, d), q_index)
     out_shape = jax.ShapeDtypeStruct((b, hkv, rows, d), q.dtype)

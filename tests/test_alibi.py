@@ -64,3 +64,61 @@ def test_alibi_changes_output():
     o_a = flash_attention(q, k, v, is_causal=True, alibi=True, block_sizes=BS)
     o_n = flash_attention(q, k, v, is_causal=True, block_sizes=BS)
     assert not jnp.allclose(o_a, o_n, atol=1e-3)
+
+
+@pytest.mark.parametrize("t_chunk", [1, 8])
+def test_alibi_decode(t_chunk):
+    """Decode (single + chunked) with ALiBi matches the biased oracle over
+    the live cache, GQA slopes mapped per query head."""
+    import dataclasses
+
+    from flashattn_tpu.ops.decode import (
+        decode_attention, decode_attention_chunk)
+    from flashattn_tpu.ops.kvcache import init_cache, update_cache
+
+    b, hq, hkv, d, s_max = 2, 4, 2, 64, 256
+    length = 200
+    cache = init_cache(b, hkv, s_max, d, dtype=jnp.float32)
+    kn = jax.random.normal(jax.random.PRNGKey(0), (b, hkv, length, d))
+    vn = jax.random.normal(jax.random.PRNGKey(1), (b, hkv, length, d))
+    cache = update_cache(cache, kn, vn)
+    q = jax.random.normal(jax.random.PRNGKey(2), (b, hq, t_chunk, d))
+
+    if t_chunk == 1:
+        o = decode_attention(q[:, :, 0], cache, alibi=True)[:, :, None]
+    else:
+        o = decode_attention_chunk(q, cache, alibi=True)
+    # Oracle: causal cross-attn of the chunk rows (positions length-T..):
+    o_ref = reference_attention(q, kn[:, :, :length], vn[:, :, :length],
+                                is_causal=True, alibi=True)
+    r = verify_results(o_ref, o, atol=1e-5, rtol=1e-5)
+    assert r.passed, r
+
+
+def test_alibi_model_train_decode_agree():
+    """cfg.use_alibi (RoPE off, ALiBi on) threads through training forward
+    AND the decode path: teacher-forced logits must agree."""
+    import numpy as np
+    from flashattn_tpu.models import generate, llama
+    from flashattn_tpu.models.config import ModelConfig
+
+    cfg = ModelConfig(
+        vocab_size=64, hidden_size=64, intermediate_size=128, num_layers=2,
+        num_heads=4, num_kv_heads=2, head_dim=32, max_seq_len=256,
+        dtype=jnp.float32, use_alibi=True,
+    )
+    params = llama.init_params(cfg, jax.random.PRNGKey(0))
+    tokens = jax.random.randint(jax.random.PRNGKey(1), (1, 48), 0,
+                                cfg.vocab_size, jnp.int32)
+    train_logits = llama.forward(params, tokens, cfg)
+    caches = generate.init_caches(cfg, 1, 128)
+    logits, caches = generate.prefill(params, tokens[:, :1], caches, cfg)
+    np.testing.assert_allclose(np.asarray(logits),
+                               np.asarray(train_logits[:, 0]),
+                               rtol=2e-4, atol=2e-4)
+    for t in range(1, 48):
+        logits, caches = generate.decode_step(
+            params, tokens[:, t], jnp.full((1,), t, jnp.int32), caches, cfg)
+        np.testing.assert_allclose(
+            np.asarray(logits), np.asarray(train_logits[:, t]),
+            rtol=2e-4, atol=2e-4, err_msg=f"position {t}")
