@@ -135,7 +135,7 @@ def build_dkv_wavefront(
 
 
 def _dq_kernel(
-    meta_ref,  # SMEM (L, 7) int32 — fwd wavefront layout (META_COLS)
+    meta_ref,  # SMEM (7, L) int32 — fwd wavefront layout, step axis last
     *refs,  # [seed,] q, k, v, o, do, lse, [seg_q, seg_k,] dq, delta, scratch
     needs_mask: bool,
     guard_zero_rows: bool,
@@ -164,7 +164,7 @@ def _dq_kernel(
          dq_ref, delta_ref, dq_acc, delta_scratch) = refs
     step = pl.program_id(2)
 
-    @pl.when(meta_ref[step, META_FIRST] == 1)
+    @pl.when(meta_ref[META_FIRST, step] == 1)
     def _init():
         # delta = row_sum(dO ⊙ O), computed once per q tile and persisted to
         # HBM for the dKV kernel (reference :209-211, :258).
@@ -194,8 +194,8 @@ def _dq_kernel(
         slope = jnp.exp2(-8.0 * (h + 1).astype(jnp.float32) / hq)
         r1a = jax.lax.broadcasted_iota(jnp.int32, (block_q, 1), 0)
         c1a = jax.lax.broadcasted_iota(jnp.int32, (1, block_kv), 1)
-        dist = ((c1a + meta_ref[step, META_KJ] * block_kv)
-                - (r1a + meta_ref[step, META_QI] * block_q)
+        dist = ((c1a + meta_ref[META_KJ, step] * block_kv)
+                - (r1a + meta_ref[META_QI, step] * block_q)
                 - causal_offset).astype(jnp.float32)
         s = s + (slope * LOG2E) * dist
 
@@ -204,12 +204,12 @@ def _dq_kernel(
         # Collapsed causal+ragged mask (see flash_fwd): one broadcasted
         # compare against a per-row column limit.
         rows1 = jax.lax.broadcasted_iota(jnp.int32, (block_q, 1), 0)
-        limit = jnp.minimum(rows1 + meta_ref[step, META_RTHRESH],
-                            meta_ref[step, META_CTHRESH])  # (bq, 1)
+        limit = jnp.minimum(rows1 + meta_ref[META_RTHRESH, step],
+                            meta_ref[META_CTHRESH, step])  # (bq, 1)
         cols1 = jax.lax.broadcasted_iota(jnp.int32, (1, block_kv), 1)
         mask = cols1 <= limit  # (bq, bkv)
         if windowed:
-            mask = mask & (cols1 >= rows1 + meta_ref[step, META_LTHRESH])
+            mask = mask & (cols1 >= rows1 + meta_ref[META_LTHRESH, step])
     if segmented:
         seg_mask = segq_ref[0] == segk_ref[0]  # (bq,1)==(1,bkv) -> (bq,bkv)
         mask = seg_mask if mask is None else (mask & seg_mask)
@@ -224,7 +224,7 @@ def _dq_kernel(
         p = jnp.where(mask, p, 0.0)
     if guard_zero_rows:
         riota = jax.lax.broadcasted_iota(jnp.int32, (block_q, 1), 0)
-        valid = riota + (meta_ref[step, META_QI] * block_q + causal_offset) >= 0
+        valid = riota + (meta_ref[META_QI, step] * block_q + causal_offset) >= 0
         p = jnp.where(valid, p, 0.0)
 
     dp = jax.lax.dot_general(
@@ -235,9 +235,9 @@ def _dq_kernel(
     if dropout_rate > 0.0:
         # Regenerate the forward's keep-mask; dS = P ⊙ (M⊙dP/(1-r) − δ)
         # (δ = rowsum(dO⊙O) already carries the dropout through O).
-        rows_g = meta_ref[step, META_QI] * block_q + jax.lax.broadcasted_iota(
+        rows_g = meta_ref[META_QI, step] * block_q + jax.lax.broadcasted_iota(
             jnp.int32, (block_q, 1), 0)
-        cols_g = meta_ref[step, META_KJ] * block_kv + jax.lax.broadcasted_iota(
+        cols_g = meta_ref[META_KJ, step] * block_kv + jax.lax.broadcasted_iota(
             jnp.int32, (1, block_kv), 1)
         bh = pl.program_id(0) * hq + pl.program_id(1)
         keep = dropout_keep_mask(seed_ref[0], bh, rows_g, cols_g,
@@ -252,13 +252,13 @@ def _dq_kernel(
         preferred_element_type=jnp.float32,
     )
 
-    @pl.when(meta_ref[step, META_LAST] == 1)
+    @pl.when(meta_ref[META_LAST, step] == 1)
     def _finalize():
         dq_ref[0, 0] = (dq_acc[...] * scale).astype(dq_ref.dtype)
 
 
 def _dkv_kernel(
-    meta_ref,  # SMEM (L, 8) int32 — dKV wavefront layout
+    meta_ref,  # SMEM (8, L) int32 — dKV wavefront layout, step axis last
     *refs,  # [seed,] q, do, lse, delta, k, v, [seg_q, seg_k,] dk, dv, scr.
     needs_mask: bool,
     guard_zero_rows: bool,
@@ -288,7 +288,7 @@ def _dkv_kernel(
          dk_ref, dv_ref, dk_acc, dv_acc) = refs
     step = pl.program_id(2)
 
-    @pl.when(meta_ref[step, DKV_FIRST] == 1)
+    @pl.when(meta_ref[DKV_FIRST, step] == 1)
     def _init():
         dk_acc[...] = jnp.zeros_like(dk_acc)
         dv_acc[...] = jnp.zeros_like(dv_acc)
@@ -309,12 +309,12 @@ def _dkv_kernel(
         t_cap = jnp.tanh(s * (1.0 / softcap))
         s = t_cap * (softcap * LOG2E)
     if alibi:
-        h_q = pl.program_id(1) * q_per_kv + meta_ref[step, DKV_G]
+        h_q = pl.program_id(1) * q_per_kv + meta_ref[DKV_G, step]
         slope = jnp.exp2(-8.0 * (h_q + 1).astype(jnp.float32) / hq)
         r1a = jax.lax.broadcasted_iota(jnp.int32, (block_q, 1), 0)
         c1a = jax.lax.broadcasted_iota(jnp.int32, (1, block_kv), 1)
-        dist = ((c1a + meta_ref[step, DKV_KJ] * block_kv)
-                - (r1a + meta_ref[step, DKV_QI] * block_q)
+        dist = ((c1a + meta_ref[DKV_KJ, step] * block_kv)
+                - (r1a + meta_ref[DKV_QI, step] * block_q)
                 - causal_offset).astype(jnp.float32)
         s = s + (slope * LOG2E) * dist
 
@@ -325,12 +325,12 @@ def _dkv_kernel(
         # threshold into the per-row column limit (-BIG for dead rows) keeps
         # the full-tile work to ONE broadcasted compare.
         rows1 = jax.lax.broadcasted_iota(jnp.int32, (block_q, 1), 0)
-        limit = jnp.where(rows1 <= meta_ref[step, DKV_ROWTHRESH],
-                          rows1 + meta_ref[step, DKV_RTHRESH], -_BIG)
+        limit = jnp.where(rows1 <= meta_ref[DKV_ROWTHRESH, step],
+                          rows1 + meta_ref[DKV_RTHRESH, step], -_BIG)
         cols1 = jax.lax.broadcasted_iota(jnp.int32, (1, block_kv), 1)
         mask = cols1 <= limit  # (bq, bkv)
         if windowed:
-            mask = mask & (cols1 >= rows1 + meta_ref[step, DKV_LTHRESH])
+            mask = mask & (cols1 >= rows1 + meta_ref[DKV_LTHRESH, step])
     if segmented:
         seg_mask = segq_ref[0] == segk_ref[0]  # (bq,1)==(1,bkv) -> (bq,bkv)
         mask = seg_mask if mask is None else (mask & seg_mask)
@@ -342,18 +342,18 @@ def _dkv_kernel(
         p = jnp.where(mask, p, 0.0)  # empty rows carry LSE = -inf
     if guard_zero_rows:
         riota = jax.lax.broadcasted_iota(jnp.int32, (block_q, 1), 0)
-        valid = riota + (meta_ref[step, DKV_QI] * block_q + causal_offset) >= 0
+        valid = riota + (meta_ref[DKV_QI, step] * block_q + causal_offset) >= 0
         p = jnp.where(valid, p, 0.0)
 
     if dropout_rate > 0.0:
         # Same keep-mask as the forward: keyed on GLOBAL (row, col) and the
         # true q-head (this grid iterates kv heads; the group offset maps
         # back), so it agrees even if tile sizes differ between passes.
-        rows_g = meta_ref[step, DKV_QI] * block_q + jax.lax.broadcasted_iota(
+        rows_g = meta_ref[DKV_QI, step] * block_q + jax.lax.broadcasted_iota(
             jnp.int32, (block_q, 1), 0)
-        cols_g = meta_ref[step, DKV_KJ] * block_kv + jax.lax.broadcasted_iota(
+        cols_g = meta_ref[DKV_KJ, step] * block_kv + jax.lax.broadcasted_iota(
             jnp.int32, (1, block_kv), 1)
-        h_q = pl.program_id(1) * q_per_kv + meta_ref[step, DKV_G]
+        h_q = pl.program_id(1) * q_per_kv + meta_ref[DKV_G, step]
         bh = pl.program_id(0) * hq + h_q
         keep = dropout_keep_mask(seed_ref[0], bh, rows_g, cols_g,
                                  dropout_rate)
@@ -386,7 +386,7 @@ def _dkv_kernel(
         preferred_element_type=jnp.float32,
     )
 
-    @pl.when(meta_ref[step, DKV_LAST] == 1)
+    @pl.when(meta_ref[DKV_LAST, step] == 1)
     def _finalize():
         dk_ref[0, 0] = (dk_acc[...] * scale).astype(dk_ref.dtype)
         dv_ref[0, 0] = dv_acc[...].astype(dv_ref.dtype)
@@ -489,10 +489,10 @@ def flash_attention_backward(
         return segq_p, segk_p
 
     def q_index(b_i, h_i, s_i, m, *_):
-        return (b_i, h_i, m[s_i, META_QI], 0)
+        return (b_i, h_i, m[META_QI, s_i], 0)
 
     def kv_index(b_i, h_i, s_i, m, *_):
-        return (b_i, h_i // q_per_kv, m[s_i, META_KJ], 0)
+        return (b_i, h_i // q_per_kv, m[META_KJ, s_i], 0)
 
     dq_kernel = functools.partial(
         _dq_kernel,
@@ -521,9 +521,9 @@ def flash_attention_backward(
     if segmented:
         in_specs += [
             pl.BlockSpec((1, bq, 1),
-                         lambda b_i, h_i, s_i, m, *_: (b_i, m[s_i, META_QI], 0)),
+                         lambda b_i, h_i, s_i, m, *_: (b_i, m[META_QI, s_i], 0)),
             pl.BlockSpec((1, 1, bkv),
-                         lambda b_i, h_i, s_i, m, *_: (b_i, 0, m[s_i, META_KJ])),
+                         lambda b_i, h_i, s_i, m, *_: (b_i, 0, m[META_KJ, s_i])),
         ]
         inputs += list(pad_segments(bq, bkv, s_q_p, s_k_p))
     dq, delta = pl.pallas_call(
@@ -551,7 +551,7 @@ def flash_attention_backward(
         ),
         interpret=interpret,
         debug=debug,
-    )(jnp.asarray(meta), *seed_prefetch, *inputs)
+    )(jnp.asarray(np.ascontiguousarray(meta.T)), *seed_prefetch, *inputs)
     dq = dq[:, :, :s_q, :] if s_q_p != s_q else dq
 
     # ---- Kernel 2: dK/dV, reusing kernel 1's delta ----
@@ -578,10 +578,10 @@ def flash_attention_backward(
                                    or (meta2[:, DKV_ROWTHRESH] != _BIG).any())
 
     def q_index2(b_i, h_i, s_i, m, *_):
-        return (b_i, h_i * q_per_kv + m[s_i, DKV_G], m[s_i, DKV_QI], 0)
+        return (b_i, h_i * q_per_kv + m[DKV_G, s_i], m[DKV_QI, s_i], 0)
 
     def kv_index2(b_i, h_i, s_i, m, *_):
-        return (b_i, h_i, m[s_i, DKV_KJ], 0)
+        return (b_i, h_i, m[DKV_KJ, s_i], 0)
 
     dkv_kernel = functools.partial(
         _dkv_kernel,
@@ -611,9 +611,9 @@ def flash_attention_backward(
     if segmented:
         in_specs2 += [
             pl.BlockSpec((1, bq2, 1),
-                         lambda b_i, h_i, s_i, m, *_: (b_i, m[s_i, DKV_QI], 0)),
+                         lambda b_i, h_i, s_i, m, *_: (b_i, m[DKV_QI, s_i], 0)),
             pl.BlockSpec((1, 1, bkv2),
-                         lambda b_i, h_i, s_i, m, *_: (b_i, 0, m[s_i, DKV_KJ])),
+                         lambda b_i, h_i, s_i, m, *_: (b_i, 0, m[DKV_KJ, s_i])),
         ]
         inputs2 += list(pad_segments(bq2, bkv2, s_q_p2, s_k_p2))
     dk, dv = pl.pallas_call(
@@ -641,7 +641,7 @@ def flash_attention_backward(
         ),
         interpret=interpret,
         debug=debug,
-    )(jnp.asarray(meta2), *seed_prefetch, *inputs2)
+    )(jnp.asarray(np.ascontiguousarray(meta2.T)), *seed_prefetch, *inputs2)
     if s_k_p2 != s_k:
         dk = dk[:, :, :s_k, :]
         dv = dv[:, :, :s_k, :]

@@ -130,7 +130,7 @@ def build_wavefront(
 
 
 def _fwd_kernel(
-    meta_ref,  # SMEM (L, 7) int32 (scalar-prefetched)
+    meta_ref,  # SMEM (7, L) int32 (scalar-prefetched, column-per-step)
     *refs,  # [seed,] q, k, v, [seg_q, seg_k,] o, lse, m, l, acc scratches
     needs_mask: bool,
     guard_zero_rows: bool,
@@ -158,7 +158,7 @@ def _fwd_kernel(
          m_scratch, l_scratch, acc_scratch) = refs
     step = pl.program_id(2)
 
-    @pl.when(meta_ref[step, META_FIRST] == 1)
+    @pl.when(meta_ref[META_FIRST, step] == 1)
     def _init():
         m_scratch[...] = jnp.full_like(m_scratch, MASK_VALUE)
         l_scratch[...] = jnp.zeros_like(l_scratch)
@@ -182,8 +182,8 @@ def _fwd_kernel(
         slope = jnp.exp2(-8.0 * (h + 1).astype(jnp.float32) / hq)
         r1a = jax.lax.broadcasted_iota(jnp.int32, (block_q, 1), 0)
         c1a = jax.lax.broadcasted_iota(jnp.int32, (1, block_kv), 1)
-        dist = ((c1a + meta_ref[step, META_KJ] * block_kv)
-                - (r1a + meta_ref[step, META_QI] * block_q)
+        dist = ((c1a + meta_ref[META_KJ, step] * block_kv)
+                - (r1a + meta_ref[META_QI, step] * block_q)
                 - causal_offset).astype(jnp.float32)
         s = s + (slope * LOG2E) * dist
 
@@ -196,13 +196,13 @@ def _fwd_kernel(
         # reference taxonomy Phase_3.md:273-322, still short-circuits to
         # all-true).
         rows1 = jax.lax.broadcasted_iota(jnp.int32, (block_q, 1), 0)
-        limit = jnp.minimum(rows1 + meta_ref[step, META_RTHRESH],
-                            meta_ref[step, META_CTHRESH])  # (bq, 1)
+        limit = jnp.minimum(rows1 + meta_ref[META_RTHRESH, step],
+                            meta_ref[META_CTHRESH, step])  # (bq, 1)
         cols1 = jax.lax.broadcasted_iota(jnp.int32, (1, block_kv), 1)
         mask = cols1 <= limit  # (bq, bkv)
         if windowed:
             # Sliding window: left edge is a per-row LOWER column bound.
-            mask = mask & (cols1 >= rows1 + meta_ref[step, META_LTHRESH])
+            mask = mask & (cols1 >= rows1 + meta_ref[META_LTHRESH, step])
     if segmented:
         seg_mask = segq_ref[0] == segk_ref[0]  # (bq,1)==(1,bkv) -> (bq,bkv)
         mask = seg_mask if mask is None else (mask & seg_mask)
@@ -224,7 +224,7 @@ def _fwd_kernel(
         # Zero-key rows (causal cross-attn, S_q > S_k): all-masked rows would
         # get p = exp2(0) = 1; force 0 (convention: O = 0, LSE = -inf).
         riota = jax.lax.broadcasted_iota(jnp.int32, (block_q, 1), 0)
-        valid = riota + (meta_ref[step, META_QI] * block_q + causal_offset) >= 0
+        valid = riota + (meta_ref[META_QI, step] * block_q + causal_offset) >= 0
         p = jnp.where(valid, p, 0.0)
     l_new = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
 
@@ -235,9 +235,9 @@ def _fwd_kernel(
         # Dropout on the UNnormalized P feeding the PV dot only: l keeps the
         # clean softmax normalizer, so LSE (and the backward's P rebuild)
         # are dropout-free (reference deferred design Phase_6.md:54-114).
-        rows_g = meta_ref[step, META_QI] * block_q + jax.lax.broadcasted_iota(
+        rows_g = meta_ref[META_QI, step] * block_q + jax.lax.broadcasted_iota(
             jnp.int32, (block_q, 1), 0)
-        cols_g = meta_ref[step, META_KJ] * block_kv + jax.lax.broadcasted_iota(
+        cols_g = meta_ref[META_KJ, step] * block_kv + jax.lax.broadcasted_iota(
             jnp.int32, (1, block_kv), 1)
         bh = pl.program_id(0) * hq + pl.program_id(1)
         keep = dropout_keep_mask(seed_ref[0], bh, rows_g, cols_g,
@@ -255,7 +255,7 @@ def _fwd_kernel(
     )
     acc_scratch[...] = acc_scratch[...] * alpha + pv
 
-    @pl.when(meta_ref[step, META_LAST] == 1)
+    @pl.when(meta_ref[META_LAST, step] == 1)
     def _finalize():
         m = m_scratch[:, :1]
         l = l_scratch[:, :1]
@@ -370,15 +370,18 @@ def flash_attention_forward(
     assert not (alibi and logit_softcap), "alibi + softcap: pick one"
 
     def q_index(b_i, h_i, s_i, meta_ref, *_):
-        return (b_i, h_i, meta_ref[s_i, META_QI], 0)
+        return (b_i, h_i, meta_ref[META_QI, s_i], 0)
 
     def kv_index(b_i, h_i, s_i, meta_ref, *_):
-        return (b_i, h_i // q_per_kv, meta_ref[s_i, META_KJ], 0)
+        return (b_i, h_i // q_per_kv, meta_ref[META_KJ, s_i], 0)
 
     def lse_index(b_i, h_i, s_i, meta_ref, *_):
-        return (b_i, h_i, meta_ref[s_i, META_QI], 0)
+        return (b_i, h_i, meta_ref[META_QI, s_i], 0)
 
-    prefetch = [jnp.asarray(meta)]
+    # Transposed (7, L): SMEM pads the LAST dim to 128 lanes, so the step
+    # axis must be last or long-sequence wavefronts overflow the ~1MB SMEM
+    # (row-major [L, 7] costs 512B/step; this costs 28B/step).
+    prefetch = [jnp.asarray(np.ascontiguousarray(meta.T))]
     if dropout_rate > 0.0:
         assert dropout_seed is not None, "dropout needs dropout_seed"
         prefetch.append(jnp.asarray(dropout_seed, jnp.int32).reshape(1))
@@ -401,9 +404,9 @@ def flash_attention_forward(
                          constant_values=-2)[:, None, :]  # [B, 1, S_k_p]
         in_specs += [
             pl.BlockSpec((1, bq, 1),
-                         lambda b_i, h_i, s_i, m, *_: (b_i, m[s_i, META_QI], 0)),
+                         lambda b_i, h_i, s_i, m, *_: (b_i, m[META_QI, s_i], 0)),
             pl.BlockSpec((1, 1, bkv),
-                         lambda b_i, h_i, s_i, m, *_: (b_i, 0, m[s_i, META_KJ])),
+                         lambda b_i, h_i, s_i, m, *_: (b_i, 0, m[META_KJ, s_i])),
         ]
         inputs += [segq_p, segk_p]
 

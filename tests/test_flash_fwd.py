@@ -8,7 +8,7 @@ import jax.numpy as jnp
 import pytest
 
 from flashattn_tpu.ops.common import BlockSizes
-from flashattn_tpu.ops.flash_fwd import flash_attention_forward
+from flashattn_tpu.ops.flash_fwd import build_wavefront, flash_attention_forward
 from flashattn_tpu.ops.reference import (
     reference_attention,
     reference_attention_with_lse,
@@ -89,3 +89,13 @@ def test_fwd_odd_head_dims(d):
     o_ref = reference_attention(q, k, v, is_causal=True)
     r = verify_results(o_ref, o, atol=1e-5, rtol=1e-5)
     assert r.passed, r
+
+
+def test_wavefront_smem_footprint_long_sequence():
+    """The wavefront meta rides SMEM (~1MB) padded to 128 lanes on the LAST
+    axis, so it must be shipped step-axis-last: at S=128k causal 1024x1024
+    the row-major layout would need 8192*512B = 4MB and fail to compile."""
+    meta = build_wavefront(128, 128, 1024, 1024, 131072, causal_offset=0)
+    padded_lanes = -(-meta.shape[0] // 128) * 128  # step axis padded last
+    assert meta.shape[1] * padded_lanes * 4 < 512 * 1024, (
+        meta.shape, padded_lanes)
