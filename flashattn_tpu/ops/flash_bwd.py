@@ -275,9 +275,20 @@ def _dkv_kernel(
     scale: float,
 ):
     # seed (1,) SMEM int32 (dropout only); q/do (1,1,bq,D); lse/delta
-    # (1,1,bq,1) (delta written by the dQ kernel); k (1,1,bkv,D) pre-scaled
-    # by scale·log2(e); v (1,1,bkv,D); seg_q (1,bq,1) / seg_k (1,1,bkv)
+    # (1,1,1,bq) — reshaped host-side so q-row stats arrive lane-major
+    # (delta written by the dQ kernel); k (1,1,bkv,D) pre-scaled by
+    # scale·log2(e); v (1,1,bkv,D); seg_q (1,1,bq) / seg_k (1,bkv,1)
     # int32; outs dk/dv (1,1,bkv,D); scratch dk_acc/dv_acc (bkv,D) f32.
+    #
+    # The whole kernel works on Sᵀ tiles (bkv, bq): with KV rows in sublanes
+    # and q rows in lanes, ALL THREE matmuls (Sᵀ = K·Qᵀ, dV += Pᵀ·dO,
+    # dK += dSᵀ·Q) contract over the minor axis of the left operand — the
+    # MXU-native orientation. The row-major formulation needs two
+    # sublane-axis contractions (Pᵀ·dO, dSᵀ·Q), and Mosaic's in-register
+    # relayout of a 1024² tile per step costs ~15% of the kernel (measured
+    # v5e: 63.5% -> ~75% of peak). The reference's "pre-transposing K loses"
+    # lesson (Phase_5.md:639-651) survives as: transpose the MATH, not the
+    # data.
     if dropout_rate > 0.0:
         seed_ref, *refs = refs
     if segmented:
@@ -295,26 +306,26 @@ def _dkv_kernel(
 
     q = q_ref[0, 0]
     do = do_ref[0, 0]
-    lse2 = lse_ref[0, 0] * LOG2E  # (bq, 1)
-    delta = delta_ref[0, 0]  # (bq, 1)
+    lse2 = lse_ref[0, 0] * LOG2E  # (1, bq) — q-row stats in lanes
+    delta = delta_ref[0, 0]  # (1, bq)
     k = k_ref[0, 0]
     v = v_ref[0, 0]
 
     s = jax.lax.dot_general(
-        q, k,
+        k, q,
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
-    )  # log2 domain (k pre-scaled); true logits under softcap
+    )  # Sᵀ (bkv, bq); log2 domain (k pre-scaled); true logits under softcap
     if softcap > 0.0:
         t_cap = jnp.tanh(s * (1.0 / softcap))
         s = t_cap * (softcap * LOG2E)
     if alibi:
         h_q = pl.program_id(1) * q_per_kv + meta_ref[DKV_G, step]
         slope = jnp.exp2(-8.0 * (h_q + 1).astype(jnp.float32) / hq)
-        r1a = jax.lax.broadcasted_iota(jnp.int32, (block_q, 1), 0)
-        c1a = jax.lax.broadcasted_iota(jnp.int32, (1, block_kv), 1)
-        dist = ((c1a + meta_ref[DKV_KJ, step] * block_kv)
-                - (r1a + meta_ref[DKV_QI, step] * block_q)
+        k1a = jax.lax.broadcasted_iota(jnp.int32, (block_kv, 1), 0)
+        q1a = jax.lax.broadcasted_iota(jnp.int32, (1, block_q), 1)
+        dist = ((k1a + meta_ref[DKV_KJ, step] * block_kv)
+                - (q1a + meta_ref[DKV_QI, step] * block_q)
                 - causal_offset).astype(jnp.float32)
         s = s + (slope * LOG2E) * dist
 
@@ -322,37 +333,39 @@ def _dkv_kernel(
     if needs_mask:
         # Padded query rows carry zero LSE — they MUST contribute nothing to
         # dK/dV (padding-row masking, reference :355-356). Folding the row
-        # threshold into the per-row column limit (-BIG for dead rows) keeps
-        # the full-tile work to ONE broadcasted compare.
-        rows1 = jax.lax.broadcasted_iota(jnp.int32, (block_q, 1), 0)
-        limit = jnp.where(rows1 <= meta_ref[DKV_ROWTHRESH, step],
-                          rows1 + meta_ref[DKV_RTHRESH, step], -_BIG)
-        cols1 = jax.lax.broadcasted_iota(jnp.int32, (1, block_kv), 1)
-        mask = cols1 <= limit  # (bq, bkv)
+        # threshold into the per-q-lane KV limit (-BIG for dead rows) keeps
+        # the full-tile work to ONE broadcasted compare. Transposed layout:
+        # q rows are LANES (q1a), kv rows are SUBLANES (k1a).
+        q1m = jax.lax.broadcasted_iota(jnp.int32, (1, block_q), 1)
+        limit = jnp.where(q1m <= meta_ref[DKV_ROWTHRESH, step],
+                          q1m + meta_ref[DKV_RTHRESH, step], -_BIG)
+        k1m = jax.lax.broadcasted_iota(jnp.int32, (block_kv, 1), 0)
+        mask = k1m <= limit  # (bkv, bq)
         if windowed:
-            mask = mask & (cols1 >= rows1 + meta_ref[DKV_LTHRESH, step])
+            mask = mask & (k1m >= q1m + meta_ref[DKV_LTHRESH, step])
     if segmented:
-        seg_mask = segq_ref[0] == segk_ref[0]  # (bq,1)==(1,bkv) -> (bq,bkv)
+        seg_mask = segk_ref[0] == segq_ref[0]  # (bkv,1)==(1,bq) -> (bkv,bq)
         mask = seg_mask if mask is None else (mask & seg_mask)
     if mask is not None:
         s = jnp.where(mask, s, MASK_VALUE)
 
-    p = jnp.exp2(s - lse2)  # (bq, bkv) f32
+    p = jnp.exp2(s - lse2)  # Pᵀ (bkv, bq) f32
     if segmented:
         p = jnp.where(mask, p, 0.0)  # empty rows carry LSE = -inf
     if guard_zero_rows:
-        riota = jax.lax.broadcasted_iota(jnp.int32, (block_q, 1), 0)
-        valid = riota + (meta_ref[DKV_QI, step] * block_q + causal_offset) >= 0
+        q1g = jax.lax.broadcasted_iota(jnp.int32, (1, block_q), 1)
+        valid = q1g + (meta_ref[DKV_QI, step] * block_q + causal_offset) >= 0
         p = jnp.where(valid, p, 0.0)
 
     if dropout_rate > 0.0:
         # Same keep-mask as the forward: keyed on GLOBAL (row, col) and the
         # true q-head (this grid iterates kv heads; the group offset maps
-        # back), so it agrees even if tile sizes differ between passes.
+        # back), so it agrees even if tile sizes differ between passes. The
+        # broadcast shapes are transposed with the tile; values match.
         rows_g = meta_ref[DKV_QI, step] * block_q + jax.lax.broadcasted_iota(
-            jnp.int32, (block_q, 1), 0)
+            jnp.int32, (1, block_q), 1)
         cols_g = meta_ref[DKV_KJ, step] * block_kv + jax.lax.broadcasted_iota(
-            jnp.int32, (1, block_kv), 1)
+            jnp.int32, (block_kv, 1), 0)
         h_q = pl.program_id(1) * q_per_kv + meta_ref[DKV_G, step]
         bh = pl.program_id(0) * hq + h_q
         keep = dropout_keep_mask(seed_ref[0], bh, rows_g, cols_g,
@@ -362,15 +375,16 @@ def _dkv_kernel(
     else:
         p_v = p
 
-    # dV += P_dropᵀ · dO — contraction over q rows, no transpose materialized.
+    # dV += Pᵀ · dO — (bkv, bq) x (bq, D): natural orientation.
     dv_acc[...] += jax.lax.dot_general(
         p_v.astype(do.dtype), do,
-        dimension_numbers=(((0,), (0,)), ((), ())),
+        dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
 
+    # dPᵀ = V · dOᵀ (bkv, bq).
     dp = jax.lax.dot_general(
-        do, v,
+        v, do,
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
@@ -379,10 +393,10 @@ def _dkv_kernel(
     ds = p * (dp - delta)  # delta loaded, not recomputed (reference :375-376)
     if softcap > 0.0:
         ds = ds * (1.0 - t_cap * t_cap)
-    # dK += dSᵀ · Q
+    # dK += dSᵀ · Q — (bkv, bq) x (bq, D): natural orientation.
     dk_acc[...] += jax.lax.dot_general(
         ds.astype(q.dtype), q,
-        dimension_numbers=(((0,), (0,)), ((), ())),
+        dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
 
@@ -568,6 +582,13 @@ def flash_attention_backward(
     s_q_p2, s_k_p2 = q_p2.shape[2], k_p2.shape[2]
     num_q_blocks2 = s_q_p2 // bq2
     num_kv_blocks2 = s_k_p2 // bkv2
+    # The dKV kernel works on Sᵀ tiles (q rows in LANES): hand it the q-row
+    # stats as (1, bq) lane vectors by folding [S,1] -> [h*nq, 1, bq]
+    # host-side (one relayout outside the hot loop instead of a per-step
+    # transpose; the folded head axis keeps the block's trailing dims at
+    # (1, bq) as the Mosaic block rules require).
+    lse_t = lse_p2[..., 0].reshape(b, hq * num_q_blocks2, 1, bq2)
+    delta_t = delta_p[..., 0].reshape(b, hq * num_q_blocks2, 1, bq2)
 
     meta2 = build_dkv_wavefront(
         num_q_blocks2, num_kv_blocks2, bq2, bkv2, s_q, q_per_kv,
@@ -599,23 +620,31 @@ def flash_attention_backward(
         causal_offset=causal_offset,
         scale=scale,
     )
+    def qstat_index2(b_i, h_i, s_i, m, *_):
+        # [B, Hq*nq, 1, bq] with the q-head and q-block axes folded.
+        return (b_i, (h_i * q_per_kv + m[DKV_G, s_i]) * num_q_blocks2
+                + m[DKV_QI, s_i], 0, 0)
+
     in_specs2 = [
         pl.BlockSpec((1, 1, bq2, d), q_index2),
         pl.BlockSpec((1, 1, bq2, d), q_index2),
-        pl.BlockSpec((1, 1, bq2, 1), q_index2),
-        pl.BlockSpec((1, 1, bq2, 1), q_index2),
+        pl.BlockSpec((1, 1, 1, bq2), qstat_index2),
+        pl.BlockSpec((1, 1, 1, bq2), qstat_index2),
         pl.BlockSpec((1, 1, bkv2, d), kv_index2),
         pl.BlockSpec((1, 1, bkv2, d), kv_index2),
     ]
-    inputs2 = [q_p2, do_p2, lse_p2, delta_p, k_p2, v_p2]
+    inputs2 = [q_p2, do_p2, lse_t, delta_t, k_p2, v_p2]
     if segmented:
+        # Transposed tile: q ids ride lanes [B,1,S_q], k ids sublanes
+        # [B,S_k,1] (the forward/dQ layout is the other way around).
+        segq_p, segk_p = pad_segments(bq2, bkv2, s_q_p2, s_k_p2)
         in_specs2 += [
-            pl.BlockSpec((1, bq2, 1),
-                         lambda b_i, h_i, s_i, m, *_: (b_i, m[DKV_QI, s_i], 0)),
-            pl.BlockSpec((1, 1, bkv2),
-                         lambda b_i, h_i, s_i, m, *_: (b_i, 0, m[DKV_KJ, s_i])),
+            pl.BlockSpec((1, 1, bq2),
+                         lambda b_i, h_i, s_i, m, *_: (b_i, 0, m[DKV_QI, s_i])),
+            pl.BlockSpec((1, bkv2, 1),
+                         lambda b_i, h_i, s_i, m, *_: (b_i, m[DKV_KJ, s_i], 0)),
         ]
-        inputs2 += list(pad_segments(bq2, bkv2, s_q_p2, s_k_p2))
+        inputs2 += [segq_p.transpose(0, 2, 1), segk_p.transpose(0, 2, 1)]
     dk, dv = pl.pallas_call(
         dkv_kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
