@@ -23,6 +23,15 @@ from flashattn_tpu.ops.attention import (
 )
 from flashattn_tpu.ops.decode import decode_attention, decode_attention_chunk
 from flashattn_tpu.ops.kvcache import KVCache, init_cache, update_cache
+from flashattn_tpu.ops.paged import (
+    PagedKVCache,
+    PageAllocator,
+    append_paged,
+    init_paged_cache,
+    paged_decode_attention,
+    paged_decode_attention_chunk,
+    set_block_table,
+)
 from flashattn_tpu.ops.quant_matmul import quant_matmul, quantize_weights
 from flashattn_tpu.ops.reference import reference_attention, reference_attention_with_lse
 from flashattn_tpu.ops.varlen import (
@@ -44,6 +53,13 @@ __all__ = [
     "KVCache",
     "init_cache",
     "update_cache",
+    "PagedKVCache",
+    "PageAllocator",
+    "init_paged_cache",
+    "append_paged",
+    "set_block_table",
+    "paged_decode_attention",
+    "paged_decode_attention_chunk",
     "quant_matmul",
     "quantize_weights",
     "reference_attention",

@@ -1,0 +1,152 @@
+"""Paged KV cache + paged decode vs the dense decode path.
+
+The paged kernel is the SAME kernel as dense decode with a block-table
+indirection in the index maps, so given identical tokens the outputs must
+match the dense path exactly (not just the jnp oracle)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from flashattn_tpu.ops.decode import decode_attention, decode_attention_chunk
+from flashattn_tpu.ops.kvcache import init_cache, update_cache
+from flashattn_tpu.ops.paged import (
+    PageAllocator,
+    append_paged,
+    init_paged_cache,
+    paged_decode_attention,
+    paged_decode_attention_chunk,
+    pages_needed,
+    set_block_table,
+)
+from flashattn_tpu.utils.verify import verify_results
+
+B, HQ, HKV, D = 2, 4, 2, 128
+PAGE = 128
+# max_len = 1024: the harness appends one sequence at a time with `active`
+# masks, and the DENSE cache's convention writes dead tokens at inactive
+# slots' current length — headroom keeps those in-range (the paged cache
+# drops them entirely; see test_inactive_append_never_corrupts).
+MAX_PAGES = 8
+
+
+def make_pair(lengths, quant=None, seed=0):
+    """Dense cache + paged cache holding the same tokens, with the paged
+    copy living in a deliberately scrambled page assignment."""
+    s_max = PAGE * MAX_PAGES
+    dense = init_cache(B, HKV, s_max, D, dtype=jnp.float32, quant=quant)
+    paged = init_paged_cache(B, HKV, num_pages=B * MAX_PAGES + 3, page_size=PAGE,
+                             head_dim=D, max_pages_per_seq=MAX_PAGES,
+                             dtype=jnp.float32, quant=quant)
+    # Scrambled non-contiguous page assignment (pages 3.. in reverse order).
+    perm = np.arange(3, 3 + B * MAX_PAGES)[::-1].reshape(B, MAX_PAGES)
+    for bi in range(B):
+        paged = set_block_table(paged, bi, jnp.asarray(perm[bi], jnp.int32), 0)
+
+    kk = jax.random.split(jax.random.PRNGKey(seed), 2 * B)
+    for bi, ln in enumerate(lengths):
+        k_new = jax.random.normal(kk[2 * bi], (1, HKV, ln, D))
+        v_new = jax.random.normal(kk[2 * bi + 1], (1, HKV, ln, D))
+        # dense: per-sequence append via masked batch update
+        mask = jnp.arange(B) == bi
+        kb = jnp.where(mask[:, None, None, None],
+                       jnp.broadcast_to(k_new, (B, HKV, ln, D)), 0.0)
+        vb = jnp.where(mask[:, None, None, None],
+                       jnp.broadcast_to(v_new, (B, HKV, ln, D)), 0.0)
+        dense = update_cache(dense, kb, vb, active=mask)
+        paged = append_paged(paged, kb, vb, active=mask)
+    return dense, paged
+
+
+@pytest.mark.parametrize("quant", [None, "int8", "fp8"])
+def test_paged_matches_dense_single(quant):
+    lengths = [300, 170]
+    dense, paged = make_pair(lengths, quant=quant)
+    np.testing.assert_array_equal(np.asarray(dense.length),
+                                  np.asarray(paged.length))
+    q = jax.random.normal(jax.random.PRNGKey(7), (B, HQ, D))
+    o_dense = decode_attention(q, dense, block_kv=PAGE)
+    o_paged = paged_decode_attention(q, paged)
+    r = verify_results(o_dense, o_paged, atol=1e-6, rtol=1e-6)
+    assert r.passed, r
+
+
+def test_paged_matches_dense_chunk():
+    t = 8
+    lengths = [256 + t, 130 + t]
+    dense, paged = make_pair(lengths)
+    q = jax.random.normal(jax.random.PRNGKey(8), (B, HQ, t, D))
+    o_dense = decode_attention_chunk(q, dense, block_kv=PAGE)
+    o_paged = paged_decode_attention_chunk(q, paged)
+    r = verify_results(o_dense, o_paged, atol=1e-6, rtol=1e-6)
+    assert r.passed, r
+
+
+def test_paged_window():
+    lengths = [420, 200]
+    dense, paged = make_pair(lengths)
+    q = jax.random.normal(jax.random.PRNGKey(9), (B, HQ, D))
+    o_dense = decode_attention(q, dense, block_kv=PAGE, window=256)
+    o_paged = paged_decode_attention(q, paged, window=256)
+    r = verify_results(o_dense, o_paged, atol=1e-6, rtol=1e-6)
+    assert r.passed, r
+
+
+def test_paged_append_across_page_boundary():
+    """A chunk append that straddles a page boundary lands split across the
+    two physical pages the table names."""
+    dense, paged = make_pair([PAGE - 3, 10])
+    k_new = jax.random.normal(jax.random.PRNGKey(10), (B, HKV, 7, D))
+    v_new = jax.random.normal(jax.random.PRNGKey(11), (B, HKV, 7, D))
+    dense = update_cache(dense, k_new, v_new)
+    paged = append_paged(paged, k_new, v_new)
+    q = jax.random.normal(jax.random.PRNGKey(12), (B, HQ, D))
+    o_dense = decode_attention(q, dense, block_kv=PAGE)
+    o_paged = paged_decode_attention(q, paged)
+    r = verify_results(o_dense, o_paged, atol=1e-6, rtol=1e-6)
+    assert r.passed, r
+
+
+def test_allocator_reuse():
+    a = PageAllocator(8)
+    p1 = a.alloc(pages_needed(300, PAGE))  # 3 pages
+    assert a.free_pages == 5
+    p2 = a.alloc(2)
+    a.release(p1)
+    assert a.free_pages == 6
+    p3 = a.alloc(4)  # reuses released pages
+    assert set(p3) & set(p1), "released pages must be reusable"
+    assert not (set(p3) & set(p2))
+    with pytest.raises(MemoryError):
+        a.alloc(5)
+
+
+def test_inactive_append_never_corrupts():
+    """An inactive slot sitting at capacity must survive other slots'
+    appends bit-exactly (the scatter drops dead writes; the dense cache's
+    clamped dynamic-slice convention would clobber here)."""
+    dense, paged = make_pair([PAGE * MAX_PAGES, 100])  # slot 0 full
+    q = jax.random.normal(jax.random.PRNGKey(13), (B, HQ, D))
+    before = paged_decode_attention(q, paged)
+    k_new = jax.random.normal(jax.random.PRNGKey(14), (B, HKV, 64, D))
+    v_new = jax.random.normal(jax.random.PRNGKey(15), (B, HKV, 64, D))
+    active = jnp.asarray([False, True])
+    paged = append_paged(paged, k_new, v_new, active=active)
+    after = paged_decode_attention(q, paged)
+    np.testing.assert_array_equal(np.asarray(before[0]),
+                                  np.asarray(after[0]))
+    assert int(paged.length[0]) == PAGE * MAX_PAGES
+    assert int(paged.length[1]) == 164
+
+
+def test_set_block_table_admission():
+    """Admission installs a fresh page list + resets length; the old slot
+    content is dead regardless of what the pool holds."""
+    _, paged = make_pair([200, 100])
+    new_pages = jnp.asarray([1, 0, 2, 1, 0, 0, 0, 0],
+                            jnp.int32)  # padded tail is dead
+    paged = set_block_table(paged, 1, new_pages, 150)
+    assert int(paged.length[1]) == 150
+    np.testing.assert_array_equal(np.asarray(paged.block_table[1]),
+                                  np.asarray(new_pages))
