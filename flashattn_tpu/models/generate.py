@@ -18,6 +18,11 @@ from flashattn_tpu.models import llama
 from flashattn_tpu.models.config import ModelConfig
 from flashattn_tpu.ops.decode import decode_attention
 from flashattn_tpu.ops.kvcache import KVCache, init_cache, update_cache
+from flashattn_tpu.ops.paged import (
+    PagedKVCache,
+    append_paged,
+    paged_decode_attention,
+)
 
 Params = dict[str, Any]
 
@@ -88,13 +93,17 @@ def decode_step(
     """One decode step -> (logits [B, vocab], updated caches).
 
     Inactive slots (active=False) compute but do not advance their cache —
-    their logits are garbage and must be ignored by the caller."""
+    their logits are garbage and must be ignored by the caller.
+
+    Caches may be dense (KVCache) or paged (PagedKVCache): the dispatch is
+    on pytree structure, i.e. static at trace time."""
     b = token.shape[0]
     x = jnp.take(params["embed"], token, axis=0)  # [B, H]
     cos, sin = llama.rope_tables(cfg, positions)  # [B, hd/2]
 
     new_caches = []
     for layer, cache in zip(params["layers"], caches):
+        paged = isinstance(cache, PagedKVCache)
         xn = llama.rms_norm(x, layer["attn_norm"], cfg.norm_eps)
         q = llama.proj(xn, layer["wq"]).reshape(b, cfg.num_heads, 1, cfg.head_dim)
         k = llama.proj(xn, layer["wk"]).reshape(b, cfg.num_kv_heads, 1, cfg.head_dim)
@@ -102,12 +111,14 @@ def decode_step(
         if not cfg.use_alibi:
             q = llama.apply_rope(q, cos[:, None], sin[:, None])
             k = llama.apply_rope(k, cos[:, None], sin[:, None])
-        cache = update_cache(cache, k, v, active=active)
+        cache = (append_paged if paged else update_cache)(
+            cache, k, v, active=active)
         new_caches.append(cache)
-        o = decode_attention(q[:, :, 0], cache,
-                             window=cfg.attn_window,
-                             logit_softcap=cfg.logit_softcap,
-                             alibi=cfg.use_alibi)  # [B, Hq, D]
+        attn = paged_decode_attention if paged else decode_attention
+        o = attn(q[:, :, 0], cache,
+                 window=cfg.attn_window,
+                 logit_softcap=cfg.logit_softcap,
+                 alibi=cfg.use_alibi)  # [B, Hq, D]
         o = o.reshape(b, cfg.num_heads * cfg.head_dim)
         x = x + llama.proj(o, layer["wo"])
         x = x + llama._mlp_block(layer, x[:, None], cfg)[:, 0]

@@ -28,6 +28,12 @@ from flashattn_tpu.models import generate
 from flashattn_tpu.models.config import ModelConfig
 from flashattn_tpu.ops.common import round_up
 from flashattn_tpu.ops.kvcache import init_cache, write_slot
+from flashattn_tpu.ops.paged import (
+    PageAllocator,
+    init_paged_cache,
+    pages_needed,
+    write_slot_paged,
+)
 
 Params = dict[str, Any]
 
@@ -65,17 +71,43 @@ class InferenceServer:
         max_len: int = 2048,
         quant: str | None = None,
         prompt_bucket: int = 128,
+        paged: bool = False,
+        page_size: int = 1024,
+        num_pages: int | None = None,
     ):
+        """paged=True backs the KV cache with a shared page pool (block
+        tables): a slot holds only `ceil((prompt+max_new)/page_size)` pages
+        instead of a full max_len row, so `num_pages` sizes HBM to the
+        expected LIVE context sum, admitting more concurrent sequences than
+        dense slots would. Requests whose pages cannot be allocated stay
+        queued (admission backpressure) instead of failing."""
         self.params = params
         self.cfg = cfg
         self.max_len = max_len
         self.quant = quant
         self.prompt_bucket = prompt_bucket
-        self.caches = [
-            init_cache(max_slots, cfg.num_kv_heads, max_len, cfg.head_dim,
-                       dtype=cfg.dtype, quant=quant)
-            for _ in range(cfg.num_layers)
-        ]
+        self.paged = paged
+        self.page_size = page_size
+        if paged:
+            assert max_len % page_size == 0, (max_len, page_size)
+            self.max_pages_per_seq = max_len // page_size
+            if num_pages is None:
+                num_pages = max_slots * self.max_pages_per_seq
+            self.allocator = PageAllocator(num_pages)
+            self._slot_pages: list[list[int]] = [[] for _ in range(max_slots)]
+            self.caches = [
+                init_paged_cache(
+                    max_slots, cfg.num_kv_heads, num_pages, page_size,
+                    cfg.head_dim, self.max_pages_per_seq,
+                    dtype=cfg.dtype, quant=quant)
+                for _ in range(cfg.num_layers)
+            ]
+        else:
+            self.caches = [
+                init_cache(max_slots, cfg.num_kv_heads, max_len,
+                           cfg.head_dim, dtype=cfg.dtype, quant=quant)
+                for _ in range(cfg.num_layers)
+            ]
         self.slots = [_Slot() for _ in range(max_slots)]
         self.queue: deque[Request] = deque()
         self.tokens = jnp.zeros((max_slots,), jnp.int32)
@@ -90,6 +122,12 @@ class InferenceServer:
         for s, slot in enumerate(self.slots):
             if not self.queue or not slot.free:
                 continue
+            if self.paged:
+                need = pages_needed(
+                    len(self.queue[0].prompt)
+                    + self.queue[0].max_new_tokens, self.page_size)
+                if need > self.allocator.free_pages:
+                    return  # backpressure: keep queued until pages free up
             req = self.queue.popleft()
             plen = len(req.prompt)
             padded = min(round_up(max(plen, 1), self.prompt_bucket),
@@ -107,10 +145,25 @@ class InferenceServer:
             # Padding tokens sit AFTER the prompt, so causal attention keeps
             # real rows exact; resetting length=plen makes the padded k/v
             # dead (next appends land at plen and overwrite them).
+            if self.paged:
+                owned = self.allocator.alloc(
+                    pages_needed(plen + req.max_new_tokens, self.page_size))
+                self._slot_pages[s] = owned
+                # Unowned tail entries carry an out-of-range sentinel: the
+                # install scatter drops those blocks; decode never clamps
+                # into them (live blocks <= owned by construction).
+                sentinel = self.allocator.num_pages
+                table = jnp.asarray(
+                    owned + [sentinel] * (self.max_pages_per_seq - len(owned)),
+                    jnp.int32)
             for li in range(self.cfg.num_layers):
                 single[li] = dataclasses.replace(
                     single[li], length=jnp.asarray([plen], jnp.int32))
-                self.caches[li] = write_slot(self.caches[li], single[li], s)
+                if self.paged:
+                    self.caches[li] = write_slot_paged(
+                        self.caches[li], single[li], s, table)
+                else:
+                    self.caches[li] = write_slot(self.caches[li], single[li], s)
             first = int(jnp.argmax(logits[0, plen - 1]))
             self.slots[s] = slot = _Slot(
                 uid=req.uid, remaining=req.max_new_tokens - 1,
@@ -124,6 +177,9 @@ class InferenceServer:
         slot = self.slots[s]
         self.finished[slot.uid] = slot.out
         self.slots[s] = _Slot()
+        if self.paged and self._slot_pages[s]:
+            self.allocator.release(self._slot_pages[s])
+            self._slot_pages[s] = []
 
     def step(self) -> None:
         """Admit queued requests, then advance every active slot one token."""

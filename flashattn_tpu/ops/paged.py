@@ -151,6 +151,50 @@ def set_block_table(cache: PagedKVCache, slot, pages: jnp.ndarray,
     )
 
 
+@jax.jit
+def write_slot_paged(
+    cache: PagedKVCache,
+    single,  # dense KVCache, B=1, same Hkv/D/quant (a prefill result)
+    slot,
+    pages: jnp.ndarray,  # [max_pages_per_seq] int32; unowned entries >= P
+) -> PagedKVCache:
+    """Install a prefilled single-sequence DENSE cache into `slot`'s pages
+    (continuous-batching admission: prefill runs contiguous B=1, then the
+    filled cache shards into the pool page by page).
+
+    Unowned table entries must carry an out-of-range page id (>= num_pages):
+    their blocks are dropped by the scatter, so a slot only ever writes
+    pages it owns. The dense buffer's max_len must equal
+    max_pages_per_seq * page_size.
+    """
+    p, hkv, page, d = cache.k_pages.shape
+    maxp = cache.block_table.shape[1]
+    assert single.k.shape[0] == 1
+    assert single.k.shape[2] == maxp * page, (single.k.shape, maxp, page)
+
+    def shard(buf):  # [1, Hkv, S, D] -> [maxp, Hkv, page, D]
+        return buf[0].reshape(hkv, maxp, page, d).transpose(1, 0, 2, 3)
+
+    k_pages = cache.k_pages.at[pages].set(shard(single.k), mode="drop")
+    v_pages = cache.v_pages.at[pages].set(shard(single.v), mode="drop")
+    if cache.quantized:
+        def shard_s(buf):  # [1, Hkv, 1, S] -> [maxp, Hkv, 1, page]
+            return buf[0, :, 0].reshape(hkv, maxp, page).transpose(
+                1, 0, 2)[:, :, None, :]
+        k_scale = cache.k_scale.at[pages].set(shard_s(single.k_scale),
+                                              mode="drop")
+        v_scale = cache.v_scale.at[pages].set(shard_s(single.v_scale),
+                                              mode="drop")
+    else:
+        k_scale = v_scale = None
+    return dataclasses.replace(
+        cache, k_pages=k_pages, v_pages=v_pages,
+        k_scale=k_scale, v_scale=v_scale,
+        block_table=cache.block_table.at[slot].set(pages),
+        length=cache.length.at[slot].set(single.length[0]),
+    )
+
+
 @functools.partial(jax.jit, static_argnames=())
 def append_paged(
     cache: PagedKVCache,

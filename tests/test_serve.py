@@ -76,3 +76,26 @@ def test_quantized_server_runs():
     srv.submit(Request(uid=1, prompt=[1, 2, 3], max_new_tokens=5))
     got = srv.run()
     assert len(got[1]) == 5
+
+
+def test_paged_server_matches_dense():
+    """paged=True (block-table pool) must reproduce the dense server's
+    outputs exactly — same requests, slot churn, and page recycling, with a
+    pool deliberately too small to hold all requests at once
+    (admission backpressure)."""
+    params = make_params()
+    reqs = [
+        (1, [3, 1, 4, 1, 5], 6),
+        (2, [2, 7], 9),
+        (3, list(range(20)), 4),
+        (4, [99], 7),
+    ]
+    srv = InferenceServer(params, CFG, max_slots=2, max_len=512,
+                          paged=True, page_size=128, num_pages=5)
+    for uid, prompt, n in reqs:
+        srv.submit(Request(uid=uid, prompt=prompt, max_new_tokens=n))
+    got = srv.run()
+    assert set(got) == {1, 2, 3, 4}
+    for uid, prompt, n in reqs:
+        assert got[uid] == oracle(params, prompt, n), uid
+    assert srv.allocator.free_pages == 5, "all pages must be released"
