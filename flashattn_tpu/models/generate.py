@@ -22,6 +22,7 @@ from flashattn_tpu.ops.paged import (
     PagedKVCache,
     append_paged,
     paged_decode_attention,
+    paged_decode_attention_chunk,
 )
 
 Params = dict[str, Any]
@@ -173,6 +174,7 @@ def chunk_step(
 ) -> tuple[jnp.ndarray, list[KVCache]]:
     """Process C new tokens against the caches (appending them): the
     multi-token analogue of decode_step, via the chunked-decode kernel.
+    Caches may be dense or paged (chunked prefill straight into pages).
     Returns (logits [B, C, vocab] for every chunk position, caches)."""
     from flashattn_tpu.ops.decode import decode_attention_chunk
 
@@ -181,6 +183,7 @@ def chunk_step(
     cos, sin = llama.rope_tables(cfg, positions)
     new_caches = []
     for layer, cache in zip(params["layers"], caches):
+        paged = isinstance(cache, PagedKVCache)
         xn = llama.rms_norm(x, layer["attn_norm"], cfg.norm_eps)
         q = llama.proj(xn, layer["wq"]).reshape(
             b, chunk, cfg.num_heads, cfg.head_dim).transpose(0, 2, 1, 3)
@@ -191,11 +194,13 @@ def chunk_step(
         if not cfg.use_alibi:
             q = llama.apply_rope(q, cos, sin)
             k = llama.apply_rope(k, cos, sin)
-        cache = update_cache(cache, k, v)
+        cache = (append_paged if paged else update_cache)(cache, k, v)
         new_caches.append(cache)
-        o = decode_attention_chunk(q, cache, window=cfg.attn_window,
-                                   logit_softcap=cfg.logit_softcap,
-                                   alibi=cfg.use_alibi)
+        attn = (paged_decode_attention_chunk if paged
+                else decode_attention_chunk)
+        o = attn(q, cache, window=cfg.attn_window,
+                 logit_softcap=cfg.logit_softcap,
+                 alibi=cfg.use_alibi)
         o = o.transpose(0, 2, 1, 3).reshape(
             b, chunk, cfg.num_heads * cfg.head_dim)
         x = x + llama.proj(o, layer["wo"])

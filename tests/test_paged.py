@@ -150,3 +150,41 @@ def test_set_block_table_admission():
     assert int(paged.length[1]) == 150
     np.testing.assert_array_equal(np.asarray(paged.block_table[1]),
                                   np.asarray(new_pages))
+
+
+def test_chunked_prefill_into_pages():
+    """Chunked prefill straight into a paged cache + paged decode steps
+    reproduce the dense-cache generation path exactly."""
+    from flashattn_tpu.models import generate, llama
+    from flashattn_tpu.models.config import ModelConfig
+    from flashattn_tpu.ops.paged import init_paged_cache, set_block_table
+
+    cfg = ModelConfig(
+        vocab_size=64, hidden_size=64, intermediate_size=128, num_layers=2,
+        num_heads=4, num_kv_heads=2, head_dim=32, max_seq_len=512,
+        dtype=jnp.float32)
+    params = llama.init_params(cfg, jax.random.PRNGKey(0))
+    tokens = jax.random.randint(jax.random.PRNGKey(1), (1, 256), 0,
+                                cfg.vocab_size, jnp.int32)
+
+    dense = generate.init_caches(cfg, 1, 512)
+    ld, dense = generate.chunked_prefill(params, tokens, dense, cfg, chunk=128)
+
+    paged = [
+        init_paged_cache(1, cfg.num_kv_heads, num_pages=4, page_size=128,
+                         head_dim=cfg.head_dim, max_pages_per_seq=4,
+                         dtype=jnp.float32)
+        for _ in range(cfg.num_layers)
+    ]
+    paged = [set_block_table(c, 0, jnp.asarray([2, 0, 3, 1], jnp.int32), 0)
+             for c in paged]
+    lp, paged = generate.chunked_prefill(params, tokens, paged, cfg, chunk=128)
+    np.testing.assert_allclose(np.asarray(lp), np.asarray(ld),
+                               rtol=1e-5, atol=1e-5)
+    # one decode step on each path
+    tok = jnp.argmax(ld, -1).astype(jnp.int32)
+    pos = jnp.full((1,), 256, jnp.int32)
+    ld2, _ = generate.decode_step(params, tok, pos, dense, cfg)
+    lp2, _ = generate.decode_step(params, tok, pos, paged, cfg)
+    np.testing.assert_allclose(np.asarray(lp2), np.asarray(ld2),
+                               rtol=1e-5, atol=1e-5)
