@@ -64,7 +64,9 @@ def prefill(
         if not cfg.use_alibi:
             q = llama.apply_rope(q, cos, sin)
             k = llama.apply_rope(k, cos, sin)
-        new_caches.append(update_cache(cache, k, v))
+        upd = (append_paged if isinstance(cache, PagedKVCache)
+               else update_cache)
+        new_caches.append(upd(cache, k, v))
         from flashattn_tpu.ops.attention import flash_attention
 
         o = flash_attention(q, k, v, is_causal=True,

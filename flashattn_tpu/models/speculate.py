@@ -40,18 +40,40 @@ def speculative_generate(
     max_new_tokens: int = 32,
     k: int = 4,
     max_len: int | None = None,
+    paged: bool = False,
+    page_size: int = 128,
 ) -> tuple[jnp.ndarray, float]:
     """Greedy speculative decoding.
 
     Returns ([1, max_new_tokens] tokens — identical to the target model's
-    greedy output — and the draft acceptance rate)."""
+    greedy output — and the draft acceptance rate). paged=True runs both
+    models' caches on the paged backend — the rollback (length reset) makes
+    rejected drafts' pages-resident tokens dead without any page churn."""
     b, s = prompt.shape
     assert b == 1, "speculation is per-sequence; batch via the scheduler"
     if max_len is None:
         max_len = -(-(s + max_new_tokens + k + 1) // 128) * 128
 
-    t_caches = generate.init_caches(target_cfg, 1, max_len)
-    d_caches = generate.init_caches(draft_cfg, 1, max_len)
+    if paged:
+        from flashattn_tpu.ops.paged import init_paged_cache, set_block_table
+
+        max_len = -(-max_len // page_size) * page_size
+        maxp = max_len // page_size
+
+        def paged_caches(cfg):
+            return [
+                set_block_table(
+                    init_paged_cache(1, cfg.num_kv_heads, maxp, page_size,
+                                     cfg.head_dim, maxp, dtype=cfg.dtype),
+                    0, jnp.arange(maxp, dtype=jnp.int32), 0)
+                for _ in range(cfg.num_layers)
+            ]
+
+        t_caches = paged_caches(target_cfg)
+        d_caches = paged_caches(draft_cfg)
+    else:
+        t_caches = generate.init_caches(target_cfg, 1, max_len)
+        d_caches = generate.init_caches(draft_cfg, 1, max_len)
     t_logits, t_caches = generate.prefill(target_params, prompt, t_caches,
                                           target_cfg)
     _, d_caches = generate.prefill(draft_params, prompt, d_caches, draft_cfg)

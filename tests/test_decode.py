@@ -203,3 +203,20 @@ def test_chunked_prefill_matches_prefill():
         np.testing.assert_allclose(np.asarray(cb.k), np.asarray(ca.k),
                                    rtol=1e-5, atol=1e-5)
         assert jnp.array_equal(ca.length, cb.length)
+
+
+def test_fp8e4m3_to_bf16_fast_bound():
+    """The select-free kernel variant is exact for normals and within 2^-7
+    absolute on the 16 exp-field-0 codes (zero + subnormals) — far below
+    the KV quantization step."""
+    import numpy as np
+    from flashattn_tpu.ops.common import fp8e4m3_to_bf16_fast
+
+    codes = np.arange(256, dtype=np.uint8)
+    x = jax.lax.bitcast_convert_type(jnp.asarray(codes), jnp.float8_e4m3fn)
+    want = np.asarray(x.astype(jnp.float32))
+    got = np.asarray(fp8e4m3_to_bf16_fast(x).astype(jnp.float32))
+    finite = np.isfinite(want)
+    sub = (codes & 0x78) == 0  # exp field 0
+    np.testing.assert_array_equal(got[finite & ~sub], want[finite & ~sub])
+    assert np.abs(got[finite & sub] - want[finite & sub]).max() <= 2.0**-7

@@ -43,3 +43,16 @@ def test_speculate_with_disagreeing_draft():
         params, CFG, draft, DRAFT_CFG, prompt, max_new_tokens=16, k=4)
     assert [int(t) for t in got[0]] == want, (rate, got)
     assert 0.0 <= rate < 1.0
+
+
+def test_speculate_paged_backend():
+    """paged=True (block-table caches for target AND draft, rollback via
+    length reset) must still reproduce plain greedy exactly."""
+    params = llama.init_params(CFG, jax.random.PRNGKey(0))
+    draft = llama.init_params(DRAFT_CFG, jax.random.PRNGKey(99))
+    prompt = jnp.asarray([[3, 1, 4, 1, 5]], jnp.int32)
+    want = greedy_oracle(params, prompt, 16)
+    got, rate = speculative_generate(
+        params, CFG, draft, DRAFT_CFG, prompt, max_new_tokens=16, k=4,
+        paged=True, page_size=128)
+    assert [int(t) for t in got[0]] == want, (rate, got)
