@@ -19,7 +19,7 @@ import jax.numpy as jnp
 sys.path.insert(0, ".")
 
 from flashattn_tpu.models import generate, llama  # noqa: E402
-from flashattn_tpu.models.config import LLAMA_1B, TINY  # noqa: E402
+from flashattn_tpu.models.config import LLAMA_1B, LLAMA_8B, TINY  # noqa: E402
 from flashattn_tpu.ops.decode import decode_attention  # noqa: E402
 from flashattn_tpu.ops.kvcache import init_cache, update_cache  # noqa: E402
 from flashattn_tpu.utils.roofline import detect_chip  # noqa: E402
@@ -65,11 +65,22 @@ def kernel_sweep(args):
 
 
 def model_tokens_per_s(args):
-    cfg = LLAMA_1B if args.model == "1b" else TINY
+    cfg = {"1b": LLAMA_1B, "8b": LLAMA_8B, "tiny": TINY}[args.model]
     b, s_cache = args.batch, 2048
-    params = llama.init_params(cfg, jax.random.PRNGKey(0))
+    if args.model == "8b":
+        # 8B bf16 params (16 GB) exceed one chip's HBM even at init: build
+        # on the host, quantize the projection weights there, then ship the
+        # int8/int4 pytree (~8/4 GB + norms/scales) to the device.
+        with jax.default_device(jax.local_devices(backend="cpu")[0]):
+            params = llama.init_params(cfg, jax.random.PRNGKey(0))
+            params = llama.quantize_params(params, bits=args.wbits)
+        params = jax.device_put(params, jax.devices()[0])
+        kv_quants = ("int8",)
+    else:
+        params = llama.init_params(cfg, jax.random.PRNGKey(0))
+        kv_quants = (None, "fp8")
     results = []
-    for quant in (None, "fp8"):
+    for quant in kv_quants:
         caches = generate.init_caches(cfg, b, s_cache, quant=quant)
         # Fill the cache to s_cache - 1 so the step attends a full cache.
         k0 = jax.random.normal(
@@ -88,6 +99,7 @@ def model_tokens_per_s(args):
         rec = {
             "bench": "decode_model", "model": args.model, "B": b,
             "cache_len": s_cache, "quant": quant or "bf16",
+            "wbits": args.wbits if args.model == "8b" else 16,
             "ms_per_step": round(sec * 1e3, 3),
             "tokens_per_s": round(b / sec, 1),
         }
@@ -98,8 +110,11 @@ def model_tokens_per_s(args):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--model", default=None, choices=[None, "1b", "tiny"])
+    ap.add_argument("--model", default=None,
+                    choices=[None, "1b", "8b", "tiny"])
     ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--wbits", type=int, default=8, choices=[4, 8],
+                    help="weight-only quantization bits for --model 8b")
     args = ap.parse_args()
     chip = detect_chip()
     print(f"# chip {chip.name}: {chip.hbm_gbps} GB/s HBM peak",
