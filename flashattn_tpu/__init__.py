@@ -30,7 +30,10 @@ from flashattn_tpu.ops.paged import (
     init_paged_cache,
     paged_decode_attention,
     paged_decode_attention_chunk,
+    pages_to_dense,
     set_block_table,
+    write_pages,
+    write_slot_paged,
 )
 from flashattn_tpu.ops.quant_matmul import quant_matmul, quantize_weights
 from flashattn_tpu.ops.reference import reference_attention, reference_attention_with_lse
@@ -60,6 +63,9 @@ __all__ = [
     "set_block_table",
     "paged_decode_attention",
     "paged_decode_attention_chunk",
+    "pages_to_dense",
+    "write_pages",
+    "write_slot_paged",
     "quant_matmul",
     "quantize_weights",
     "reference_attention",

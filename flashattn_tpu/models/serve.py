@@ -32,6 +32,9 @@ from flashattn_tpu.ops.paged import (
     PageAllocator,
     init_paged_cache,
     pages_needed,
+    pages_to_dense,
+    set_block_table,
+    write_pages,
     write_slot_paged,
 )
 
@@ -44,6 +47,10 @@ class Request:
     prompt: list[int]
     max_new_tokens: int
     eos_token: int | None = None
+    # Shared-prefix handle from InferenceServer.register_prefix (paged
+    # backend only). The prompt must start with the registered tokens; the
+    # prefix's pages are shared read-only across every request using it.
+    prefix_id: int | None = None
 
 
 @dataclasses.dataclass
@@ -95,6 +102,10 @@ class InferenceServer:
                 num_pages = max_slots * self.max_pages_per_seq
             self.allocator = PageAllocator(num_pages)
             self._slot_pages: list[list[int]] = [[] for _ in range(max_slots)]
+            self._slot_shared: list[list[int]] = [[] for _ in range(max_slots)]
+            # prefix_id -> (tokens, pages); pages hold one registry ref.
+            self._prefixes: dict[int, tuple[list[int], list[int]]] = {}
+            self._next_prefix_id = 0
             self.caches = [
                 init_paged_cache(
                     max_slots, cfg.num_kv_heads, num_pages, page_size,
@@ -116,19 +127,75 @@ class InferenceServer:
     def submit(self, req: Request) -> None:
         assert len(req.prompt) + req.max_new_tokens <= self.max_len, (
             "request exceeds max_len")
+        if req.prefix_id is not None:
+            assert self.paged, "prefix sharing needs the paged backend"
+            ptoks, _ = self._prefixes[req.prefix_id]
+            assert req.prompt[:len(ptoks)] == ptoks, (
+                "prompt does not start with the registered prefix")
         self.queue.append(req)
+
+    def register_prefix(self, tokens: list[int]) -> int:
+        """Prefill a shared prompt prefix ONCE into pool pages; requests
+        submitted with the returned prefix_id reuse those pages read-only
+        (they are never written again: appends land at length >= prefix).
+        Only full pages are shared — the tail shorter than page_size is
+        re-processed per request as part of its suffix."""
+        assert self.paged, "prefix caching needs the paged backend"
+        shared = (len(tokens) // self.page_size) * self.page_size
+        assert shared > 0, (
+            f"prefix shorter than one page ({self.page_size}) shares nothing")
+        tokens = list(tokens[:shared])
+        prompt = jnp.asarray([tokens], jnp.int32)
+        single = [
+            init_cache(1, self.cfg.num_kv_heads, self.max_len,
+                       self.cfg.head_dim, dtype=self.cfg.dtype,
+                       quant=self.quant)
+            for _ in range(self.cfg.num_layers)
+        ]
+        _, single = generate.prefill(self.params, prompt, single, self.cfg)
+        pages = self.allocator.alloc(shared // self.page_size)
+        arr = jnp.asarray(pages, jnp.int32)
+        for li in range(self.cfg.num_layers):
+            self.caches[li] = write_pages(self.caches[li], single[li], arr)
+        pid = self._next_prefix_id
+        self._next_prefix_id += 1
+        self._prefixes[pid] = (tokens, pages)
+        return pid
+
+    def unregister_prefix(self, prefix_id: int) -> None:
+        """Drop the registry's reference; the pages free once the last
+        in-flight request using them finishes."""
+        _, pages = self._prefixes.pop(prefix_id)
+        self.allocator.release(pages)
+
+    def _shared_split(self, req: Request) -> tuple[int, list[int]]:
+        """(shared_len, shared_pages) for a request — full prefix pages
+        only, and always leaving a non-empty suffix (the admission needs
+        the last prompt token's logits, which shared pages do not carry)."""
+        if req.prefix_id is None:
+            return 0, []
+        ptoks, ppages = self._prefixes[req.prefix_id]
+        plen = len(req.prompt)
+        shared = min(len(ptoks),
+                     ((plen - 1) // self.page_size) * self.page_size)
+        return shared, ppages[:shared // self.page_size]
 
     def _admit(self) -> None:
         for s, slot in enumerate(self.slots):
             if not self.queue or not slot.free:
                 continue
             if self.paged:
+                nxt = self.queue[0]
+                shared, spages = self._shared_split(nxt)
                 need = pages_needed(
-                    len(self.queue[0].prompt)
-                    + self.queue[0].max_new_tokens, self.page_size)
+                    len(nxt.prompt) + nxt.max_new_tokens,
+                    self.page_size) - len(spages)
                 if need > self.allocator.free_pages:
                     return  # backpressure: keep queued until pages free up
             req = self.queue.popleft()
+            if self.paged and req.prefix_id is not None and spages:
+                self._admit_with_prefix(s, req, shared, spages)
+                continue
             plen = len(req.prompt)
             padded = min(round_up(max(plen, 1), self.prompt_bucket),
                          self.max_len)
@@ -165,13 +232,60 @@ class InferenceServer:
                 else:
                     self.caches[li] = write_slot(self.caches[li], single[li], s)
             first = int(jnp.argmax(logits[0, plen - 1]))
-            self.slots[s] = slot = _Slot(
-                uid=req.uid, remaining=req.max_new_tokens - 1,
-                position=plen, eos=req.eos_token, out=[first])
-            self.tokens = self.tokens.at[s].set(first)
-            if slot.remaining <= 0 or (slot.eos is not None
-                                       and first == slot.eos):
-                self._finish(s)
+            self._start_slot(s, req, first)
+
+    def _start_slot(self, s: int, req: Request, first: int) -> None:
+        plen = len(req.prompt)
+        self.slots[s] = slot = _Slot(
+            uid=req.uid, remaining=req.max_new_tokens - 1,
+            position=plen, eos=req.eos_token, out=[first])
+        self.tokens = self.tokens.at[s].set(first)
+        if slot.remaining <= 0 or (slot.eos is not None
+                                   and first == slot.eos):
+            self._finish(s)
+
+    def _admit_with_prefix(self, s: int, req: Request, shared: int,
+                           spages: list[int]) -> None:
+        """Admission reusing a registered prefix's pages: only the suffix is
+        prefilled, seeded with the shared K/V gathered back to a dense B=1
+        cache (raw quantized payload — no requantization), then installed
+        into freshly-owned pages from the suffix's first block onward."""
+        plen = len(req.prompt)
+        suffix = req.prompt[shared:]
+        nshared = len(spages)
+        own = self.allocator.alloc(
+            pages_needed(plen + req.max_new_tokens, self.page_size) - nshared)
+        self.allocator.retain(spages)
+        self._slot_pages[s] = own
+        self._slot_shared[s] = spages
+        sentinel = self.allocator.num_pages
+        table = spages + own
+        table = jnp.asarray(
+            table + [sentinel] * (self.max_pages_per_seq - len(table)),
+            jnp.int32)
+
+        padded = min(round_up(len(suffix), self.prompt_bucket),
+                     self.max_len - shared)
+        piece = jnp.zeros((1, padded), jnp.int32).at[0, :len(suffix)].set(
+            jnp.asarray(suffix, jnp.int32))
+        positions = jnp.arange(shared, shared + padded)
+        sarr = jnp.asarray(spages, jnp.int32)
+        single = [
+            pages_to_dense(self.caches[li], sarr, max_len=self.max_len,
+                           length=shared)
+            for li in range(self.cfg.num_layers)
+        ]
+        # chunk_step attends cache-so-far (the prefix) + the chunk causally;
+        # padding tokens append dead K/V (length resets to plen below).
+        logits, single = generate.chunk_step(
+            self.params, piece, positions, single, self.cfg)
+        oarr = jnp.asarray(own, jnp.int32)
+        for li in range(self.cfg.num_layers):
+            self.caches[li] = write_pages(
+                self.caches[li], single[li], oarr, first_block=nshared)
+            self.caches[li] = set_block_table(self.caches[li], s, table, plen)
+        first = int(jnp.argmax(logits[0, len(suffix) - 1]))
+        self._start_slot(s, req, first)
 
     def _finish(self, s: int) -> None:
         slot = self.slots[s]
@@ -180,6 +294,9 @@ class InferenceServer:
         if self.paged and self._slot_pages[s]:
             self.allocator.release(self._slot_pages[s])
             self._slot_pages[s] = []
+        if self.paged and self._slot_shared[s]:
+            self.allocator.release(self._slot_shared[s])  # drop prefix ref
+            self._slot_shared[s] = []
 
     def step(self) -> None:
         """Admit queued requests, then advance every active slot one token."""

@@ -108,15 +108,19 @@ def init_paged_cache(
 
 
 class PageAllocator:
-    """Host-side free-list page allocator (control plane).
+    """Host-side reference-counted page allocator (control plane).
 
     The server owns one allocator per model (pages are shared across layers
     via identical tables, so allocation is per-sequence, not per-layer).
+    Reference counts exist for prefix caching: a shared system-prompt's
+    pages are retained once per sequence using them and freed when the last
+    reference releases.
     """
 
     def __init__(self, num_pages: int):
         self.num_pages = num_pages
         self._free = list(range(num_pages - 1, -1, -1))
+        self._rc = [0] * num_pages
 
     @property
     def free_pages(self) -> int:
@@ -126,10 +130,23 @@ class PageAllocator:
         if n > len(self._free):
             raise MemoryError(
                 f"paged KV pool exhausted: want {n}, have {len(self._free)}")
-        return [self._free.pop() for _ in range(n)]
+        pages = [self._free.pop() for _ in range(n)]
+        for p in pages:
+            self._rc[p] = 1
+        return pages
+
+    def retain(self, pages: list[int]) -> None:
+        """Add a reference to already-allocated pages (prefix sharing)."""
+        for p in pages:
+            assert self._rc[p] > 0, f"retain of free page {p}"
+            self._rc[p] += 1
 
     def release(self, pages: list[int]) -> None:
-        self._free.extend(pages)
+        for p in pages:
+            self._rc[p] -= 1
+            assert self._rc[p] >= 0, f"double free of page {p}"
+            if self._rc[p] == 0:
+                self._free.append(p)
 
 
 def pages_needed(tokens: int, page_size: int) -> int:
@@ -151,36 +168,36 @@ def set_block_table(cache: PagedKVCache, slot, pages: jnp.ndarray,
     )
 
 
-@jax.jit
-def write_slot_paged(
+@functools.partial(jax.jit, static_argnames=("first_block",))
+def write_pages(
     cache: PagedKVCache,
     single,  # dense KVCache, B=1, same Hkv/D/quant (a prefill result)
-    slot,
-    pages: jnp.ndarray,  # [max_pages_per_seq] int32; unowned entries >= P
+    pages: jnp.ndarray,  # [n_blocks] int32; entries >= num_pages dropped
+    first_block: int = 0,
 ) -> PagedKVCache:
-    """Install a prefilled single-sequence DENSE cache into `slot`'s pages
-    (continuous-batching admission: prefill runs contiguous B=1, then the
-    filled cache shards into the pool page by page).
-
-    Unowned table entries must carry an out-of-range page id (>= num_pages):
-    their blocks are dropped by the scatter, so a slot only ever writes
-    pages it owns. The dense buffer's max_len must equal
-    max_pages_per_seq * page_size.
-    """
+    """Shard a single-sequence DENSE cache into pool pages (no table/length
+    update — the pool-only half of admission, also used to install shared
+    prefix pages that belong to no slot). Logical block first_block+j of
+    the dense buffer lands in physical page `pages[j]` (first_block > 0 =
+    install only a suffix, e.g. after a prefix-seeded prefill); entries
+    >= num_pages are dropped by the scatter, so a caller only ever writes
+    pages it owns."""
     p, hkv, page, d = cache.k_pages.shape
-    maxp = cache.block_table.shape[1]
+    nb = pages.shape[0]
+    lo = first_block * page
     assert single.k.shape[0] == 1
-    assert single.k.shape[2] == maxp * page, (single.k.shape, maxp, page)
+    assert single.k.shape[2] >= lo + nb * page, (single.k.shape, nb, page)
 
-    def shard(buf):  # [1, Hkv, S, D] -> [maxp, Hkv, page, D]
-        return buf[0].reshape(hkv, maxp, page, d).transpose(1, 0, 2, 3)
+    def shard(buf):  # [1, Hkv, S, D] -> [nb, Hkv, page, D]
+        return buf[0, :, lo:lo + nb * page].reshape(
+            hkv, nb, page, d).transpose(1, 0, 2, 3)
 
     k_pages = cache.k_pages.at[pages].set(shard(single.k), mode="drop")
     v_pages = cache.v_pages.at[pages].set(shard(single.v), mode="drop")
     if cache.quantized:
-        def shard_s(buf):  # [1, Hkv, 1, S] -> [maxp, Hkv, 1, page]
-            return buf[0, :, 0].reshape(hkv, maxp, page).transpose(
-                1, 0, 2)[:, :, None, :]
+        def shard_s(buf):  # [1, Hkv, 1, S] -> [nb, Hkv, 1, page]
+            return buf[0, :, 0, lo:lo + nb * page].reshape(
+                hkv, nb, page).transpose(1, 0, 2)[:, :, None, :]
         k_scale = cache.k_scale.at[pages].set(shard_s(single.k_scale),
                                               mode="drop")
         v_scale = cache.v_scale.at[pages].set(shard_s(single.v_scale),
@@ -190,8 +207,61 @@ def write_slot_paged(
     return dataclasses.replace(
         cache, k_pages=k_pages, v_pages=v_pages,
         k_scale=k_scale, v_scale=v_scale,
-        block_table=cache.block_table.at[slot].set(pages),
-        length=cache.length.at[slot].set(single.length[0]),
+    )
+
+
+def write_slot_paged(
+    cache: PagedKVCache,
+    single,  # dense KVCache, B=1, same Hkv/D/quant (a prefill result)
+    slot,
+    pages: jnp.ndarray,  # [max_pages_per_seq] int32; unowned entries >= P
+) -> PagedKVCache:
+    """Install a prefilled single-sequence DENSE cache into `slot`'s pages
+    (continuous-batching admission: prefill runs contiguous B=1, then the
+    filled cache shards into the pool page by page). The dense buffer's
+    max_len must equal max_pages_per_seq * page_size."""
+    maxp = cache.block_table.shape[1]
+    assert single.k.shape[2] == maxp * cache.page_size, (
+        single.k.shape, maxp, cache.page_size)
+    cache = write_pages(cache, single, pages)
+    return set_block_table(cache, slot, pages, single.length[0])
+
+
+@functools.partial(jax.jit, static_argnames=("max_len",))
+def pages_to_dense(
+    cache: PagedKVCache,
+    pages: jnp.ndarray,  # [n_blocks] int32 — pages holding the content
+    max_len: int = 0,  # static: dense capacity
+    length: jnp.ndarray | int = 0,
+):
+    """Gather pool pages back into a single-sequence DENSE KVCache of
+    capacity max_len (raw quantized payload + scales copied verbatim — no
+    requantization). Used to seed a suffix prefill with a shared prefix's
+    K/V: positions [0, n_blocks·page) hold the gathered pages."""
+    from flashattn_tpu.ops.kvcache import KVCache
+
+    p, hkv, page, d = cache.k_pages.shape
+    nb = pages.shape[0]
+    n = nb * page
+    assert max_len >= n, (max_len, n)
+
+    def gather(buf):  # [P, Hkv, page, D] -> [1, Hkv, nb*page, D]
+        g = buf[pages].transpose(1, 0, 2, 3).reshape(1, hkv, n, d)
+        pad = jnp.zeros((1, hkv, max_len - n, d), buf.dtype)
+        return jnp.concatenate([g, pad], axis=2)
+
+    if cache.quantized:
+        def gather_s(buf):  # [P, Hkv, 1, page] -> [1, Hkv, 1, max_len]
+            g = buf[pages][:, :, 0].transpose(1, 0, 2).reshape(1, hkv, 1, n)
+            pad = jnp.ones((1, hkv, 1, max_len - n), buf.dtype)
+            return jnp.concatenate([g, pad], axis=3)
+        k_scale, v_scale = gather_s(cache.k_scale), gather_s(cache.v_scale)
+    else:
+        k_scale = v_scale = None
+    return KVCache(
+        k=gather(cache.k_pages), v=gather(cache.v_pages),
+        k_scale=k_scale, v_scale=v_scale,
+        length=jnp.asarray([length], jnp.int32).reshape(1),
     )
 
 

@@ -99,3 +99,46 @@ def test_paged_server_matches_dense():
     for uid, prompt, n in reqs:
         assert got[uid] == oracle(params, prompt, n), uid
     assert srv.allocator.free_pages == 5, "all pages must be released"
+
+
+def test_prefix_caching_matches_oracle():
+    """N requests sharing one registered system-prompt prefix: each output
+    must match isolated generation on the FULL prompt, while the prefix's
+    pages are prefilled once and shared (pool too small to duplicate them
+    per request — duplication would trip the allocator)."""
+    params = make_params()
+    prefix = list(range(40, 40 + 256))  # 2 pages of 128
+    srv = InferenceServer(params, CFG, max_slots=2, max_len=512,
+                          paged=True, page_size=128,
+                          num_pages=2 + 2 * 3)  # prefix + 2 slots x 3 pages
+    pid = srv.register_prefix(prefix)
+    reqs = [
+        (1, prefix + [7, 8, 9], 5),
+        (2, prefix + [3], 6),
+        (3, prefix + list(range(30)), 4),
+    ]
+    for uid, prompt, n in reqs:
+        srv.submit(Request(uid=uid, prompt=prompt, max_new_tokens=n,
+                           prefix_id=pid))
+    got = srv.run()
+    for uid, prompt, n in reqs:
+        assert got[uid] == oracle(params, prompt, n), uid
+    # registry still holds the prefix's 2 pages; everything else is free
+    assert srv.allocator.free_pages == 6
+    srv.unregister_prefix(pid)
+    assert srv.allocator.free_pages == 8
+
+
+def test_prefix_plus_plain_requests_interleave():
+    """Prefix-sharing and plain requests coexist in one batch."""
+    params = make_params()
+    prefix = list(range(10, 10 + 128))
+    srv = InferenceServer(params, CFG, max_slots=2, max_len=512,
+                          paged=True, page_size=128, num_pages=8)
+    pid = srv.register_prefix(prefix)
+    srv.submit(Request(uid=1, prompt=prefix + [5, 6], max_new_tokens=4,
+                       prefix_id=pid))
+    srv.submit(Request(uid=2, prompt=[9, 8, 7], max_new_tokens=5))
+    got = srv.run()
+    assert got[1] == oracle(params, prefix + [5, 6], 4)
+    assert got[2] == oracle(params, [9, 8, 7], 5)
