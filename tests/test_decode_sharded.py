@@ -86,3 +86,45 @@ def test_decode_sequence_sharded_quantized():
     np.testing.assert_allclose(np.asarray(o.astype(jnp.float32)),
                                np.asarray(o_ref.astype(jnp.float32)),
                                atol=2e-2)
+
+
+def test_paged_decode_tp_heads_sharded():
+    """Paged pool tensor-sharded over KV heads: pages split on axis 1,
+    block table + lengths replicated — the paged kernel is mesh-oblivious
+    per head exactly like the dense one."""
+    from flashattn_tpu.ops.paged import (
+        PagedKVCache, append_paged, init_paged_cache, paged_decode_attention,
+        set_block_table)
+
+    b, hq, hkv, d, s, page = 2, 8, 4, 64, 512, 128
+    maxp = s // page
+    mesh = make_mesh({"model": 4})
+    paged = init_paged_cache(b, hkv, num_pages=b * maxp + 2, page_size=page,
+                             head_dim=d, max_pages_per_seq=maxp,
+                             dtype=jnp.bfloat16)
+    perm = np.arange(2, 2 + b * maxp)[::-1].reshape(b, maxp)
+    for bi in range(b):
+        paged = set_block_table(paged, bi, jnp.asarray(perm[bi], jnp.int32), 0)
+    kn = jax.random.normal(jax.random.PRNGKey(0), (b, hkv, 500, d),
+                           jnp.bfloat16)
+    vn = jax.random.normal(jax.random.PRNGKey(1), (b, hkv, 500, d),
+                           jnp.bfloat16)
+    paged = append_paged(paged, kn, vn)
+    q = jax.random.normal(jax.random.PRNGKey(2), (b, hq, d), jnp.bfloat16)
+
+    o_ref = paged_decode_attention(q, paged)
+
+    specs = PagedKVCache(
+        k_pages=P(None, "model"), v_pages=P(None, "model"),
+        k_scale=None, v_scale=None,
+        block_table=P(), length=P(),
+    )
+    o = jax.shard_map(
+        paged_decode_attention, mesh=mesh,
+        in_specs=(P(None, "model"), specs),
+        out_specs=P(None, "model"),
+        check_vma=False,
+    )(q, paged)
+    np.testing.assert_allclose(np.asarray(o.astype(jnp.float32)),
+                               np.asarray(o_ref.astype(jnp.float32)),
+                               atol=1e-5)
