@@ -327,3 +327,25 @@ class InferenceServer:
             self.step()
         out, self.finished = self.finished, {}
         return out
+
+    def stats(self) -> dict[str, Any]:
+        """Observability snapshot (SURVEY §5 metrics): occupancy, queue
+        depth, and — paged — page-pool utilization incl. shared prefixes."""
+        active = sum(not s.free for s in self.slots)
+        st = {
+            "active_slots": active,
+            "max_slots": len(self.slots),
+            "queued": len(self.queue),
+            "live_tokens": sum(s.position for s in self.slots if not s.free),
+        }
+        if self.paged:
+            total = self.allocator.num_pages
+            st.update(
+                pages_total=total,
+                pages_free=self.allocator.free_pages,
+                pages_used=total - self.allocator.free_pages,
+                prefix_pages=sum(len(p) for _, p in self._prefixes.values()),
+                page_utilization=round(
+                    1 - self.allocator.free_pages / total, 3),
+            )
+        return st

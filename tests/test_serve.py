@@ -142,3 +142,22 @@ def test_prefix_plus_plain_requests_interleave():
     got = srv.run()
     assert got[1] == oracle(params, prefix + [5, 6], 4)
     assert got[2] == oracle(params, [9, 8, 7], 5)
+
+
+def test_server_stats():
+    params = make_params()
+    prefix = list(range(10, 10 + 128))
+    srv = InferenceServer(params, CFG, max_slots=2, max_len=512,
+                          paged=True, page_size=128, num_pages=8)
+    pid = srv.register_prefix(prefix)
+    st = srv.stats()
+    assert st["active_slots"] == 0 and st["queued"] == 0
+    assert st["pages_used"] == 1 and st["prefix_pages"] == 1
+    srv.submit(Request(uid=1, prompt=prefix + [5], max_new_tokens=4,
+                       prefix_id=pid))
+    srv.step()  # admit
+    st = srv.stats()
+    assert st["active_slots"] == 1
+    assert st["pages_used"] > 1 and st["page_utilization"] > 0
+    srv.run()
+    assert srv.stats()["pages_used"] == 1  # only the registry ref remains
