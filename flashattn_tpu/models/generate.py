@@ -173,10 +173,13 @@ def chunk_step(
     positions: jnp.ndarray,  # [C] or [B, C] int32 — their position indices
     caches: list[KVCache],
     cfg: ModelConfig,
+    active: jnp.ndarray | None = None,  # [B] bool — continuous batching
 ) -> tuple[jnp.ndarray, list[KVCache]]:
     """Process C new tokens against the caches (appending them): the
     multi-token analogue of decode_step, via the chunked-decode kernel.
     Caches may be dense or paged (chunked prefill straight into pages).
+    Inactive rows compute but do not advance (chunked admission runs one
+    slot's prefill chunk while the rest of the batch holds still).
     Returns (logits [B, C, vocab] for every chunk position, caches)."""
     from flashattn_tpu.ops.decode import decode_attention_chunk
 
@@ -196,7 +199,8 @@ def chunk_step(
         if not cfg.use_alibi:
             q = llama.apply_rope(q, cos, sin)
             k = llama.apply_rope(k, cos, sin)
-        cache = (append_paged if paged else update_cache)(cache, k, v)
+        cache = (append_paged if paged else update_cache)(
+            cache, k, v, active=active)
         new_caches.append(cache)
         attn = (paged_decode_attention_chunk if paged
                 else decode_attention_chunk)

@@ -81,13 +81,21 @@ class InferenceServer:
         paged: bool = False,
         page_size: int = 1024,
         num_pages: int | None = None,
+        admit_chunk: int | None = None,
     ):
         """paged=True backs the KV cache with a shared page pool (block
         tables): a slot holds only `ceil((prompt+max_new)/page_size)` pages
         instead of a full max_len row, so `num_pages` sizes HBM to the
         expected LIVE context sum, admitting more concurrent sequences than
         dense slots would. Requests whose pages cannot be allocated stay
-        queued (admission backpressure) instead of failing."""
+        queued (admission backpressure) instead of failing.
+
+        admit_chunk=N turns admission into Sarathi-style chunked prefill:
+        each step() processes at most ONE N-token prompt chunk (through the
+        batch caches, other slots held still) before the decode step, so a
+        long prompt bounds the decode stall to one chunk instead of its
+        whole prefill. Works on both backends; the prompt streams straight
+        into the slot's cache row / pages — no B=1 staging buffer."""
         self.params = params
         self.cfg = cfg
         self.max_len = max_len
@@ -95,6 +103,9 @@ class InferenceServer:
         self.prompt_bucket = prompt_bucket
         self.paged = paged
         self.page_size = page_size
+        self.admit_chunk = admit_chunk
+        # slot -> [req, next_prompt_pos] while its prompt streams in chunks
+        self._admitting: dict[int, list] = {}
         if paged:
             assert max_len % page_size == 0, (max_len, page_size)
             self.max_pages_per_seq = max_len // page_size
@@ -193,6 +204,9 @@ class InferenceServer:
                 if need > self.allocator.free_pages:
                     return  # backpressure: keep queued until pages free up
             req = self.queue.popleft()
+            if self.admit_chunk:
+                self._begin_chunked_admission(s, req)
+                continue
             if self.paged and req.prefix_id is not None and spages:
                 self._admit_with_prefix(s, req, shared, spages)
                 continue
@@ -287,6 +301,69 @@ class InferenceServer:
         first = int(jnp.argmax(logits[0, len(suffix) - 1]))
         self._start_slot(s, req, first)
 
+    def _set_slot_length(self, s: int, n: int) -> None:
+        for li in range(self.cfg.num_layers):
+            c = self.caches[li]
+            self.caches[li] = dataclasses.replace(
+                c, length=c.length.at[s].set(n))
+
+    def _begin_chunked_admission(self, s: int, req: Request) -> None:
+        """Claim the slot and (paged) its pages; the prompt itself streams
+        through _prefill_chunk, one admit_chunk per step."""
+        shared, spages = (self._shared_split(req)
+                          if self.paged else (0, []))
+        if self.paged:
+            own = self.allocator.alloc(
+                pages_needed(len(req.prompt) + req.max_new_tokens,
+                             self.page_size) - len(spages))
+            if spages:
+                self.allocator.retain(spages)
+            self._slot_pages[s] = own
+            self._slot_shared[s] = spages
+            sentinel = self.allocator.num_pages
+            table = spages + own
+            table = jnp.asarray(
+                table + [sentinel] * (self.max_pages_per_seq - len(table)),
+                jnp.int32)
+            for li in range(self.cfg.num_layers):
+                self.caches[li] = set_block_table(
+                    self.caches[li], s, table, shared)
+        else:
+            self._set_slot_length(s, 0)
+        # Placeholder slot: occupied (uid set) but not decodable until the
+        # prompt has fully streamed in.
+        self.slots[s] = _Slot(uid=req.uid, remaining=req.max_new_tokens,
+                              position=0, eos=req.eos_token, out=[])
+        self._admitting[s] = [req, shared]
+
+    def _prefill_chunk(self, s: int) -> None:
+        """Stream one admit_chunk of slot s's prompt through the batch
+        caches (other slots inactive); on the final chunk the slot becomes
+        a decodable _Slot carrying the prompt's first sampled token."""
+        req, pos = self._admitting[s]
+        plen = len(req.prompt)
+        c = self.admit_chunk
+        take = min(c, plen - pos)
+        b = len(self.slots)
+        piece = jnp.zeros((b, c), jnp.int32).at[s, :take].set(
+            jnp.asarray(req.prompt[pos:pos + take], jnp.int32))
+        positions = jnp.zeros((b, c), jnp.int32).at[s].set(
+            jnp.arange(pos, pos + c))
+        active = jnp.zeros((b,), bool).at[s].set(True)
+        logits, self.caches = generate.chunk_step(
+            self.params, piece, positions, self.caches, self.cfg,
+            active=active)
+        pos += take
+        if pos < plen:
+            self._admitting[s][1] = pos
+            return
+        # Final chunk: the padded tail appended dead K/V — pin the length.
+        if take < c:
+            self._set_slot_length(s, plen)
+        del self._admitting[s]
+        first = int(jnp.argmax(logits[s, take - 1]))
+        self._start_slot(s, req, first)
+
     def _finish(self, s: int) -> None:
         slot = self.slots[s]
         self.finished[slot.uid] = slot.out
@@ -299,9 +376,13 @@ class InferenceServer:
             self._slot_shared[s] = []
 
     def step(self) -> None:
-        """Admit queued requests, then advance every active slot one token."""
+        """Admit queued requests, stream at most one prompt chunk, then
+        advance every decodable slot one token."""
         self._admit()
-        active = [not s.free for s in self.slots]
+        if self._admitting:
+            self._prefill_chunk(next(iter(self._admitting)))
+        active = [not s.free and i not in self._admitting
+                  for i, s in enumerate(self.slots)]
         if not any(active):
             return
         positions = jnp.asarray([s.position for s in self.slots], jnp.int32)

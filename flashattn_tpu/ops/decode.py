@@ -150,6 +150,19 @@ def _decode_kernel(
         l_scratch[...] = jnp.broadcast_to(l_new, l_scratch.shape)
 
         v = v_ref[0, 0]  # (bkv, D)
+        if not quantized:
+            # Dead-region guard: V rows beyond the live length may hold
+            # arbitrary garbage (recycled slots reset `length` without
+            # wiping the tail). P is exactly 0 there, but 0 * NaN = NaN
+            # would poison the whole P·V dot — zero dead V rows. Only the
+            # bf16/f32 cache can carry NaN: int8 has no NaN encoding, and
+            # the fp8 fast convert maps the NaN code to a large FINITE
+            # value, so the quantized paths are poison-proof for free (the
+            # select on narrow dtypes measures -17%/-32% — skip it there).
+            # S-side NaN is already discarded by the `live` select on s.
+            vrow = jax.lax.broadcasted_iota(jnp.int32, (block_kv, 1), 0)
+            v = jnp.where(vrow + kj * block_kv < length, v,
+                          jnp.zeros_like(v))
         if int8_mode:
             # P·V on the int8 MXU too: fold the per-token v scales into P,
             # requantize P per row (row max of p is exactly 1 pre-fold, so

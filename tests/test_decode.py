@@ -11,9 +11,10 @@ import pytest
 
 from flashattn_tpu.models import generate, llama
 from flashattn_tpu.models.config import TINY
-from flashattn_tpu.ops.decode import decode_attention
+from flashattn_tpu.ops.decode import decode_attention, decode_attention_chunk
 from flashattn_tpu.ops.kvcache import dequantize, init_cache, quantize_tokens, update_cache
 from flashattn_tpu.ops.reference import reference_attention
+from flashattn_tpu.utils.verify import verify_results
 from flashattn_tpu.utils.verify import verify_results
 
 
@@ -117,7 +118,7 @@ def test_decode_sliding_window(quant):
     """Windowed decode matches the oracle restricted to the last W tokens,
     per-sequence (ragged lengths)."""
     import numpy as np
-    from flashattn_tpu.ops.decode import decode_attention
+    from flashattn_tpu.ops.decode import decode_attention, decode_attention_chunk
     from flashattn_tpu.ops.kvcache import dequantize, init_cache, update_cache
     from flashattn_tpu.ops.reference import reference_attention
     from flashattn_tpu.utils.verify import verify_results
@@ -220,3 +221,34 @@ def test_fp8e4m3_to_bf16_fast_bound():
     sub = (codes & 0x78) == 0  # exp field 0
     np.testing.assert_array_equal(got[finite & ~sub], want[finite & ~sub])
     assert np.abs(got[finite & sub] - want[finite & sub]).max() <= 2.0**-7
+
+
+@pytest.mark.parametrize("t_chunk", [1, 8])
+def test_dead_cache_garbage_cannot_poison(t_chunk):
+    """NaN/Inf in DEAD cache positions (beyond `length`) must not reach the
+    output: P is 0 there, but 0*NaN = NaN would poison the P.V dot without
+    the kernel's dead-row V guard. Recycled serving slots reset `length`
+    without wiping the tail, so this is a reachable state, not a fuzz case."""
+    import dataclasses
+
+    b, hq, hkv, d, s_max, length = 1, 4, 2, 64, 256, 100
+    cache = init_cache(b, hkv, s_max, d, dtype=jnp.float32)
+    kn = jax.random.normal(jax.random.PRNGKey(0), (b, hkv, length, d))
+    vn = jax.random.normal(jax.random.PRNGKey(1), (b, hkv, length, d))
+    cache = update_cache(cache, kn, vn)
+    # poison everything beyond the live region
+    poison = jnp.full((b, hkv, s_max - length, d), jnp.nan)
+    cache = dataclasses.replace(
+        cache,
+        k=cache.k.at[:, :, length:].set(poison),
+        v=cache.v.at[:, :, length:].set(poison),
+    )
+    q = jax.random.normal(jax.random.PRNGKey(2), (b, hq, t_chunk, d))
+    if t_chunk == 1:
+        o = decode_attention(q[:, :, 0], cache)[:, :, None]
+    else:
+        o = decode_attention_chunk(q, cache)
+    assert bool(jnp.isfinite(o).all()), "dead-region NaN leaked into output"
+    o_ref = reference_attention(q, kn, vn, is_causal=True)
+    r = verify_results(o_ref, o, atol=1e-5, rtol=1e-5)
+    assert r.passed, r

@@ -4,6 +4,7 @@ equality between the batched ragged decode and isolated generation)."""
 
 import jax
 import jax.numpy as jnp
+import pytest
 
 from flashattn_tpu.models import generate, llama
 from flashattn_tpu.models.config import ModelConfig
@@ -161,3 +162,40 @@ def test_server_stats():
     assert st["pages_used"] > 1 and st["page_utilization"] > 0
     srv.run()
     assert srv.stats()["pages_used"] == 1  # only the registry ref remains
+
+
+@pytest.mark.parametrize("paged", [False, True])
+def test_chunked_admission_matches_oracle(paged):
+    """admit_chunk streams prompts through the batch caches in bounded
+    chunks (no B=1 staging prefill); outputs must still match isolated
+    generation exactly, including slot recycling."""
+    params = make_params()
+    reqs = [
+        (1, [(3 + i) % 120 for i in range(197)], 5),  # long: many chunks
+        (2, [2, 7], 6),                # shorter than one chunk
+        (3, list(range(60)), 4),
+    ]
+    srv = InferenceServer(params, CFG, max_slots=2, max_len=512,
+                          paged=paged, page_size=128, admit_chunk=64)
+    for uid, prompt, n in reqs:
+        srv.submit(Request(uid=uid, prompt=prompt, max_new_tokens=n))
+    got = srv.run()
+    for uid, prompt, n in reqs:
+        assert got[uid] == oracle(params, prompt, n), uid
+
+
+def test_chunked_admission_with_prefix():
+    """Chunked admission composes with prefix caching: the stream starts at
+    the shared boundary and only the suffix chunks run."""
+    params = make_params()
+    prefix = list(range(20, 20 + 128))
+    srv = InferenceServer(params, CFG, max_slots=2, max_len=512,
+                          paged=True, page_size=128, num_pages=8,
+                          admit_chunk=64)
+    pid = srv.register_prefix(prefix)
+    prompt = prefix + list(range(70))
+    srv.submit(Request(uid=1, prompt=prompt, max_new_tokens=5,
+                       prefix_id=pid))
+    got = srv.run()
+    assert got[1] == oracle(params, prompt, 5)
+    assert srv.allocator.free_pages == 7  # only the registry page held
