@@ -64,16 +64,17 @@ def main():
         # "dots" keeps matmul outputs across the remat boundary: +13% step
         # time at 1B/B4/S2048 on v5e. Falls back to full remat when the
         # saved activations blow HBM (bigger B/S).
-        step = make_step("dots")
-        sec = measure(step, params, tokens, warmup=3, n1=2, n2=6)
-    except Exception:
-        step = make_step(True)
-        sec = measure(step, params, tokens, warmup=3, n1=2, n2=6)
+        remat = "dots"
+        sec = measure(make_step(remat), params, tokens, warmup=3, n1=2, n2=6)
+    except jax.errors.JaxRuntimeError:
+        remat = "full"
+        sec = measure(make_step(True), params, tokens, warmup=3, n1=2, n2=6)
     toks = args.batch * args.seq
     flops = model_flops_per_token(cfg, args.seq) * toks
     rec = {
         "bench": "train_step", "model": args.model, "B": args.batch,
-        "S": args.seq, "ms_per_step": round(sec * 1e3, 1),
+        "S": args.seq, "remat": remat,
+        "ms_per_step": round(sec * 1e3, 1),
         "tokens_per_s": round(toks / sec, 1),
         "model_tflops": round(flops / sec / 1e12, 1),
         "mfu": round(flops / sec / (chip.bf16_tflops * 1e12), 3),

@@ -52,7 +52,8 @@ def prefill(
     b, s = tokens.shape
     x = jnp.take(params["embed"], tokens, axis=0)
     positions = jnp.arange(s)
-    cos, sin = llama.rope_tables(cfg, positions)
+    cos, sin = ((None, None) if cfg.use_alibi
+                else llama.rope_tables(cfg, positions))
 
     new_caches = []
     for layer, cache in zip(params["layers"], caches):
@@ -102,7 +103,8 @@ def decode_step(
     on pytree structure, i.e. static at trace time."""
     b = token.shape[0]
     x = jnp.take(params["embed"], token, axis=0)  # [B, H]
-    cos, sin = llama.rope_tables(cfg, positions)  # [B, hd/2]
+    cos, sin = ((None, None) if cfg.use_alibi
+                else llama.rope_tables(cfg, positions))  # [B, hd/2]
 
     new_caches = []
     for layer, cache in zip(params["layers"], caches):
@@ -185,7 +187,8 @@ def chunk_step(
 
     b, chunk = piece.shape
     x = jnp.take(params["embed"], piece, axis=0)  # [B, C, H]
-    cos, sin = llama.rope_tables(cfg, positions)
+    cos, sin = ((None, None) if cfg.use_alibi
+                else llama.rope_tables(cfg, positions))
     new_caches = []
     for layer, cache in zip(params["layers"], caches):
         paged = isinstance(cache, PagedKVCache)

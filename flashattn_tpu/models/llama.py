@@ -197,8 +197,8 @@ def _attention(q, k, v, mesh, block_sizes=None, segment_ids=None,
     ma = "model" if "model" in mesh.axis_names else None
     use_sp = "sp" in mesh.axis_names and mesh.shape["sp"] > 1
     if use_sp:
-        assert window is None and logit_softcap is None, (
-            "window/softcap + ring context parallelism not wired yet")
+        assert window is None and logit_softcap is None and not alibi, (
+            "window/softcap/alibi + ring context parallelism not wired yet")
         from flashattn_tpu.parallel.ring import ring_flash_attention
 
         fn = functools.partial(
@@ -207,6 +207,13 @@ def _attention(q, k, v, mesh, block_sizes=None, segment_ids=None,
         )
         spec = P(da, ma, "sp", None)
     else:
+        # ALiBi slopes are computed in-kernel from the head GRID index, so a
+        # head-sharded call would silently use shard-local head numbers —
+        # every shard rebiased like an Hq/n-head model. Refuse until the
+        # kernel carries a head offset.
+        assert not (alibi and ma is not None and mesh.shape[ma] > 1), (
+            "alibi + head (tensor) sharding not wired yet: in-kernel slopes "
+            "would use shard-local head indices")
         fn = functools.partial(
             flash_attention, is_causal=True, block_sizes=block_sizes,
             window=window, logit_softcap=logit_softcap, alibi=alibi,

@@ -138,6 +138,25 @@ class InferenceServer:
     def submit(self, req: Request) -> None:
         assert len(req.prompt) + req.max_new_tokens <= self.max_len, (
             "request exceeds max_len")
+        if self.admit_chunk:
+            # The final streamed chunk writes a full admit_chunk-wide piece
+            # at the last chunk boundary; it must fit the cache row or the
+            # clamped write would shift the prompt's own K/V.
+            c = self.admit_chunk
+            padded = -(-max(len(req.prompt), 1) // c) * c
+            assert padded <= self.max_len, (
+                f"prompt ({len(req.prompt)}) rounded to admit_chunk ({c}) "
+                f"exceeds max_len ({self.max_len})")
+        if self.paged:
+            need = pages_needed(
+                len(req.prompt) + req.max_new_tokens, self.page_size)
+            if req.prefix_id is not None:
+                need -= len(self._shared_split(req)[1])
+            if need > self.allocator.num_pages:
+                raise ValueError(
+                    f"request needs {need} pages but the pool only has "
+                    f"{self.allocator.num_pages} — it could never be "
+                    "admitted (backpressure would spin forever)")
         if req.prefix_id is not None:
             assert self.paged, "prefix sharing needs the paged backend"
             ptoks, _ = self._prefixes[req.prefix_id]
@@ -178,6 +197,16 @@ class InferenceServer:
         in-flight request using them finishes."""
         _, pages = self._prefixes.pop(prefix_id)
         self.allocator.release(pages)
+
+    def _make_table(self, pages: list[int]) -> "jnp.ndarray":
+        """Pad an owned-page list to a device block table. Unowned tail
+        entries carry an out-of-range sentinel (== num_pages): install
+        scatters drop those blocks, and decode never clamps into them
+        (live blocks <= owned by construction)."""
+        sentinel = self.allocator.num_pages
+        return jnp.asarray(
+            pages + [sentinel] * (self.max_pages_per_seq - len(pages)),
+            jnp.int32)
 
     def _shared_split(self, req: Request) -> tuple[int, list[int]]:
         """(shared_len, shared_pages) for a request — full prefix pages
@@ -230,13 +259,7 @@ class InferenceServer:
                 owned = self.allocator.alloc(
                     pages_needed(plen + req.max_new_tokens, self.page_size))
                 self._slot_pages[s] = owned
-                # Unowned tail entries carry an out-of-range sentinel: the
-                # install scatter drops those blocks; decode never clamps
-                # into them (live blocks <= owned by construction).
-                sentinel = self.allocator.num_pages
-                table = jnp.asarray(
-                    owned + [sentinel] * (self.max_pages_per_seq - len(owned)),
-                    jnp.int32)
+                table = self._make_table(owned)
             for li in range(self.cfg.num_layers):
                 single[li] = dataclasses.replace(
                     single[li], length=jnp.asarray([plen], jnp.int32))
@@ -272,11 +295,7 @@ class InferenceServer:
         self.allocator.retain(spages)
         self._slot_pages[s] = own
         self._slot_shared[s] = spages
-        sentinel = self.allocator.num_pages
-        table = spages + own
-        table = jnp.asarray(
-            table + [sentinel] * (self.max_pages_per_seq - len(table)),
-            jnp.int32)
+        table = self._make_table(spages + own)
 
         padded = min(round_up(len(suffix), self.prompt_bucket),
                      self.max_len - shared)
@@ -320,11 +339,7 @@ class InferenceServer:
                 self.allocator.retain(spages)
             self._slot_pages[s] = own
             self._slot_shared[s] = spages
-            sentinel = self.allocator.num_pages
-            table = spages + own
-            table = jnp.asarray(
-                table + [sentinel] * (self.max_pages_per_seq - len(table)),
-                jnp.int32)
+            table = self._make_table(spages + own)
             for li in range(self.cfg.num_layers):
                 self.caches[li] = set_block_table(
                     self.caches[li], s, table, shared)
@@ -391,7 +406,9 @@ class InferenceServer:
             active=jnp.asarray(active))
         nxt = jax.device_get(jnp.argmax(logits, axis=-1).astype(jnp.int32))
         for s, slot in enumerate(self.slots):
-            if slot.free:
+            if slot.free or s in self._admitting:
+                # Mid-admission placeholders hold no decodable state: their
+                # logits row is garbage and must not advance/finish them.
                 continue
             tok = int(nxt[s])
             slot.position += 1

@@ -274,6 +274,7 @@ def _decode_attention(
     b, hq, t_chunk, d = q.shape
     _, hkv, s_max, dk = cache.k.shape
     assert dk == d
+    assert not (alibi and logit_softcap), "alibi + softcap: pick one"
     assert hq % hkv == 0
     group = hq // hkv
     if scale is None:

@@ -100,8 +100,11 @@ def update_cache(
 
     k_new/v_new: [B, Hkv, T, D] in compute dtype (bf16). Quantizes on insert
     when the cache is quantized. `active` [B] bool (continuous batching):
-    inactive sequences do not advance — their write lands at the current
-    length and is harmlessly overwritten by the next real append.
+    inactive sequences do not advance AND their buffers are preserved
+    bit-exactly — the slice at their length is read back and re-written, so
+    a masked append can never clobber live data (the clamped
+    dynamic_update_slice otherwise shifts into the live region for slots
+    within T of capacity).
     """
     b, hkv, t, d = k_new.shape
     if cache.quantized:
@@ -113,19 +116,29 @@ def update_cache(
 
     def upd_one(buf, new, length):
         # per-sequence dynamic slice update at its own length
-        def body(buf_b, new_b, len_b):
+        def body(buf_b, new_b, len_b, act_b):
+            if active is not None:
+                cur = jax.lax.dynamic_slice(
+                    buf_b, (0, len_b, 0), new_b.shape)
+                new_b = jnp.where(act_b, new_b, cur)
             return jax.lax.dynamic_update_slice(
                 buf_b, new_b, (0, len_b, 0)
             )
-        return jax.vmap(body)(buf, new, length)
+        act = (jnp.ones((b,), bool) if active is None else active)
+        return jax.vmap(body)(buf, new, length, act)
 
     k = upd_one(cache.k, k_q, cache.length)
     v = upd_one(cache.v, v_q, cache.length)
     if cache.quantized:
         def upd_scale(buf, new, length):
-            def body(buf_b, new_b, len_b):
+            def body(buf_b, new_b, len_b, act_b):
+                if active is not None:
+                    cur = jax.lax.dynamic_slice(
+                        buf_b, (0, 0, len_b), new_b.shape)
+                    new_b = jnp.where(act_b, new_b, cur)
                 return jax.lax.dynamic_update_slice(buf_b, new_b, (0, 0, len_b))
-            return jax.vmap(body)(buf, new, length)
+            act = (jnp.ones((b,), bool) if active is None else active)
+            return jax.vmap(body)(buf, new, length, act)
 
         k_scale = upd_scale(cache.k_scale, k_s, cache.length)
         v_scale = upd_scale(cache.v_scale, v_s, cache.length)

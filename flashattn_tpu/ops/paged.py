@@ -388,6 +388,7 @@ def _paged_decode(
     b, hq, t_chunk, d = q.shape
     _, hkv, page, dk = cache.k_pages.shape
     assert dk == d
+    assert not (alibi and logit_softcap), "alibi + softcap: pick one"
     assert hq % hkv == 0
     assert b == cache.batch, (b, cache.batch)
     group = hq // hkv

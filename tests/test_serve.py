@@ -199,3 +199,45 @@ def test_chunked_admission_with_prefix():
     got = srv.run()
     assert got[1] == oracle(params, prompt, 5)
     assert srv.allocator.free_pages == 7  # only the registry page held
+
+
+def test_chunked_admission_placeholder_not_finished_early():
+    """While a prompt streams in chunks, the decode loop must not touch the
+    placeholder slot: with max_new_tokens=1 and a multi-chunk prompt, a
+    garbage decrement would _finish() it mid-admission (releasing pages and
+    emitting garbage output)."""
+    params = make_params()
+    long_prompt = [(5 + i) % 120 for i in range(200)]  # 4 chunks of 64
+    srv = InferenceServer(params, CFG, max_slots=2, max_len=512,
+                          paged=True, page_size=128, admit_chunk=64)
+    srv.submit(Request(uid=1, prompt=[2, 7], max_new_tokens=30))
+    srv.step(); srv.step()  # uid1 decoding
+    srv.submit(Request(uid=2, prompt=long_prompt, max_new_tokens=1))
+    # a queued request ready to steal uid2's slot if it is freed early
+    srv.submit(Request(uid=3, prompt=[9, 9], max_new_tokens=3))
+    got = srv.run()
+    assert got[2] == oracle(params, long_prompt, 1)
+    assert got[1] == oracle(params, [2, 7], 30)
+    assert got[3] == oracle(params, [9, 9], 3)
+
+
+def test_chunked_admission_near_capacity_decoder_not_clobbered():
+    """Dense backend: a slot decoding within admit_chunk of max_len must
+    survive another slot's streaming chunks bit-exactly (the masked append
+    preserves inactive rows instead of writing a clamped dead chunk over
+    their live tail)."""
+    params = make_params()
+    long_a = [(11 + i) % 120 for i in range(440)]  # decodes near 512
+    srv = InferenceServer(params, CFG, max_slots=2, max_len=512,
+                          admit_chunk=64)
+    srv.submit(Request(uid=1, prompt=long_a, max_new_tokens=40))
+    # stream uid1 fully, then let it decode past 448 = 512 - 64
+    while 0 in srv._admitting or not srv.slots[0].out:
+        srv.step()
+    for _ in range(15):
+        srv.step()  # uid1 position ~455+
+    srv.submit(Request(uid=2, prompt=[(7 * i) % 120 for i in range(100)],
+                       max_new_tokens=4))
+    got = srv.run()
+    assert got[1] == oracle(params, long_a, 40), "live tail clobbered"
+    assert got[2] == oracle(params, [(7 * i) % 120 for i in range(100)], 4)
