@@ -26,6 +26,7 @@ import jax.numpy as jnp
 
 from flashattn_tpu.models import generate
 from flashattn_tpu.models.config import ModelConfig
+from flashattn_tpu.models.sampling import SamplingParams, sample
 from flashattn_tpu.ops.common import round_up
 from flashattn_tpu.ops.kvcache import init_cache, write_slot
 from flashattn_tpu.ops.paged import (
@@ -51,6 +52,9 @@ class Request:
     # backend only). The prompt must start with the registered tokens; the
     # prefix's pages are shared read-only across every request using it.
     prefix_id: int | None = None
+    # None = greedy. Sampling is keyed on (server seed, uid, position), so
+    # a request's output is reproducible regardless of batch composition.
+    sampling: SamplingParams | None = None
 
 
 @dataclasses.dataclass
@@ -59,6 +63,7 @@ class _Slot:
     remaining: int = 0
     position: int = 0  # position index of the token in self.tokens
     eos: int | None = None
+    sampling: SamplingParams | None = None
     out: list[int] = dataclasses.field(default_factory=list)
 
     @property
@@ -82,6 +87,7 @@ class InferenceServer:
         page_size: int = 1024,
         num_pages: int | None = None,
         admit_chunk: int | None = None,
+        seed: int = 0,
     ):
         """paged=True backs the KV cache with a shared page pool (block
         tables): a slot holds only `ceil((prompt+max_new)/page_size)` pages
@@ -104,6 +110,7 @@ class InferenceServer:
         self.paged = paged
         self.page_size = page_size
         self.admit_chunk = admit_chunk
+        self._rng = jax.random.PRNGKey(seed)
         # slot -> [req, next_prompt_pos] while its prompt streams in chunks
         self._admitting: dict[int, list] = {}
         if paged:
@@ -268,14 +275,27 @@ class InferenceServer:
                         self.caches[li], single[li], s, table)
                 else:
                     self.caches[li] = write_slot(self.caches[li], single[li], s)
-            first = int(jnp.argmax(logits[0, plen - 1]))
+            first = self._pick(logits[0, plen - 1], req.uid, req.sampling,
+                               plen - 1)
             self._start_slot(s, req, first)
+
+    def _pick(self, logits_row: jnp.ndarray, uid: int,
+              sampling: SamplingParams | None, position: int) -> int:
+        """Next token from one slot's [V] logits: greedy, or sampled with a
+        key derived from (server seed, uid, position) — reproducible
+        independent of batch composition and slot placement."""
+        if sampling is None or sampling.temperature == 0.0:
+            return int(jnp.argmax(logits_row))
+        key = jax.random.fold_in(
+            jax.random.fold_in(self._rng, uid), position)
+        return int(sample(logits_row[None], key, sampling)[0])
 
     def _start_slot(self, s: int, req: Request, first: int) -> None:
         plen = len(req.prompt)
         self.slots[s] = slot = _Slot(
             uid=req.uid, remaining=req.max_new_tokens - 1,
-            position=plen, eos=req.eos_token, out=[first])
+            position=plen, eos=req.eos_token, sampling=req.sampling,
+            out=[first])
         self.tokens = self.tokens.at[s].set(first)
         if slot.remaining <= 0 or (slot.eos is not None
                                    and first == slot.eos):
@@ -317,7 +337,8 @@ class InferenceServer:
             self.caches[li] = write_pages(
                 self.caches[li], single[li], oarr, first_block=nshared)
             self.caches[li] = set_block_table(self.caches[li], s, table, plen)
-        first = int(jnp.argmax(logits[0, len(suffix) - 1]))
+        first = self._pick(logits[0, len(suffix) - 1], req.uid, req.sampling,
+                           plen - 1)
         self._start_slot(s, req, first)
 
     def _set_slot_length(self, s: int, n: int) -> None:
@@ -376,7 +397,8 @@ class InferenceServer:
         if take < c:
             self._set_slot_length(s, plen)
         del self._admitting[s]
-        first = int(jnp.argmax(logits[s, take - 1]))
+        first = self._pick(logits[s, take - 1], req.uid, req.sampling,
+                           plen - 1)
         self._start_slot(s, req, first)
 
     def _finish(self, s: int) -> None:
@@ -410,7 +432,9 @@ class InferenceServer:
                 # Mid-admission placeholders hold no decodable state: their
                 # logits row is garbage and must not advance/finish them.
                 continue
-            tok = int(nxt[s])
+            tok = (int(nxt[s]) if slot.sampling is None
+                   else self._pick(logits[s], slot.uid, slot.sampling,
+                                   slot.position))
             slot.position += 1
             slot.remaining -= 1
             slot.out.append(tok)

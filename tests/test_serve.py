@@ -241,3 +241,31 @@ def test_chunked_admission_near_capacity_decoder_not_clobbered():
     got = srv.run()
     assert got[1] == oracle(params, long_a, 40), "live tail clobbered"
     assert got[2] == oracle(params, [(7 * i) % 120 for i in range(100)], 4)
+
+
+def test_server_sampling():
+    """Per-request SamplingParams: sampled slots are deterministic for a
+    fixed (seed, uid) regardless of batch composition; greedy requests in
+    the same batch stay exact."""
+    from flashattn_tpu.models.sampling import SamplingParams
+
+    params = make_params()
+    sp = SamplingParams(temperature=1.3, top_k=20)
+    greedy_prompt = [2, 7]
+
+    def run_server(extra_greedy):
+        srv = InferenceServer(params, CFG, max_slots=2, max_len=512, seed=7)
+        srv.submit(Request(uid=1, prompt=[5, 9, 42], max_new_tokens=10,
+                           sampling=sp))
+        if extra_greedy:
+            srv.submit(Request(uid=2, prompt=greedy_prompt,
+                               max_new_tokens=8))
+        return srv.run()
+
+    a = run_server(extra_greedy=True)
+    b = run_server(extra_greedy=False)
+    assert a[1] == b[1], "sampled output must not depend on batch makeup"
+    assert all(0 <= t < CFG.vocab_size for t in a[1])
+    assert a[2] == oracle(params, greedy_prompt, 8)
+    assert a[1] != oracle(params, [5, 9, 42], 10), (
+        "temperature 1.3 should diverge from greedy for this seed")
