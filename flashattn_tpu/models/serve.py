@@ -417,7 +417,13 @@ class InferenceServer:
         advance every decodable slot one token."""
         self._admit()
         if self._admitting:
-            self._prefill_chunk(next(iter(self._admitting)))
+            # Round-robin across streaming slots: process the front, then
+            # rotate it to the back so a short prompt admitted second is
+            # not starved behind a long one's chunks.
+            s = next(iter(self._admitting))
+            self._prefill_chunk(s)
+            if s in self._admitting:
+                self._admitting[s] = self._admitting.pop(s)
         active = [not s.free and i not in self._admitting
                   for i, s in enumerate(self.slots)]
         if not any(active):
