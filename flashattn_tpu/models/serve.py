@@ -65,6 +65,7 @@ class _Slot:
     eos: int | None = None
     sampling: SamplingParams | None = None
     out: list[int] = dataclasses.field(default_factory=list)
+    lps: list[float] = dataclasses.field(default_factory=list)
 
     @property
     def free(self) -> bool:
@@ -88,6 +89,7 @@ class InferenceServer:
         num_pages: int | None = None,
         admit_chunk: int | None = None,
         seed: int = 0,
+        return_logprobs: bool = False,
     ):
         """paged=True backs the KV cache with a shared page pool (block
         tables): a slot holds only `ceil((prompt+max_new)/page_size)` pages
@@ -111,6 +113,8 @@ class InferenceServer:
         self.page_size = page_size
         self.admit_chunk = admit_chunk
         self._rng = jax.random.PRNGKey(seed)
+        self.return_logprobs = return_logprobs
+        self.finished_logprobs: dict[int, list[float]] = {}
         # slot -> [req, next_prompt_pos] while its prompt streams in chunks
         self._admitting: dict[int, list] = {}
         if paged:
@@ -277,7 +281,7 @@ class InferenceServer:
                     self.caches[li] = write_slot(self.caches[li], single[li], s)
             first = self._pick(logits[0, plen - 1], req.uid, req.sampling,
                                plen - 1)
-            self._start_slot(s, req, first)
+            self._start_slot(s, req, first, logits[0, plen - 1])
 
     def _pick(self, logits_row: jnp.ndarray, uid: int,
               sampling: SamplingParams | None, position: int) -> int:
@@ -290,12 +294,19 @@ class InferenceServer:
             jax.random.fold_in(self._rng, uid), position)
         return int(sample(logits_row[None], key, sampling)[0])
 
-    def _start_slot(self, s: int, req: Request, first: int) -> None:
+    def _logprob(self, logits_row: jnp.ndarray, tok: int) -> float:
+        return float(logits_row[tok]
+                     - jax.scipy.special.logsumexp(logits_row))
+
+    def _start_slot(self, s: int, req: Request, first: int,
+                    logits_row: jnp.ndarray | None = None) -> None:
         plen = len(req.prompt)
+        lps = ([self._logprob(logits_row, first)]
+               if self.return_logprobs and logits_row is not None else [])
         self.slots[s] = slot = _Slot(
             uid=req.uid, remaining=req.max_new_tokens - 1,
             position=plen, eos=req.eos_token, sampling=req.sampling,
-            out=[first])
+            out=[first], lps=lps)
         self.tokens = self.tokens.at[s].set(first)
         if slot.remaining <= 0 or (slot.eos is not None
                                    and first == slot.eos):
@@ -339,7 +350,7 @@ class InferenceServer:
             self.caches[li] = set_block_table(self.caches[li], s, table, plen)
         first = self._pick(logits[0, len(suffix) - 1], req.uid, req.sampling,
                            plen - 1)
-        self._start_slot(s, req, first)
+        self._start_slot(s, req, first, logits[0, len(suffix) - 1])
 
     def _set_slot_length(self, s: int, n: int) -> None:
         for li in range(self.cfg.num_layers):
@@ -399,11 +410,13 @@ class InferenceServer:
         del self._admitting[s]
         first = self._pick(logits[s, take - 1], req.uid, req.sampling,
                            plen - 1)
-        self._start_slot(s, req, first)
+        self._start_slot(s, req, first, logits[s, take - 1])
 
     def _finish(self, s: int) -> None:
         slot = self.slots[s]
         self.finished[slot.uid] = slot.out
+        if self.return_logprobs:
+            self.finished_logprobs[slot.uid] = slot.lps
         self.slots[s] = _Slot()
         if self.paged and self._slot_pages[s]:
             self.allocator.release(self._slot_pages[s])
@@ -441,6 +454,8 @@ class InferenceServer:
             tok = (int(nxt[s]) if slot.sampling is None
                    else self._pick(logits[s], slot.uid, slot.sampling,
                                    slot.position))
+            if self.return_logprobs:
+                slot.lps.append(self._logprob(logits[s], tok))
             slot.position += 1
             slot.remaining -= 1
             slot.out.append(tok)

@@ -269,3 +269,25 @@ def test_server_sampling():
     assert a[2] == oracle(params, greedy_prompt, 8)
     assert a[1] != oracle(params, [5, 9, 42], 10), (
         "temperature 1.3 should diverge from greedy for this seed")
+
+
+def test_server_logprobs():
+    """return_logprobs=True yields one logprob per generated token, equal
+    to the model's own teacher-forced log-softmax at that position."""
+    import numpy as np
+
+    params = make_params()
+    prompt = [5, 9, 42, 7]
+    srv = InferenceServer(params, CFG, max_slots=1, max_len=512,
+                          return_logprobs=True)
+    srv.submit(Request(uid=1, prompt=prompt, max_new_tokens=5))
+    got = srv.run()
+    lps = srv.finished_logprobs[1]
+    assert len(lps) == len(got[1]) == 5
+    # oracle: run the full sequence through the training forward
+    seq = prompt + got[1]
+    logits = llama.forward(params, jnp.asarray([seq], jnp.int32), CFG)
+    lsm = jax.nn.log_softmax(logits[0], axis=-1)
+    want = [float(lsm[len(prompt) - 1 + i, tok])
+            for i, tok in enumerate(got[1])]
+    np.testing.assert_allclose(lps, want, rtol=2e-4, atol=2e-4)
