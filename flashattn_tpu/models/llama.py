@@ -207,18 +207,28 @@ def _attention(q, k, v, mesh, block_sizes=None, segment_ids=None,
         )
         spec = P(da, ma, "sp", None)
     else:
-        # ALiBi slopes are computed in-kernel from the head GRID index, so a
-        # head-sharded call would silently use shard-local head numbers —
-        # every shard rebiased like an Hq/n-head model. Refuse until the
-        # kernel carries a head offset.
-        assert not (alibi and ma is not None and mesh.shape[ma] > 1), (
-            "alibi + head (tensor) sharding not wired yet: in-kernel slopes "
-            "would use shard-local head indices")
+        spec = P(da, ma, None, None)
+        if alibi:
+            # Slopes are a per-head table: build it GLOBALLY and shard it
+            # with the heads, so each shard's kernel indexes its local
+            # slice — head-sharding-correct by construction (the in-kernel
+            # head grid index is shard-local).
+            from flashattn_tpu.ops.flash_fwd import default_alibi_slopes
+
+            slopes = default_alibi_slopes(q.shape[1])
+            fn = functools.partial(
+                flash_attention, is_causal=True, block_sizes=block_sizes,
+                window=window, logit_softcap=logit_softcap, alibi=True,
+            )
+            return jax.shard_map(
+                lambda q, k, v, sl: fn(q, k, v, alibi_slopes=sl),
+                mesh=mesh, in_specs=(spec, spec, spec, P(ma)),
+                out_specs=spec, check_vma=False,
+            )(q, k, v, slopes)
         fn = functools.partial(
             flash_attention, is_causal=True, block_sizes=block_sizes,
-            window=window, logit_softcap=logit_softcap, alibi=alibi,
+            window=window, logit_softcap=logit_softcap,
         )
-        spec = P(da, ma, None, None)
     return jax.shard_map(
         fn, mesh=mesh, in_specs=(spec, spec, spec), out_specs=spec,
         check_vma=False,

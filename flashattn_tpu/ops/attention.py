@@ -21,40 +21,41 @@ from flashattn_tpu.ops.flash_bwd import flash_attention_backward
 
 
 @functools.partial(
-    jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8, 9, 10, 11)
+    jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9, 10, 11, 12)
 )
-def _flash_attention(q, k, v, seed, is_causal, scale, block_sizes, interpret,
-                     dropout_rate, window, logit_softcap, alibi):
+def _flash_attention(q, k, v, seed, slopes, is_causal, scale, block_sizes,
+                     interpret, dropout_rate, window, logit_softcap, alibi):
     o, _ = flash_attention_forward(
         q, k, v, is_causal=is_causal, scale=scale,
         block_sizes=block_sizes, interpret=interpret,
         dropout_rate=dropout_rate, dropout_seed=seed, window=window,
-        logit_softcap=logit_softcap, alibi=alibi,
+        logit_softcap=logit_softcap, alibi=alibi, alibi_slopes=slopes,
     )
     return o
 
 
-def _fwd(q, k, v, seed, is_causal, scale, block_sizes, interpret,
+def _fwd(q, k, v, seed, slopes, is_causal, scale, block_sizes, interpret,
          dropout_rate, window, logit_softcap, alibi):
     o, lse = flash_attention_forward(
         q, k, v, is_causal=is_causal, scale=scale,
         block_sizes=block_sizes, interpret=interpret,
         dropout_rate=dropout_rate, dropout_seed=seed, window=window,
-        logit_softcap=logit_softcap, alibi=alibi,
+        logit_softcap=logit_softcap, alibi=alibi, alibi_slopes=slopes,
     )
-    return o, (q, k, v, seed, o, lse)
+    return o, (q, k, v, seed, slopes, o, lse)
 
 
 def _bwd(is_causal, scale, block_sizes, interpret, dropout_rate, window,
          logit_softcap, alibi, residuals, do):
-    q, k, v, seed, o, lse = residuals
+    q, k, v, seed, slopes, o, lse = residuals
     dq, dk, dv = flash_attention_backward(
         q, k, v, o, do, lse, is_causal=is_causal, scale=scale,
         block_sizes=block_sizes, interpret=interpret,
         dropout_rate=dropout_rate, dropout_seed=seed, window=window,
-        logit_softcap=logit_softcap, alibi=alibi,
+        logit_softcap=logit_softcap, alibi=alibi, alibi_slopes=slopes,
     )
-    return dq, dk, dv, np.zeros(seed.shape, dtype=jax.dtypes.float0)
+    return (dq, dk, dv, np.zeros(seed.shape, dtype=jax.dtypes.float0),
+            jnp.zeros_like(slopes))
 
 
 _flash_attention.defvjp(_fwd, _bwd)
@@ -73,6 +74,7 @@ def flash_attention(
     window: int | None = None,
     logit_softcap: float | None = None,
     alibi: bool = False,
+    alibi_slopes: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     """Differentiable fused flash attention (public entry point, mirroring
     the reference ``flash_attention`` at ``My_FlashAttention_optimized.py:169-170``).
@@ -94,7 +96,10 @@ def flash_attention(
       logit_softcap: Gemma-style logit soft-capping cap·tanh(S/cap) applied
         to the raw logits before the softmax (fwd and bwd agree exactly).
       alibi: add ALiBi position bias slope_h·(k_pos - q_pos) with the
-        standard 2^(-8(h+1)/H) slopes (computed in-kernel, no extra inputs).
+        standard 2^(-8(h+1)/H) slopes.
+      alibi_slopes: optional (Hq,) f32 per-head slope table overriding the
+        standard one — REQUIRED under head sharding (pass the global table
+        sharded with the heads so each shard indexes its local slice).
 
     Returns:
       O: [B, Hq, S_q, D] in q.dtype.
@@ -103,9 +108,15 @@ def flash_attention(
     seed = jnp.asarray(
         0 if dropout_seed is None else dropout_seed, jnp.int32
     )
-    return _flash_attention(q, k, v, seed, is_causal, scale, block_sizes,
-                            interpret, dropout_rate, window, logit_softcap,
-                            alibi)
+    if alibi and alibi_slopes is None:
+        from flashattn_tpu.ops.flash_fwd import default_alibi_slopes
+
+        alibi_slopes = default_alibi_slopes(q.shape[1])
+    if alibi_slopes is None:
+        alibi_slopes = jnp.zeros((q.shape[1],), jnp.float32)  # unused
+    return _flash_attention(q, k, v, seed, alibi_slopes, is_causal, scale,
+                            block_sizes, interpret, dropout_rate, window,
+                            logit_softcap, alibi)
 
 
 # Re-exported for API parity with the reference's launcher layer.

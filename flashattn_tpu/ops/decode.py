@@ -57,6 +57,8 @@ def _decode_kernel(
         q_scale_ref, k_scale_ref, v_scale_ref, *rest = rest
     elif quantized:
         k_scale_ref, v_scale_ref, *rest = rest
+    if alibi_hq:
+        slopes_ref, *rest = rest  # (1, rows, 1) f32 per-ROW slopes
     if with_lse:
         o_ref, lse_ref, m_scratch, l_scratch, acc_scratch = rest
     else:
@@ -116,11 +118,11 @@ def _decode_kernel(
         cols = jax.lax.broadcasted_iota(jnp.int32, (group, block_kv), 1)
         pos = cols + kj * block_kv
         if alibi_hq:
-            # Row r belongs to q-head h_kv·G/T... = kv_head·(rows/chunk) +
-            # r//chunk; its position is length - chunk + r%chunk.
+            # Per-row slope tile (rows = head-major, token-minor) prepared
+            # by the launcher from the (possibly custom / head-sharded)
+            # global slope table; row r's position is length - chunk + r%T.
             riota = jax.lax.broadcasted_iota(jnp.int32, (group, 1), 0)
-            h_q = h_kv * (group // chunk) + riota // chunk
-            slope = jnp.exp2(-8.0 * (h_q + 1).astype(jnp.float32) / alibi_hq)
+            slope = slopes_ref[0]  # (rows, 1) f32
             row_pos_a = length - chunk + riota % chunk
             s = s + slope * LOG2E * (pos - row_pos_a).astype(jnp.float32)
         if chunk > 1:
@@ -220,6 +222,7 @@ def decode_attention(
     window: int | None = None,
     logit_softcap: float | None = None,
     alibi: bool = False,
+    alibi_slopes: jnp.ndarray | None = None,  # (Hq,) f32; None = standard
 ) -> jnp.ndarray:
     """Single-step decode attention against the cache -> [B, Hq, D].
 
@@ -231,7 +234,8 @@ def decode_attention(
     return _decode_attention(q[:, :, None], cache, scale, block_kv,
                              interpret, debug, window,
                              logit_softcap=logit_softcap,
-                             alibi=alibi)[:, :, 0]
+                             alibi=alibi,
+                             alibi_slopes=alibi_slopes)[:, :, 0]
 
 
 @functools.partial(
@@ -248,6 +252,7 @@ def decode_attention_chunk(
     window: int | None = None,
     logit_softcap: float | None = None,
     alibi: bool = False,
+    alibi_slopes: jnp.ndarray | None = None,  # (Hq,) f32; None = standard
 ) -> jnp.ndarray:
     """Chunked decode: T new tokens attend the cache + themselves causally
     (chunked prefill / speculative-verification primitive) -> [B, Hq, T, D].
@@ -256,7 +261,7 @@ def decode_attention_chunk(
     position length - T + t and attends positions <= its own."""
     return _decode_attention(q, cache, scale, block_kv, interpret, debug,
                              window, logit_softcap=logit_softcap,
-                             alibi=alibi)
+                             alibi=alibi, alibi_slopes=alibi_slopes)
 
 
 def _decode_attention(
@@ -270,6 +275,7 @@ def _decode_attention(
     with_lse: bool = False,
     logit_softcap: float | None = None,
     alibi: bool = False,
+    alibi_slopes: jnp.ndarray | None = None,
 ):
     b, hq, t_chunk, d = q.shape
     _, hkv, s_max, dk = cache.k.shape
@@ -349,6 +355,19 @@ def _decode_attention(
             pl.BlockSpec((1, 1, 1, block_kv), scale_index),
         ]
         args += [cache.k_scale, cache.v_scale]
+    if alibi:
+        # Per-ROW slope table [Hkv, rows, 1] (head-major, chunk-minor) from
+        # the (Hq,) global table — overridable / shardable by the caller.
+        from flashattn_tpu.ops.flash_fwd import default_alibi_slopes
+
+        if alibi_slopes is None:
+            alibi_slopes = default_alibi_slopes(hq)
+        slopes_rows = jnp.repeat(
+            alibi_slopes.astype(jnp.float32).reshape(hkv, group),
+            t_chunk, axis=1)[..., None]  # [Hkv, rows, 1]
+        in_specs.append(pl.BlockSpec(
+            (1, rows, 1), lambda b_i, h_i, kv_i, lens: (h_i, 0, 0)))
+        args.append(slopes_rows)
 
     kernel = functools.partial(
         _decode_kernel,

@@ -156,6 +156,8 @@ def _dq_kernel(
     # (1,1,bq,1) f32; scratch dq_acc (bq,D) f32, delta_scratch (bq,128) f32.
     if dropout_rate > 0.0:
         seed_ref, *refs = refs
+    if alibi:
+        slopes_ref, *refs = refs  # SMEM (Hq,) f32 per-head ALiBi slopes
     if segmented:
         (q_ref, k_ref, v_ref, o_ref, do_ref, lse_ref, segq_ref, segk_ref,
          dq_ref, delta_ref, dq_acc, delta_scratch) = refs
@@ -190,8 +192,7 @@ def _dq_kernel(
         t_cap = jnp.tanh(s * (1.0 / softcap))
         s = t_cap * (softcap * LOG2E)
     if alibi:
-        h = pl.program_id(1)
-        slope = jnp.exp2(-8.0 * (h + 1).astype(jnp.float32) / hq)
+        slope = slopes_ref[pl.program_id(1)]
         r1a = jax.lax.broadcasted_iota(jnp.int32, (block_q, 1), 0)
         c1a = jax.lax.broadcasted_iota(jnp.int32, (1, block_kv), 1)
         dist = ((c1a + meta_ref[META_KJ, step] * block_kv)
@@ -291,6 +292,8 @@ def _dkv_kernel(
     # data.
     if dropout_rate > 0.0:
         seed_ref, *refs = refs
+    if alibi:
+        slopes_ref, *refs = refs  # SMEM (Hq,) f32 per-head ALiBi slopes
     if segmented:
         (q_ref, do_ref, lse_ref, delta_ref, k_ref, v_ref, segq_ref,
          segk_ref, dk_ref, dv_ref, dk_acc, dv_acc) = refs
@@ -321,7 +324,7 @@ def _dkv_kernel(
         s = t_cap * (softcap * LOG2E)
     if alibi:
         h_q = pl.program_id(1) * q_per_kv + meta_ref[DKV_G, step]
-        slope = jnp.exp2(-8.0 * (h_q + 1).astype(jnp.float32) / hq)
+        slope = slopes_ref[h_q]
         k1a = jax.lax.broadcasted_iota(jnp.int32, (block_kv, 1), 0)
         q1a = jax.lax.broadcasted_iota(jnp.int32, (1, block_q), 1)
         dist = ((k1a + meta_ref[DKV_KJ, step] * block_kv)
@@ -430,6 +433,7 @@ def flash_attention_backward(
     window: int | None = None,
     logit_softcap: float | None = None,
     alibi: bool = False,
+    alibi_slopes: jnp.ndarray | None = None,  # (Hq,) f32; None = standard
 ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Two-kernel flash-attention backward (launcher layer).
 
@@ -489,6 +493,13 @@ def flash_attention_backward(
     if dropout_rate > 0.0:
         assert dropout_seed is not None, "dropout needs dropout_seed"
         seed_prefetch = [jnp.asarray(dropout_seed, jnp.int32).reshape(1)]
+    if alibi:
+        from flashattn_tpu.ops.flash_fwd import default_alibi_slopes
+
+        if alibi_slopes is None:
+            alibi_slopes = default_alibi_slopes(hq)
+        assert alibi_slopes.shape == (hq,), (alibi_slopes.shape, hq)
+        seed_prefetch = seed_prefetch + [alibi_slopes.astype(jnp.float32)]
 
     def pad_segments(bq_, bkv_, s_q_p_, s_k_p_):
         seg_q, seg_k = segment_ids

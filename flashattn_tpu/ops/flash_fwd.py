@@ -67,6 +67,12 @@ META_COLS = 7
 _BIG = 2**30
 
 
+def default_alibi_slopes(num_heads: int) -> jnp.ndarray:
+    """Standard ALiBi slope table: 2^(-8(h+1)/H) for h in [0, H)."""
+    return jnp.exp2(-8.0 * (jnp.arange(num_heads, dtype=jnp.float32) + 1)
+                    / num_heads)
+
+
 def build_wavefront(
     num_q_blocks: int,
     num_kv_blocks: int,
@@ -150,6 +156,8 @@ def _fwd_kernel(
     # outputs o (1,1,bq,D), lse (1,1,bq,1); f32 scratch m/l (bq,128), acc.
     if dropout_rate > 0.0:
         seed_ref, *refs = refs
+    if alibi:
+        slopes_ref, *refs = refs  # SMEM (Hq,) f32 per-head ALiBi slopes
     if segmented:
         (q_ref, k_ref, v_ref, segq_ref, segk_ref, o_ref, lse_ref,
          m_scratch, l_scratch, acc_scratch) = refs
@@ -176,10 +184,12 @@ def _fwd_kernel(
     if softcap > 0.0:
         s = jnp.tanh(s * (1.0 / softcap)) * (softcap * LOG2E)
     if alibi:
-        # ALiBi: score += slope_h * (k_pos - q_pos) (<= 0 for the past);
-        # slope 2^(-8(h+1)/H) computed from the grid index — no new inputs.
-        h = pl.program_id(1)
-        slope = jnp.exp2(-8.0 * (h + 1).astype(jnp.float32) / hq)
+        # ALiBi: score += slope_h * (k_pos - q_pos) (<= 0 for the past).
+        # Slopes arrive as a scalar-prefetched (Hq,) array — indexable by
+        # the LOCAL head grid index even under head sharding (the caller
+        # shards the global slope table with the heads), and overridable
+        # with model-custom slopes.
+        slope = slopes_ref[pl.program_id(1)]
         r1a = jax.lax.broadcasted_iota(jnp.int32, (block_q, 1), 0)
         c1a = jax.lax.broadcasted_iota(jnp.int32, (1, block_kv), 1)
         dist = ((c1a + meta_ref[META_KJ, step] * block_kv)
@@ -290,6 +300,7 @@ def flash_attention_forward(
     window: int | None = None,
     logit_softcap: float | None = None,
     alibi: bool = False,
+    alibi_slopes: jnp.ndarray | None = None,  # (Hq,) f32; None = standard
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Fused flash-attention forward.
 
@@ -385,6 +396,11 @@ def flash_attention_forward(
     if dropout_rate > 0.0:
         assert dropout_seed is not None, "dropout needs dropout_seed"
         prefetch.append(jnp.asarray(dropout_seed, jnp.int32).reshape(1))
+    if alibi:
+        if alibi_slopes is None:
+            alibi_slopes = default_alibi_slopes(hq)
+        assert alibi_slopes.shape == (hq,), (alibi_slopes.shape, hq)
+        prefetch.append(alibi_slopes.astype(jnp.float32))
 
     in_specs = [
         pl.BlockSpec((1, 1, bq, d), q_index),

@@ -343,6 +343,7 @@ def paged_decode_attention(
     window: int | None = None,
     logit_softcap: float | None = None,
     alibi: bool = False,
+    alibi_slopes: jnp.ndarray | None = None,  # (Hq,) f32; None = standard
 ) -> jnp.ndarray:
     """Single-step decode against the paged cache -> [B, Hq, D].
 
@@ -352,7 +353,8 @@ def paged_decode_attention(
     only live pages.
     """
     return _paged_decode(q[:, :, None], cache, scale, interpret, debug,
-                         window, logit_softcap, alibi)[:, :, 0]
+                         window, logit_softcap, alibi,
+                         alibi_slopes)[:, :, 0]
 
 
 @functools.partial(
@@ -368,11 +370,12 @@ def paged_decode_attention_chunk(
     window: int | None = None,
     logit_softcap: float | None = None,
     alibi: bool = False,
+    alibi_slopes: jnp.ndarray | None = None,  # (Hq,) f32; None = standard
 ) -> jnp.ndarray:
     """Chunked decode (chunked prefill / speculative verification) against
     the paged cache; the chunk's K/V must already be appended."""
     return _paged_decode(q, cache, scale, interpret, debug, window,
-                         logit_softcap, alibi)
+                         logit_softcap, alibi, alibi_slopes)
 
 
 def _paged_decode(
@@ -384,6 +387,7 @@ def _paged_decode(
     window: int | None,
     logit_softcap: float | None,
     alibi: bool,
+    alibi_slopes: jnp.ndarray | None = None,
 ):
     b, hq, t_chunk, d = q.shape
     _, hkv, page, dk = cache.k_pages.shape
@@ -445,6 +449,17 @@ def _paged_decode(
             pl.BlockSpec((1, 1, 1, block_kv), scale_index),
         ]
         args += [cache.k_scale, cache.v_scale]
+    if alibi:
+        from flashattn_tpu.ops.flash_fwd import default_alibi_slopes
+
+        if alibi_slopes is None:
+            alibi_slopes = default_alibi_slopes(hq)
+        slopes_rows = jnp.repeat(
+            alibi_slopes.astype(jnp.float32).reshape(hkv, group),
+            t_chunk, axis=1)[..., None]  # [Hkv, rows, 1]
+        in_specs.append(pl.BlockSpec(
+            (1, rows, 1), lambda b_i, h_i, kv_i, lens, table: (h_i, 0, 0)))
+        args.append(slopes_rows)
 
     def kernel(lengths_ref, table_ref, *rest, **kw):
         # The table is consumed by the index maps only; the kernel body is

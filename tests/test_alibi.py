@@ -122,3 +122,45 @@ def test_alibi_model_train_decode_agree():
         np.testing.assert_allclose(
             np.asarray(logits), np.asarray(train_logits[:, t]),
             rtol=2e-4, atol=2e-4, err_msg=f"position {t}")
+
+
+def test_alibi_head_sharded_matches_unsharded():
+    """ALiBi slopes must follow GLOBAL head indices under head (tensor)
+    sharding: the per-head slope table is built globally and sharded with
+    the heads, so a 4-way 'model' mesh reproduces the unsharded forward."""
+    from flashattn_tpu.models import llama
+    from flashattn_tpu.models.config import ModelConfig
+    from flashattn_tpu.parallel import make_mesh
+
+    cfg = ModelConfig(
+        vocab_size=64, hidden_size=64, intermediate_size=128, num_layers=2,
+        num_heads=8, num_kv_heads=4, head_dim=32, max_seq_len=256,
+        dtype=jnp.float32, use_alibi=True,
+    )
+    params = llama.init_params(cfg, jax.random.PRNGKey(0))
+    tokens = jax.random.randint(jax.random.PRNGKey(1), (2, 64), 0,
+                                cfg.vocab_size, jnp.int32)
+    ref = llama.forward(params, tokens, cfg)
+    mesh = make_mesh({"model": 4})
+    got = llama.forward(params, tokens, cfg, mesh=mesh)
+    r = verify_results(ref, got, atol=1e-5, rtol=1e-5)
+    assert r.passed, r
+
+
+def test_custom_alibi_slopes():
+    """flash_attention(alibi_slopes=...) overrides the standard table;
+    passing the standard table explicitly matches the default path."""
+    from flashattn_tpu.ops.flash_fwd import default_alibi_slopes
+
+    keys = jax.random.split(jax.random.PRNGKey(3), 3)
+    q, k, v = (jax.random.normal(kk, (1, 4, 256, 64)) for kk in keys)
+    o_default = flash_attention(q, k, v, is_causal=True, alibi=True,
+                                block_sizes=BS)
+    o_explicit = flash_attention(q, k, v, is_causal=True, alibi=True,
+                                 alibi_slopes=default_alibi_slopes(4),
+                                 block_sizes=BS)
+    assert jnp.array_equal(o_default, o_explicit)
+    o_other = flash_attention(q, k, v, is_causal=True, alibi=True,
+                              alibi_slopes=jnp.full((4,), 0.25, jnp.float32),
+                              block_sizes=BS)
+    assert not jnp.allclose(o_default, o_other, atol=1e-3)

@@ -128,3 +128,37 @@ def test_paged_decode_tp_heads_sharded():
     np.testing.assert_allclose(np.asarray(o.astype(jnp.float32)),
                                np.asarray(o_ref.astype(jnp.float32)),
                                atol=1e-5)
+
+
+def test_decode_tp_heads_sharded_alibi():
+    """ALiBi decode under head sharding: shard the global slope table with
+    the heads — matches the unsharded decode exactly."""
+    from flashattn_tpu.ops.flash_fwd import default_alibi_slopes
+
+    b, hq, hkv, d, s = 2, 8, 4, 64, 512
+    mesh = make_mesh({"model": 4})
+    cache = init_cache(b, hkv, s, d, dtype=jnp.bfloat16)
+    kn = jax.random.normal(jax.random.PRNGKey(0), (b, hkv, s, d),
+                           jnp.bfloat16)
+    vn = jax.random.normal(jax.random.PRNGKey(1), (b, hkv, s, d),
+                           jnp.bfloat16)
+    cache = update_cache(cache, kn, vn)
+    q = jax.random.normal(jax.random.PRNGKey(2), (b, hq, d), jnp.bfloat16)
+    slopes = default_alibi_slopes(hq)
+
+    o_ref = decode_attention(q, cache, alibi=True)
+
+    cache_specs = KVCache(
+        k=P(None, "model"), v=P(None, "model"),
+        k_scale=None, v_scale=None, length=P(),
+    )
+    o = jax.shard_map(
+        lambda q, c, sl: decode_attention(q, c, alibi=True, alibi_slopes=sl),
+        mesh=mesh,
+        in_specs=(P(None, "model"), cache_specs, P("model")),
+        out_specs=P(None, "model"),
+        check_vma=False,
+    )(q, cache, slopes)
+    np.testing.assert_allclose(np.asarray(o.astype(jnp.float32)),
+                               np.asarray(o_ref.astype(jnp.float32)),
+                               atol=1e-5)
