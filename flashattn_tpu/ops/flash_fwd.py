@@ -30,7 +30,8 @@ Idiom differences from the Triton original (this is NOT a port):
 
 Composable variants carried by the same kernel (each a static flag, zero
 cost when off): sliding window (wavefront-pruned), Gemma-style logit
-soft-capping, ALiBi slopes (computed in-kernel), counter-based dropout,
+soft-capping, ALiBi (slope table scalar-prefetched; shardable with the
+heads), counter-based dropout,
 and packed-sequence segment masking (varlen).
 """
 
