@@ -30,8 +30,17 @@ def ulysses_flash_attention(
     scale: float | None = None,
     block_sizes: BlockSizes | None = None,
     interpret: bool | None = None,
+    window: int | None = None,
+    logit_softcap: float | None = None,
+    alibi: bool = False,
+    alibi_slopes: jnp.ndarray | None = None,  # GLOBAL (Hq,) table
 ) -> jnp.ndarray:
     """Sequence-parallel attention via head all-to-all; call INSIDE shard_map.
+
+    Because each device runs FULL-sequence attention over a head slice, the
+    attention variants compose with no cross-device logic: window/softcap
+    apply locally, and ALiBi takes the GLOBAL slope table (replicated) and
+    slices the local heads' entries after the all-to-all.
 
     Args:
       q: [B, Hq, S/n, D] local shard (sequence partitioned over `axis_name`);
@@ -71,9 +80,22 @@ def ulysses_flash_attention(
         k_h = lax.dynamic_slice_in_dim(k_f, start, span, axis=1)
         v_h = lax.dynamic_slice_in_dim(v_f, start, span, axis=1)
 
+    local_slopes = None
+    if alibi:
+        from flashattn_tpu.ops.flash_fwd import default_alibi_slopes
+
+        table = (default_alibi_slopes(hq) if alibi_slopes is None
+                 else alibi_slopes.astype(jnp.float32))
+        # After the all-to-all, this device holds the CONTIGUOUS head slice
+        # [idx·Hq/n, (idx+1)·Hq/n) — take its slope entries.
+        local_slopes = lax.dynamic_slice_in_dim(
+            table, lax.axis_index(axis_name) * (hq // n), hq // n)
+
     o_h = flash_attention(
         q_h, k_h, v_h, is_causal=is_causal, scale=scale,
         block_sizes=block_sizes, interpret=interpret,
+        window=window, logit_softcap=logit_softcap,
+        alibi=alibi, alibi_slopes=local_slopes,
     )
 
     # [B, H/n, S, D] -> [B, H, S/n, D]

@@ -8,9 +8,11 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 import pytest
 from jax.sharding import PartitionSpec as P
 
+from flashattn_tpu.ops.attention import flash_attention
 from flashattn_tpu.ops.common import BlockSizes
 from flashattn_tpu.ops.reference import reference_attention
 from flashattn_tpu.parallel import (
@@ -222,3 +224,29 @@ def test_ulysses_gqa_kv_smaller_than_axis(is_causal):
     ):
         r = verify_results(a, b, atol=1e-5, rtol=1e-5)
         assert r.passed, f"{name}: {r}"
+
+
+@pytest.mark.parametrize("variant", ["window", "softcap", "alibi"])
+def test_ulysses_variants_match_unsharded(variant):
+    """Window / softcap / ALiBi compose with Ulysses head-all-to-all with
+    no cross-device logic (full-sequence local attention; ALiBi slices the
+    global slope table per head shard) — exact vs unsharded."""
+    import functools
+
+    from flashattn_tpu.parallel.ulysses import ulysses_flash_attention
+
+    kw = {"window": dict(window=200),
+          "softcap": dict(logit_softcap=20.0),
+          "alibi": dict(alibi=True)}[variant]
+    mesh = make_mesh({"sp": 4})
+    keys = jax.random.split(jax.random.PRNGKey(0), 3)
+    q, k, v = (jax.random.normal(kk, (1, 8, 512, 64)) for kk in keys)
+    ref = flash_attention(q, k, v, is_causal=True, **kw)
+    fn = functools.partial(ulysses_flash_attention, axis_name="sp",
+                           is_causal=True, **kw)
+    got = jax.shard_map(fn, mesh=mesh,
+                        in_specs=(P(None, None, "sp"),) * 3,
+                        out_specs=P(None, None, "sp"),
+                        check_vma=False)(q, k, v)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=1e-5, rtol=1e-5)
