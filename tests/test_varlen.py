@@ -130,3 +130,33 @@ def test_varlen_bf16():
     o_ref = unpacked_oracle(q, k, v, LENS, True)
     r = verify_results(o_ref, o.astype(jnp.float32), atol=2e-2, rtol=2e-2)
     assert r.passed, r
+
+
+def test_varlen_alibi_composition():
+    """Packed segments + ALiBi: the bias depends only on (k_pos - q_pos),
+    which is translation-invariant, so packed documents with GLOBAL
+    positions match per-document attention exactly (cross-document pairs
+    are segment-masked)."""
+    from flashattn_tpu.ops.flash_fwd import flash_attention_forward
+
+    bs = BlockSizes(block_q=128, block_kv=128)
+    b, h, d = 1, 4, 64
+    lens = [200, 150, 162]
+    s = sum(lens)
+    keys = jax.random.split(jax.random.PRNGKey(0), 3)
+    q, k, v = (jax.random.normal(kk, (b, h, s, d)) for kk in keys)
+    seg = jnp.asarray([sum(([i] * n for i, n in enumerate(lens)), [])],
+                      jnp.int32)
+    o_packed, _ = flash_attention_forward(
+        q, k, v, is_causal=True, segment_ids=(seg, seg), alibi=True,
+        block_sizes=bs)
+    outs, off = [], 0
+    for n in lens:
+        oi, _ = flash_attention_forward(
+            q[:, :, off:off + n], k[:, :, off:off + n], v[:, :, off:off + n],
+            is_causal=True, alibi=True, block_sizes=bs)
+        outs.append(oi)
+        off += n
+    o_ref = jnp.concatenate(outs, axis=2)
+    np.testing.assert_allclose(np.asarray(o_packed), np.asarray(o_ref),
+                               atol=1e-5, rtol=1e-5)
