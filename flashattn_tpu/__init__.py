@@ -35,6 +35,7 @@ from flashattn_tpu.ops.paged import (
     write_pages,
     write_slot_paged,
 )
+from flashattn_tpu.ops.flash_fwd import default_alibi_slopes
 from flashattn_tpu.ops.quant_matmul import quant_matmul, quantize_weights
 from flashattn_tpu.ops.reference import reference_attention, reference_attention_with_lse
 from flashattn_tpu.ops.varlen import (
@@ -66,6 +67,7 @@ __all__ = [
     "pages_to_dense",
     "write_pages",
     "write_slot_paged",
+    "default_alibi_slopes",
     "quant_matmul",
     "quantize_weights",
     "reference_attention",

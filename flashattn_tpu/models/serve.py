@@ -471,6 +471,36 @@ class InferenceServer:
         out, self.finished = self.finished, {}
         return out
 
+    def warmup(self) -> None:
+        """Compile the serving executables before traffic: every prompt
+        bucket's prefill (or the admit_chunk step) and the fused decode
+        step. First-compile latency (~20-40s/shape on TPU) then never hits
+        a live request."""
+        b = len(self.slots)
+        if self.admit_chunk:
+            c = self.admit_chunk
+            piece = jnp.zeros((b, c), jnp.int32)
+            positions = jnp.zeros((b, c), jnp.int32)
+            generate.chunk_step(self.params, piece, positions, self.caches,
+                                self.cfg, active=jnp.zeros((b,), bool))
+        else:
+            buckets = range(self.prompt_bucket, self.max_len + 1,
+                            self.prompt_bucket)
+            single = [
+                init_cache(1, self.cfg.num_kv_heads, self.max_len,
+                           self.cfg.head_dim, dtype=self.cfg.dtype,
+                           quant=self.quant)
+                for _ in range(self.cfg.num_layers)
+            ]
+            for padded in buckets:
+                generate.prefill(self.params,
+                                 jnp.zeros((1, padded), jnp.int32),
+                                 single, self.cfg, return_all=True)
+        generate.decode_step(
+            self.params, self.tokens,
+            jnp.zeros((b,), jnp.int32), self.caches, self.cfg,
+            active=jnp.zeros((b,), bool))
+
     def stats(self) -> dict[str, Any]:
         """Observability snapshot (SURVEY §5 metrics): occupancy, queue
         depth, and — paged — page-pool utilization incl. shared prefixes."""

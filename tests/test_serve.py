@@ -291,3 +291,13 @@ def test_server_logprobs():
     want = [float(lsm[len(prompt) - 1 + i, tok])
             for i, tok in enumerate(got[1])]
     np.testing.assert_allclose(lps, want, rtol=2e-4, atol=2e-4)
+
+
+def test_warmup_compiles_without_side_effects():
+    """warmup() must not change serving state or outputs."""
+    params = make_params()
+    srv = InferenceServer(params, CFG, max_slots=2, max_len=256)
+    srv.warmup()
+    assert srv.stats()["active_slots"] == 0
+    srv.submit(Request(uid=1, prompt=[5, 9], max_new_tokens=6))
+    assert srv.run()[1] == oracle(params, [5, 9], 6)
