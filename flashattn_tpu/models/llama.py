@@ -188,7 +188,8 @@ def _attention(q, k, v, mesh, block_sizes=None, segment_ids=None,
         assert window is None, "packed segments + window not wired yet"
         return flash_attention_varlen(
             q, k, v, segment_ids=segment_ids, is_causal=True,
-            block_sizes=block_sizes)
+            block_sizes=block_sizes,
+            logit_softcap=logit_softcap, alibi=alibi)
     if mesh is None:
         return flash_attention(q, k, v, is_causal=True,
                                block_sizes=block_sizes, window=window,

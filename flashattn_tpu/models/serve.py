@@ -158,6 +158,13 @@ class InferenceServer:
             assert padded <= self.max_len, (
                 f"prompt ({len(req.prompt)}) rounded to admit_chunk ({c}) "
                 f"exceeds max_len ({self.max_len})")
+        if req.prefix_id is not None:
+            assert self.paged, "prefix sharing needs the paged backend"
+            assert req.prefix_id in self._prefixes, (
+                f"unknown prefix_id {req.prefix_id}")
+            ptoks, _ = self._prefixes[req.prefix_id]
+            assert req.prompt[:len(ptoks)] == ptoks, (
+                "prompt does not start with the registered prefix")
         if self.paged:
             need = pages_needed(
                 len(req.prompt) + req.max_new_tokens, self.page_size)
@@ -168,11 +175,6 @@ class InferenceServer:
                     f"request needs {need} pages but the pool only has "
                     f"{self.allocator.num_pages} — it could never be "
                     "admitted (backpressure would spin forever)")
-        if req.prefix_id is not None:
-            assert self.paged, "prefix sharing needs the paged backend"
-            ptoks, _ = self._prefixes[req.prefix_id]
-            assert req.prompt[:len(ptoks)] == ptoks, (
-                "prompt does not start with the registered prefix")
         self.queue.append(req)
 
     def register_prefix(self, tokens: list[int]) -> int:
@@ -242,7 +244,18 @@ class InferenceServer:
                     len(nxt.prompt) + nxt.max_new_tokens,
                     self.page_size) - len(spages)
                 if need > self.allocator.free_pages:
-                    return  # backpressure: keep queued until pages free up
+                    # Backpressure: keep queued until pages free up. But if
+                    # NOTHING is in flight, the free pool is already maximal
+                    # (only registered prefixes hold pages) — waiting can
+                    # never help, so fail loudly instead of livelocking.
+                    if (all(sl.free for sl in self.slots)
+                            and not self._admitting):
+                        raise RuntimeError(
+                            f"request {nxt.uid} needs {need} pages but only "
+                            f"{self.allocator.free_pages} can ever be free "
+                            "(registered prefixes hold the rest) — "
+                            "unregister a prefix or grow num_pages")
+                    return
             req = self.queue.popleft()
             if self.admit_chunk:
                 self._begin_chunked_admission(s, req)
@@ -446,16 +459,30 @@ class InferenceServer:
             self.params, self.tokens, positions, self.caches, self.cfg,
             active=jnp.asarray(active))
         nxt = jax.device_get(jnp.argmax(logits, axis=-1).astype(jnp.int32))
-        for s, slot in enumerate(self.slots):
-            if slot.free or s in self._admitting:
-                # Mid-admission placeholders hold no decodable state: their
-                # logits row is garbage and must not advance/finish them.
-                continue
-            tok = (int(nxt[s]) if slot.sampling is None
-                   else self._pick(logits[s], slot.uid, slot.sampling,
-                                   slot.position))
-            if self.return_logprobs:
-                slot.lps.append(self._logprob(logits[s], tok))
+        live = [s for s, slot in enumerate(self.slots)
+                if not slot.free and s not in self._admitting]
+        # Mid-admission placeholders hold no decodable state: their logits
+        # rows are garbage and must not advance/finish them (skipped above).
+        toks = {
+            s: (int(nxt[s]) if self.slots[s].sampling is None
+                else self._pick(logits[s], self.slots[s].uid,
+                                self.slots[s].sampling,
+                                self.slots[s].position))
+            for s in live
+        }
+        if self.return_logprobs and live:
+            # One batched gather + logsumexp + readback for every live slot
+            # (per-slot _logprob syncs would cost O(B) relay round-trips).
+            rows = jnp.asarray(live)
+            cols = jnp.asarray([toks[s] for s in live])
+            lps = jax.device_get(
+                logits[rows, cols]
+                - jax.scipy.special.logsumexp(logits[rows], axis=-1))
+            for i, s in enumerate(live):
+                self.slots[s].lps.append(float(lps[i]))
+        for s in live:
+            slot = self.slots[s]
+            tok = toks[s]
             slot.position += 1
             slot.remaining -= 1
             slot.out.append(tok)

@@ -264,6 +264,36 @@ def decode_attention_chunk(
                              alibi=alibi, alibi_slopes=alibi_slopes)
 
 
+
+
+def prep_decode_q(q, hkv, int8_mode, pre):
+    """Shared decode-launcher q prep: [B,Hq,T,D] -> grouped [B,Hkv,G*T,D]
+    pre-scaled rows, plus per-row int8 quantization in int8 mode (both dots
+    then run on the native int8 MXU)."""
+    b, hq, t_chunk, d = q.shape
+    rows = (hq // hkv) * t_chunk
+    q_pre = (q.astype(jnp.float32) * pre).reshape(b, hkv, rows, d)
+    if int8_mode:
+        q_amax = jnp.max(jnp.abs(q_pre), axis=-1, keepdims=True)
+        q_scale = jnp.maximum(q_amax / 127.0, 1e-8)  # [B,Hkv,rows,1]
+        q4 = jnp.clip(jnp.round(q_pre / q_scale), -127, 127).astype(jnp.int8)
+        return q4, q_scale
+    return q_pre.astype(q.dtype), None
+
+
+def decode_slopes_rows(alibi_slopes, hq, hkv, t_chunk):
+    """Per-ROW ALiBi slope table [Hkv, rows, 1] (head-major, chunk-minor)
+    from the (possibly custom / head-sharded) global (Hq,) table."""
+    from flashattn_tpu.ops.flash_fwd import default_alibi_slopes
+
+    if alibi_slopes is None:
+        alibi_slopes = default_alibi_slopes(hq)
+    group = hq // hkv
+    return jnp.repeat(
+        alibi_slopes.astype(jnp.float32).reshape(hkv, group),
+        t_chunk, axis=1)[..., None]
+
+
 def _decode_attention(
     q: jnp.ndarray,  # [B, Hq, T, D]
     cache: KVCache,
@@ -311,16 +341,7 @@ def _decode_attention(
     # Softcap needs RAW logits for the tanh: fold only `scale`; the kernel
     # applies log2(e) after the cap (mirrors the training kernels).
     pre = scale if logit_softcap else scale * LOG2E
-    q_pre = (q.astype(jnp.float32) * pre).reshape(b, hkv, rows, d)
-    if int8_mode:
-        # Per-row symmetric q quantization: the whole attention then runs on
-        # the native int8 MXU (q·kᵀ and p·v), no bulk dequant casts.
-        q_amax = jnp.max(jnp.abs(q_pre), axis=-1, keepdims=True)
-        q_scale = jnp.maximum(q_amax / 127.0, 1e-8)  # [B,Hkv,G,1]
-        q4 = jnp.clip(jnp.round(q_pre / q_scale), -127, 127).astype(jnp.int8)
-    else:
-        q4 = q_pre.astype(q.dtype)
-        q_scale = None
+    q4, q_scale = prep_decode_q(q, hkv, int8_mode, pre)
 
     def q_index(b_i, h_i, kv_i, lens):
         return (b_i, h_i, 0, 0)
@@ -356,18 +377,9 @@ def _decode_attention(
         ]
         args += [cache.k_scale, cache.v_scale]
     if alibi:
-        # Per-ROW slope table [Hkv, rows, 1] (head-major, chunk-minor) from
-        # the (Hq,) global table — overridable / shardable by the caller.
-        from flashattn_tpu.ops.flash_fwd import default_alibi_slopes
-
-        if alibi_slopes is None:
-            alibi_slopes = default_alibi_slopes(hq)
-        slopes_rows = jnp.repeat(
-            alibi_slopes.astype(jnp.float32).reshape(hkv, group),
-            t_chunk, axis=1)[..., None]  # [Hkv, rows, 1]
         in_specs.append(pl.BlockSpec(
             (1, rows, 1), lambda b_i, h_i, kv_i, lens: (h_i, 0, 0)))
-        args.append(slopes_rows)
+        args.append(decode_slopes_rows(alibi_slopes, hq, hkv, t_chunk))
 
     kernel = functools.partial(
         _decode_kernel,

@@ -46,6 +46,18 @@ class KVCache:
         return self.k.shape[2]
 
 
+def store_dtype_for(quant: str | None, dtype):
+    """(storage dtype, has_scales) for a KV quant mode — the single
+    dispatch shared by the dense and paged cache constructors."""
+    if quant is None:
+        return dtype, False
+    if quant == "int8":
+        return jnp.int8, True
+    if quant == "fp8":
+        return FP8_DTYPE, True
+    raise ValueError(f"unknown quant mode {quant!r}")
+
+
 def init_cache(
     batch: int,
     num_kv_heads: int,
@@ -54,14 +66,7 @@ def init_cache(
     dtype=jnp.bfloat16,
     quant: str | None = None,  # None | "int8" | "fp8"
 ) -> KVCache:
-    if quant is None:
-        store_dtype, scales = dtype, False
-    elif quant == "int8":
-        store_dtype, scales = jnp.int8, True
-    elif quant == "fp8":
-        store_dtype, scales = FP8_DTYPE, True
-    else:
-        raise ValueError(f"unknown quant mode {quant!r}")
+    store_dtype, scales = store_dtype_for(quant, dtype)
     shape = (batch, num_kv_heads, max_len, head_dim)
     zeros = jnp.zeros(shape, store_dtype)
     scale = (

@@ -33,8 +33,10 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from flashattn_tpu.ops.common import LOG2E, interpret_default
-from flashattn_tpu.ops.decode import _decode_kernel
-from flashattn_tpu.ops.kvcache import FP8_DTYPE, quantize_tokens
+from flashattn_tpu.ops.decode import (_decode_kernel, decode_slopes_rows,
+                                      prep_decode_q)
+from flashattn_tpu.ops.kvcache import (quantize_tokens,
+                                        store_dtype_for)
 
 
 @jax.tree_util.register_dataclass
@@ -83,14 +85,7 @@ def init_paged_cache(
     larger pages amortize per-block DMA overhead (see benchmarks).
     """
     assert page_size % 128 == 0, f"page_size must be 128-aligned: {page_size}"
-    if quant is None:
-        store_dtype, scales = dtype, False
-    elif quant == "int8":
-        store_dtype, scales = jnp.int8, True
-    elif quant == "fp8":
-        store_dtype, scales = FP8_DTYPE, True
-    else:
-        raise ValueError(f"unknown quant mode {quant!r}")
+    store_dtype, scales = store_dtype_for(quant, dtype)
     shape = (num_pages, num_kv_heads, page_size, head_dim)
     zeros = jnp.zeros(shape, store_dtype)
     scale = (
@@ -407,14 +402,7 @@ def _paged_decode(
     quantized = cache.quantized
     int8_mode = quantized and cache.k_pages.dtype == jnp.int8
     pre = scale if logit_softcap else scale * LOG2E
-    q_pre = (q.astype(jnp.float32) * pre).reshape(b, hkv, rows, d)
-    if int8_mode:
-        q_amax = jnp.max(jnp.abs(q_pre), axis=-1, keepdims=True)
-        q_scale = jnp.maximum(q_amax / 127.0, 1e-8)
-        q4 = jnp.clip(jnp.round(q_pre / q_scale), -127, 127).astype(jnp.int8)
-    else:
-        q4 = q_pre.astype(q.dtype)
-        q_scale = None
+    q4, q_scale = prep_decode_q(q, hkv, int8_mode, pre)
 
     def q_index(b_i, h_i, kv_i, lens, table):
         return (b_i, h_i, 0, 0)
@@ -450,16 +438,9 @@ def _paged_decode(
         ]
         args += [cache.k_scale, cache.v_scale]
     if alibi:
-        from flashattn_tpu.ops.flash_fwd import default_alibi_slopes
-
-        if alibi_slopes is None:
-            alibi_slopes = default_alibi_slopes(hq)
-        slopes_rows = jnp.repeat(
-            alibi_slopes.astype(jnp.float32).reshape(hkv, group),
-            t_chunk, axis=1)[..., None]  # [Hkv, rows, 1]
         in_specs.append(pl.BlockSpec(
             (1, rows, 1), lambda b_i, h_i, kv_i, lens, table: (h_i, 0, 0)))
-        args.append(slopes_rows)
+        args.append(decode_slopes_rows(alibi_slopes, hq, hkv, t_chunk))
 
     def kernel(lengths_ref, table_ref, *rest, **kw):
         # The table is consumed by the index maps only; the kernel body is

@@ -43,31 +43,35 @@ def segment_ids_from_cu_seqlens(cu_seqlens: jnp.ndarray,
     return jnp.where(pos < cu_seqlens[-1], ids.astype(jnp.int32), -1)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9, 10))
 def _flash_attention_varlen(q, k, v, seg_q, seg_k, is_causal, scale,
-                            block_sizes, interpret):
+                            block_sizes, interpret, logit_softcap, alibi):
     o, _ = flash_attention_forward(
         q, k, v, is_causal=is_causal, scale=scale, block_sizes=block_sizes,
         interpret=interpret, segment_ids=(seg_q, seg_k),
+        logit_softcap=logit_softcap, alibi=alibi,
     )
     return o
 
 
 def _varlen_fwd(q, k, v, seg_q, seg_k, is_causal, scale, block_sizes,
-                interpret):
+                interpret, logit_softcap, alibi):
     o, lse = flash_attention_forward(
         q, k, v, is_causal=is_causal, scale=scale, block_sizes=block_sizes,
         interpret=interpret, segment_ids=(seg_q, seg_k),
+        logit_softcap=logit_softcap, alibi=alibi,
     )
     return o, (q, k, v, seg_q, seg_k, o, lse)
 
 
-def _varlen_bwd(is_causal, scale, block_sizes, interpret, residuals, do):
+def _varlen_bwd(is_causal, scale, block_sizes, interpret, logit_softcap,
+                alibi, residuals, do):
     q, k, v, seg_q, seg_k, o, lse = residuals
     dq, dk, dv = flash_attention_backward(
         q, k, v, o, do, lse, is_causal=is_causal, scale=scale,
         block_sizes=block_sizes, interpret=interpret,
         segment_ids=(seg_q, seg_k),
+        logit_softcap=logit_softcap, alibi=alibi,
     )
     zero_q = np.zeros(seg_q.shape, dtype=jax.dtypes.float0)
     zero_k = np.zeros(seg_k.shape, dtype=jax.dtypes.float0)
@@ -87,8 +91,15 @@ def flash_attention_varlen(
     scale: float | None = None,
     block_sizes: BlockSizes | None = None,
     interpret: bool | None = None,
+    logit_softcap: float | None = None,
+    alibi: bool = False,
 ) -> jnp.ndarray:
     """Differentiable packed-sequence flash attention.
+
+    ALiBi composes exactly with packing: the bias depends only on
+    (k_pos - q_pos), which is translation-invariant, so global positions
+    inside a packed document give the per-document bias and cross-document
+    pairs are segment-masked (test_varlen_alibi_composition).
 
     Args:
       q: [B, Hq, S_q, D]; k, v: [B, Hkv, S_k, D] (usually B=1, everything
@@ -122,4 +133,5 @@ def flash_attention_varlen(
     seg_k = jnp.where(seg_k < 0, -2, seg_k).astype(jnp.int32)
     return _flash_attention_varlen(
         q, k, v, seg_q, seg_k, is_causal, scale, block_sizes, interpret,
+        logit_softcap, alibi,
     )

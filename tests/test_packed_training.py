@@ -78,3 +78,29 @@ def test_packed_training_step():
         params = optax.apply_updates(params, updates)
         first = first if first is not None else float(loss)
     assert float(loss) < first
+
+
+def test_packed_alibi_model_forward():
+    """cfg.use_alibi must reach the varlen kernels through the model layer:
+    packed forward == per-document forward (silently dropping the bias was
+    a review finding — this pins the wiring)."""
+    import numpy as np
+
+    cfg = ModelConfig(
+        vocab_size=64, hidden_size=64, intermediate_size=128, num_layers=2,
+        num_heads=4, num_kv_heads=2, head_dim=32, max_seq_len=512,
+        dtype=jnp.float32, use_alibi=True,
+    )
+    params = llama.init_params(cfg, jax.random.PRNGKey(0))
+    lens = [60, 40]
+    toks = jax.random.randint(jax.random.PRNGKey(1), (1, sum(lens)), 0,
+                              cfg.vocab_size, jnp.int32)
+    seg = jnp.asarray([[0] * lens[0] + [1] * lens[1]], jnp.int32)
+    packed = llama.forward(params, toks, cfg, segment_ids=seg)
+    parts, off = [], 0
+    for n in lens:
+        parts.append(llama.forward(params, toks[:, off:off + n], cfg))
+        off += n
+    ref = jnp.concatenate(parts, axis=1)
+    np.testing.assert_allclose(np.asarray(packed), np.asarray(ref),
+                               rtol=2e-4, atol=2e-4)

@@ -301,3 +301,27 @@ def test_warmup_compiles_without_side_effects():
     assert srv.stats()["active_slots"] == 0
     srv.submit(Request(uid=1, prompt=[5, 9], max_new_tokens=6))
     assert srv.run()[1] == oracle(params, [5, 9], 6)
+
+
+def test_impossible_request_raises_not_livelocks():
+    """A request that passes submit's capacity check but can never be
+    admitted because registered prefixes hold the pages must raise once
+    nothing is in flight — not spin forever."""
+    params = make_params()
+    prefix = list(range(20, 20 + 256))  # holds 2 pages permanently
+    srv = InferenceServer(params, CFG, max_slots=2, max_len=512,
+                          paged=True, page_size=128, num_pages=4)
+    pid = srv.register_prefix(prefix)
+    del pid
+    srv.submit(Request(uid=1, prompt=[1, 2, 3], max_new_tokens=300))  # 3 pages
+    with pytest.raises(RuntimeError, match="can ever be free"):
+        srv.run()
+
+
+def test_unknown_prefix_id_rejected_at_submit():
+    params = make_params()
+    srv = InferenceServer(params, CFG, max_slots=1, max_len=512,
+                          paged=True, page_size=128)
+    with pytest.raises(AssertionError, match="unknown prefix_id"):
+        srv.submit(Request(uid=1, prompt=[1], max_new_tokens=2,
+                           prefix_id=99))
