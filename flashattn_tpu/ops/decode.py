@@ -48,6 +48,7 @@ def _decode_kernel(
     block_kv: int,
     num_kv_blocks: int,
     window: int | None,
+    sink: int,  # always-visible first tokens (StreamingLLM); 0 = off
     chunk: int,
     with_lse: bool,
     softcap: float,
@@ -79,7 +80,8 @@ def _decode_kernel(
         l_scratch[...] = jnp.zeros_like(l_scratch)
         acc_scratch[...] = jnp.zeros_like(acc_scratch)
 
-    @pl.when((kj * block_kv < length) & ((kj + 1) * block_kv > start))
+    @pl.when((kj * block_kv < length)
+             & (((kj + 1) * block_kv > start) | (kj * block_kv < sink)))
     def _step():
         q = q_ref[0, 0]  # (G, D)
         k = k_ref[0, 0]  # (bkv, D)
@@ -130,11 +132,17 @@ def _decode_kernel(
             row_pos = length - chunk + riota % chunk  # (rows, 1)
             live = pos <= row_pos
             if window is not None:
-                live = live & (pos > row_pos - window)
+                in_win = pos > row_pos - window
+                if sink:  # StreamingLLM: first `sink` tokens never evict
+                    in_win = in_win | (pos < sink)
+                live = live & in_win
         else:
             live = pos < length
             if window is not None:
-                live = live & (pos >= start)
+                in_win = pos >= start
+                if sink:
+                    in_win = in_win | (pos < sink)
+                live = live & in_win
         s = jnp.where(live, s, MASK_VALUE)
 
         m_prev = m_scratch[:, :1]
@@ -210,7 +218,7 @@ def _decode_kernel(
 
 @functools.partial(
     jax.jit, static_argnames=("scale", "block_kv", "interpret", "debug",
-                              "window", "logit_softcap", "alibi")
+                              "window", "sink", "logit_softcap", "alibi")
 )
 def decode_attention(
     q: jnp.ndarray,  # [B, Hq, D] — one new token per sequence
@@ -220,11 +228,16 @@ def decode_attention(
     interpret: bool | None = None,
     debug: bool = False,
     window: int | None = None,
+    sink: int = 0,
     logit_softcap: float | None = None,
     alibi: bool = False,
     alibi_slopes: jnp.ndarray | None = None,  # (Hq,) f32; None = standard
 ) -> jnp.ndarray:
     """Single-step decode attention against the cache -> [B, Hq, D].
+
+    sink > 0 (requires window) keeps the first `sink` tokens always
+    visible in addition to the sliding window — StreamingLLM-style
+    attention sinks, which stabilize long-streaming generation.
 
     The new token's K/V must already be appended (kvcache.update_cache), so
     position t attends tokens [0, length) including itself — or only the
@@ -232,7 +245,7 @@ def decode_attention(
     AND their DMA is clamped away, so long caches stream O(window) bytes.
     """
     return _decode_attention(q[:, :, None], cache, scale, block_kv,
-                             interpret, debug, window,
+                             interpret, debug, window, sink=sink,
                              logit_softcap=logit_softcap,
                              alibi=alibi,
                              alibi_slopes=alibi_slopes)[:, :, 0]
@@ -240,7 +253,7 @@ def decode_attention(
 
 @functools.partial(
     jax.jit, static_argnames=("scale", "block_kv", "interpret", "debug",
-                              "window", "logit_softcap", "alibi")
+                              "window", "sink", "logit_softcap", "alibi")
 )
 def decode_attention_chunk(
     q: jnp.ndarray,  # [B, Hq, T, D] — T new tokens per sequence
@@ -250,6 +263,7 @@ def decode_attention_chunk(
     interpret: bool | None = None,
     debug: bool = False,
     window: int | None = None,
+    sink: int = 0,
     logit_softcap: float | None = None,
     alibi: bool = False,
     alibi_slopes: jnp.ndarray | None = None,  # (Hq,) f32; None = standard
@@ -260,7 +274,7 @@ def decode_attention_chunk(
     The chunk's K/V must already be appended: token t of the chunk sits at
     position length - T + t and attends positions <= its own."""
     return _decode_attention(q, cache, scale, block_kv, interpret, debug,
-                             window, logit_softcap=logit_softcap,
+                             window, sink=sink, logit_softcap=logit_softcap,
                              alibi=alibi, alibi_slopes=alibi_slopes)
 
 
@@ -302,11 +316,13 @@ def _decode_attention(
     interpret: bool | None,
     debug: bool,
     window: int | None,
+    sink: int = 0,
     with_lse: bool = False,
     logit_softcap: float | None = None,
     alibi: bool = False,
     alibi_slopes: jnp.ndarray | None = None,
 ):
+    assert sink == 0 or window is not None, "sink requires window"
     b, hq, t_chunk, d = q.shape
     _, hkv, s_max, dk = cache.k.shape
     assert dk == d
@@ -353,7 +369,12 @@ def _decode_attention(
         first = (
             jnp.maximum(lens[b_i] - (t_chunk - 1) - window, 0) // block_kv
             if window is not None else 0)
-        return jnp.clip(kv_i, first, last)
+        c = jnp.clip(kv_i, first, last)
+        if sink:
+            # Attention-sink blocks sit LEFT of the window and must fetch
+            # their own data, not the window's first block.
+            c = jnp.where(kv_i * block_kv < sink, jnp.minimum(kv_i, last), c)
+        return c
 
     def kv_index(b_i, h_i, kv_i, lens):
         return (b_i, h_i, _clamped(kv_i, lens, b_i), 0)
@@ -389,6 +410,7 @@ def _decode_attention(
         block_kv=block_kv,
         num_kv_blocks=num_kv_blocks,
         window=window,
+        sink=sink,
         chunk=t_chunk,
         with_lse=with_lse,
         softcap=float(logit_softcap or 0.0),

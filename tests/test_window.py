@@ -106,3 +106,46 @@ def test_windowed_model_train_decode_agree():
         np.testing.assert_allclose(
             np.asarray(logits), np.asarray(train_logits[:, t]),
             rtol=2e-4, atol=2e-4, err_msg=f"position {t}")
+
+
+@pytest.mark.parametrize("t_chunk", [1, 4])
+def test_decode_attention_sinks(t_chunk):
+    """StreamingLLM attention sinks: sliding window PLUS the first `sink`
+    tokens always visible. Oracle = softmax over exactly that key set."""
+    import numpy as np
+
+    from flashattn_tpu.ops.decode import (
+        decode_attention, decode_attention_chunk)
+    from flashattn_tpu.ops.kvcache import init_cache, update_cache
+
+    b, hq, hkv, d, s_max = 2, 4, 2, 64, 1024
+    length, window, sink = 900, 256, 16
+    cache = init_cache(b, hkv, s_max, d, dtype=jnp.float32)
+    kn = jax.random.normal(jax.random.PRNGKey(0), (b, hkv, length, d))
+    vn = jax.random.normal(jax.random.PRNGKey(1), (b, hkv, length, d))
+    cache = update_cache(cache, kn, vn)
+    q = jax.random.normal(jax.random.PRNGKey(2), (b, hq, t_chunk, d))
+
+    if t_chunk == 1:
+        o = decode_attention(q[:, :, 0], cache, window=window, sink=sink)
+        o = o[:, :, None]
+    else:
+        o = decode_attention_chunk(q, cache, window=window, sink=sink)
+
+    # dense oracle per chunk row
+    qe = np.asarray(q).reshape(b, hkv, hq // hkv, t_chunk, d)
+    kn_, vn_ = np.asarray(kn), np.asarray(vn)
+    out = np.zeros((b, hkv, hq // hkv, t_chunk, d), np.float32)
+    for bi in range(b):
+        for h in range(hkv):
+            for g in range(hq // hkv):
+                for t in range(t_chunk):
+                    row_pos = length - t_chunk + t
+                    vis = [p for p in range(length)
+                           if p <= row_pos and (
+                               p >= row_pos - window + 1 or p < sink)]
+                    s = qe[bi, h, g, t] @ kn_[bi, h, vis].T / np.sqrt(d)
+                    p = np.exp(s - s.max()); p /= p.sum()
+                    out[bi, h, g, t] = p @ vn_[bi, h, vis]
+    o_ref = out.reshape(b, hq, t_chunk, d)
+    np.testing.assert_allclose(np.asarray(o), o_ref, atol=1e-5, rtol=1e-5)
