@@ -327,7 +327,7 @@ def append_paged(
 
 @functools.partial(
     jax.jit, static_argnames=("scale", "interpret", "debug", "window",
-                              "logit_softcap", "alibi")
+                              "sink", "logit_softcap", "alibi")
 )
 def paged_decode_attention(
     q: jnp.ndarray,  # [B, Hq, D] — one new token per sequence
@@ -336,6 +336,7 @@ def paged_decode_attention(
     interpret: bool | None = None,
     debug: bool = False,
     window: int | None = None,
+    sink: int = 0,
     logit_softcap: float | None = None,
     alibi: bool = False,
     alibi_slopes: jnp.ndarray | None = None,  # (Hq,) f32; None = standard
@@ -349,12 +350,12 @@ def paged_decode_attention(
     """
     return _paged_decode(q[:, :, None], cache, scale, interpret, debug,
                          window, logit_softcap, alibi,
-                         alibi_slopes)[:, :, 0]
+                         alibi_slopes, sink=sink)[:, :, 0]
 
 
 @functools.partial(
     jax.jit, static_argnames=("scale", "interpret", "debug", "window",
-                              "logit_softcap", "alibi")
+                              "sink", "logit_softcap", "alibi")
 )
 def paged_decode_attention_chunk(
     q: jnp.ndarray,  # [B, Hq, T, D] — T new tokens per sequence
@@ -363,6 +364,7 @@ def paged_decode_attention_chunk(
     interpret: bool | None = None,
     debug: bool = False,
     window: int | None = None,
+    sink: int = 0,
     logit_softcap: float | None = None,
     alibi: bool = False,
     alibi_slopes: jnp.ndarray | None = None,  # (Hq,) f32; None = standard
@@ -370,7 +372,7 @@ def paged_decode_attention_chunk(
     """Chunked decode (chunked prefill / speculative verification) against
     the paged cache; the chunk's K/V must already be appended."""
     return _paged_decode(q, cache, scale, interpret, debug, window,
-                         logit_softcap, alibi, alibi_slopes)
+                         logit_softcap, alibi, alibi_slopes, sink=sink)
 
 
 def _paged_decode(
@@ -383,7 +385,9 @@ def _paged_decode(
     logit_softcap: float | None,
     alibi: bool,
     alibi_slopes: jnp.ndarray | None = None,
+    sink: int = 0,
 ):
+    assert sink == 0 or window is not None, "sink requires window"
     b, hq, t_chunk, d = q.shape
     _, hkv, page, dk = cache.k_pages.shape
     assert dk == d
@@ -414,7 +418,11 @@ def _paged_decode(
         first = (
             jnp.maximum(lens[b_i] - (t_chunk - 1) - window, 0) // block_kv
             if window is not None else 0)
-        return table[b_i, jnp.clip(kv_i, first, last)]
+        c = jnp.clip(kv_i, first, last)
+        if sink:  # sink blocks sit left of the window: fetch their own page
+            c = jnp.where(kv_i * block_kv < sink,
+                          jnp.minimum(kv_i, last), c)
+        return table[b_i, c]
 
     def kv_index(b_i, h_i, kv_i, lens, table):
         return (_page(kv_i, lens, table, b_i), h_i, 0, 0)
@@ -456,6 +464,7 @@ def _paged_decode(
         block_kv=block_kv,
         num_kv_blocks=num_kv_blocks,
         window=window,
+        sink=sink,
         chunk=t_chunk,
         with_lse=False,
         softcap=float(logit_softcap or 0.0),

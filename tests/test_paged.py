@@ -188,3 +188,15 @@ def test_chunked_prefill_into_pages():
     lp2, _ = generate.decode_step(params, tok, pos, paged, cfg)
     np.testing.assert_allclose(np.asarray(lp2), np.asarray(ld2),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_paged_sink():
+    """Attention sinks compose with the paged table: matches dense decode
+    with the same window+sink."""
+    lengths = [900, 400]
+    dense, paged = make_pair(lengths)
+    q = jax.random.normal(jax.random.PRNGKey(16), (B, HQ, D))
+    o_dense = decode_attention(q, dense, block_kv=PAGE, window=256, sink=16)
+    o_paged = paged_decode_attention(q, paged, window=256, sink=16)
+    r = verify_results(o_dense, o_paged, atol=1e-6, rtol=1e-6)
+    assert r.passed, r
