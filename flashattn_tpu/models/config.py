@@ -34,6 +34,10 @@ class ModelConfig:
     logit_softcap: float | None = None
     # ALiBi position bias (BLOOM/MPT-style) — disables RoPE when True.
     use_alibi: bool = False
+    # StreamingLLM attention sinks: first N tokens stay visible alongside
+    # the sliding window. DECODE-ONLY (requires attn_window; training uses
+    # the plain window — sinks are an inference-time stabilizer).
+    attn_sink: int = 0
 
     @property
     def q_per_kv(self) -> int:

@@ -121,7 +121,7 @@ def decode_step(
         new_caches.append(cache)
         attn = paged_decode_attention if paged else decode_attention
         o = attn(q[:, :, 0], cache,
-                 window=cfg.attn_window,
+                 window=cfg.attn_window, sink=cfg.attn_sink,
                  logit_softcap=cfg.logit_softcap,
                  alibi=cfg.use_alibi)  # [B, Hq, D]
         o = o.reshape(b, cfg.num_heads * cfg.head_dim)
@@ -207,7 +207,7 @@ def chunk_step(
         new_caches.append(cache)
         attn = (paged_decode_attention_chunk if paged
                 else decode_attention_chunk)
-        o = attn(q, cache, window=cfg.attn_window,
+        o = attn(q, cache, window=cfg.attn_window, sink=cfg.attn_sink,
                  logit_softcap=cfg.logit_softcap,
                  alibi=cfg.use_alibi)
         o = o.transpose(0, 2, 1, 3).reshape(
