@@ -38,6 +38,8 @@ class ModelConfig:
     # the sliding window. DECODE-ONLY (requires attn_window; training uses
     # the plain window — sinks are an inference-time stabilizer).
     attn_sink: int = 0
+    # Qwen2-style additive biases on the q/k/v projections.
+    attn_bias: bool = False
 
     @property
     def q_per_kv(self) -> int:

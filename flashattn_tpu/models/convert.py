@@ -1,8 +1,9 @@
-"""HuggingFace Llama checkpoint -> flashattn_tpu param pytree.
+"""HuggingFace Llama-family checkpoint -> flashattn_tpu param pytree.
 
 Lets a user of the reference ecosystem bring real weights: any
 ``LlamaForCausalLM``-style state dict (torch tensors or numpy arrays) maps
-onto the functional pytree in models/llama.py. Conventions verified by the
+onto the functional pytree in models/llama.py — including Mistral
+(sliding window) and Qwen2 (q/k/v biases) variants of the architecture. Conventions verified by the
 logits-parity test (tests/test_hf_parity.py) against transformers itself:
   - HF stores projections as [out, in]; our matmuls are x @ W, so every
     weight transposes.
@@ -56,6 +57,14 @@ def params_from_hf(state_dict: Mapping[str, Any], cfg: ModelConfig) -> Params:
             "wk": linear(p + "self_attn.k_proj.weight"),
             "wv": linear(p + "self_attn.v_proj.weight"),
             "wo": linear(p + "self_attn.o_proj.weight"),
+            **({
+                "bq": jnp.asarray(take(p + "self_attn.q_proj.bias"),
+                                  cfg.dtype),
+                "bk": jnp.asarray(take(p + "self_attn.k_proj.bias"),
+                                  cfg.dtype),
+                "bv": jnp.asarray(take(p + "self_attn.v_proj.bias"),
+                                  cfg.dtype),
+            } if cfg.attn_bias else {}),
             "mlp_norm": jnp.asarray(
                 take(p + "post_attention_layernorm.weight"), cfg.dtype),
             "w_gate": linear(p + "mlp.gate_proj.weight"),
@@ -81,4 +90,11 @@ def config_from_hf(hf_config, dtype=jnp.bfloat16) -> ModelConfig:
         dtype=dtype,
         tie_embeddings=getattr(hf_config, "tie_word_embeddings", False),
         max_seq_len=hf_config.max_position_embeddings,
+        # Mistral-style sliding window when present and enabled.
+        attn_window=(getattr(hf_config, "sliding_window", None)
+                     if getattr(hf_config, "use_sliding_window", True)
+                     else None),
+        # Llama exposes attention_bias; Qwen2 has q/k/v biases always.
+        attn_bias=bool(getattr(hf_config, "attention_bias", False)
+                       or getattr(hf_config, "model_type", "") == "qwen2"),
     )

@@ -58,9 +58,12 @@ def prefill(
     new_caches = []
     for layer, cache in zip(params["layers"], caches):
         xn = llama.rms_norm(x, layer["attn_norm"], cfg.norm_eps)
-        q = llama.proj(xn, layer["wq"]).reshape(b, s, cfg.num_heads, cfg.head_dim)
-        k = llama.proj(xn, layer["wk"]).reshape(b, s, cfg.num_kv_heads, cfg.head_dim)
-        v = llama.proj(xn, layer["wv"]).reshape(b, s, cfg.num_kv_heads, cfg.head_dim)
+        q = llama.qkv_proj(xn, layer, cfg, "q").reshape(
+            b, s, cfg.num_heads, cfg.head_dim)
+        k = llama.qkv_proj(xn, layer, cfg, "k").reshape(
+            b, s, cfg.num_kv_heads, cfg.head_dim)
+        v = llama.qkv_proj(xn, layer, cfg, "v").reshape(
+            b, s, cfg.num_kv_heads, cfg.head_dim)
         q, k, v = (t.transpose(0, 2, 1, 3) for t in (q, k, v))
         if not cfg.use_alibi:
             q = llama.apply_rope(q, cos, sin)
@@ -110,9 +113,12 @@ def decode_step(
     for layer, cache in zip(params["layers"], caches):
         paged = isinstance(cache, PagedKVCache)
         xn = llama.rms_norm(x, layer["attn_norm"], cfg.norm_eps)
-        q = llama.proj(xn, layer["wq"]).reshape(b, cfg.num_heads, 1, cfg.head_dim)
-        k = llama.proj(xn, layer["wk"]).reshape(b, cfg.num_kv_heads, 1, cfg.head_dim)
-        v = llama.proj(xn, layer["wv"]).reshape(b, cfg.num_kv_heads, 1, cfg.head_dim)
+        q = llama.qkv_proj(xn, layer, cfg, "q").reshape(
+            b, cfg.num_heads, 1, cfg.head_dim)
+        k = llama.qkv_proj(xn, layer, cfg, "k").reshape(
+            b, cfg.num_kv_heads, 1, cfg.head_dim)
+        v = llama.qkv_proj(xn, layer, cfg, "v").reshape(
+            b, cfg.num_kv_heads, 1, cfg.head_dim)
         if not cfg.use_alibi:
             q = llama.apply_rope(q, cos[:, None], sin[:, None])
             k = llama.apply_rope(k, cos[:, None], sin[:, None])
@@ -193,11 +199,11 @@ def chunk_step(
     for layer, cache in zip(params["layers"], caches):
         paged = isinstance(cache, PagedKVCache)
         xn = llama.rms_norm(x, layer["attn_norm"], cfg.norm_eps)
-        q = llama.proj(xn, layer["wq"]).reshape(
+        q = llama.qkv_proj(xn, layer, cfg, "q").reshape(
             b, chunk, cfg.num_heads, cfg.head_dim).transpose(0, 2, 1, 3)
-        k = llama.proj(xn, layer["wk"]).reshape(
+        k = llama.qkv_proj(xn, layer, cfg, "k").reshape(
             b, chunk, cfg.num_kv_heads, cfg.head_dim).transpose(0, 2, 1, 3)
-        v = llama.proj(xn, layer["wv"]).reshape(
+        v = llama.qkv_proj(xn, layer, cfg, "v").reshape(
             b, chunk, cfg.num_kv_heads, cfg.head_dim).transpose(0, 2, 1, 3)
         if not cfg.use_alibi:
             q = llama.apply_rope(q, cos, sin)

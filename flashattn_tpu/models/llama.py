@@ -45,6 +45,14 @@ def proj(x: jnp.ndarray, w, out_dtype=None) -> jnp.ndarray:
     return jnp.dot(x, w, preferred_element_type=out_dtype)
 
 
+def qkv_proj(xn, layer, cfg, which: str):
+    """Attention projection with the optional Qwen2-style additive bias."""
+    y = proj(xn, layer["w" + which])
+    if cfg.attn_bias:
+        y = y + layer["b" + which]
+    return y
+
+
 def quantize_params(params: Params, bits: int = 8) -> Params:
     """Weight-only quantization of all projection matrices (embeddings and
     norms stay in the compute dtype). Works on any param pytree from
@@ -89,6 +97,10 @@ def init_params(cfg: ModelConfig, key: jax.Array) -> Params:
             "wo": dense(lk[3], (nq * hd, h), (nq * hd) ** -0.5),
             "mlp_norm": jnp.ones((h,), cfg.dtype),
         }
+        if cfg.attn_bias:
+            layer.update(bq=jnp.zeros((nq * hd,), cfg.dtype),
+                         bk=jnp.zeros((nkv * hd,), cfg.dtype),
+                         bv=jnp.zeros((nkv * hd,), cfg.dtype))
         if cfg.num_experts:
             from flashattn_tpu.parallel.moe import init_moe_params
 
@@ -119,6 +131,8 @@ def param_shardings(cfg: ModelConfig) -> Params:
         "wo": P("model", None),
         "mlp_norm": P(),
     }
+    if cfg.attn_bias:
+        layer.update(bq=P("model"), bk=P("model"), bv=P("model"))
     if cfg.num_experts:
         # Experts shard over 'ep' at rest (matches the shard_map island).
         layer["moe"] = {
@@ -296,9 +310,9 @@ def _attn_block(layer, x, cos, sin, cfg, mesh, block_sizes,
                 segment_ids=None):
     b, s, h = x.shape
     xn = rms_norm(x, layer["attn_norm"], cfg.norm_eps)
-    q = proj(xn, layer["wq"]).reshape(b, s, cfg.num_heads, cfg.head_dim)
-    k = proj(xn, layer["wk"]).reshape(b, s, cfg.num_kv_heads, cfg.head_dim)
-    v = proj(xn, layer["wv"]).reshape(b, s, cfg.num_kv_heads, cfg.head_dim)
+    q = qkv_proj(xn, layer, cfg, "q").reshape(b, s, cfg.num_heads, cfg.head_dim)
+    k = qkv_proj(xn, layer, cfg, "k").reshape(b, s, cfg.num_kv_heads, cfg.head_dim)
+    v = qkv_proj(xn, layer, cfg, "v").reshape(b, s, cfg.num_kv_heads, cfg.head_dim)
     # [B, H, S, D] layout for the kernel
     q = q.transpose(0, 2, 1, 3)
     k = k.transpose(0, 2, 1, 3)

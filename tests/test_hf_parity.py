@@ -98,3 +98,45 @@ def test_mistral_sliding_window_parity():
     ours = np.asarray(llama.forward(params, jnp.asarray(tokens, jnp.int32),
                                     cfg))
     np.testing.assert_allclose(ours, hf_logits, rtol=2e-3, atol=2e-3)
+
+
+def test_qwen2_bias_parity():
+    """transformers Qwen2ForCausalLM (q/k/v projection biases) — logits must
+    match teacher-forced, validating the attn_bias path + config mapping."""
+    hf_cfg = transformers.Qwen2Config(
+        vocab_size=256,
+        hidden_size=128,
+        intermediate_size=256,
+        num_hidden_layers=2,
+        num_attention_heads=4,
+        num_key_value_heads=2,
+        max_position_embeddings=256,
+        rms_norm_eps=1e-5,
+        rope_theta=10000.0,
+        tie_word_embeddings=False,
+        use_sliding_window=False,
+        attn_implementation="eager",
+    )
+    torch.manual_seed(11)
+    model = transformers.Qwen2ForCausalLM(hf_cfg).eval()
+    cfg = config_from_hf(hf_cfg, dtype=jnp.float32)
+    assert cfg.attn_bias and cfg.attn_window is None
+    params = params_from_hf(model.state_dict(), cfg)
+
+    rng = np.random.default_rng(2)
+    tokens = rng.integers(0, hf_cfg.vocab_size, size=(1, 48))
+    with torch.no_grad():
+        hf_logits = model(torch.from_numpy(tokens)).logits.numpy()
+    ours = llama.forward(params, jnp.asarray(tokens, jnp.int32), cfg)
+    np.testing.assert_allclose(np.asarray(ours), hf_logits,
+                               rtol=2e-4, atol=2e-4)
+    # decode path too: greedy generation must match HF exactly
+    prompt = tokens[:, :8]
+    with torch.no_grad():
+        hf_out = model.generate(
+            torch.from_numpy(prompt), max_new_tokens=8, do_sample=False,
+            pad_token_id=0)
+    hf_new = hf_out[0, prompt.shape[1]:].numpy().tolist()
+    out = generate.generate(params, jnp.asarray(prompt, jnp.int32), cfg,
+                            max_new_tokens=8, max_len=256)
+    assert [int(t) for t in out[0]] == hf_new
