@@ -252,3 +252,29 @@ def test_dead_cache_garbage_cannot_poison(t_chunk):
     o_ref = reference_attention(q, kn, vn, is_causal=True)
     r = verify_results(o_ref, o, atol=1e-5, rtol=1e-5)
     assert r.passed, r
+
+
+@pytest.mark.parametrize("quant,kw", [
+    ("int8", {"alibi": True}),
+    ("fp8", {"alibi": True}),
+    ("int8", {"logit_softcap": 30.0}),
+    ("fp8", {"logit_softcap": 30.0}),
+])
+def test_decode_quant_variant_combinations(quant, kw):
+    """Quantized caches compose with ALiBi / softcap: kernel vs the
+    dequantized-cache oracle under the bf16 gate."""
+    b, hq, hkv, d, s_max, length = 2, 4, 2, 64, 512, 300
+    cache = init_cache(b, hkv, s_max, d, quant=quant)
+    kn = jax.random.normal(jax.random.PRNGKey(0), (b, hkv, length, d),
+                           jnp.bfloat16)
+    vn = jax.random.normal(jax.random.PRNGKey(1), (b, hkv, length, d),
+                           jnp.bfloat16)
+    cache = update_cache(cache, kn, vn)
+    q = jax.random.normal(jax.random.PRNGKey(2), (b, hq, d), jnp.bfloat16)
+    o = decode_attention(q, cache, **kw)
+    kd = dequantize(cache.k, cache.k_scale)[:, :, :length]
+    vd = dequantize(cache.v, cache.v_scale)[:, :, :length]
+    o_ref = reference_attention(q[:, :, None], kd, vd, is_causal=True,
+                                **kw)[:, :, 0]
+    r = verify_results(o_ref, o, rtol=2e-2, atol=5e-2)
+    assert r.passed, r
