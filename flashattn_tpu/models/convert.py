@@ -48,14 +48,26 @@ def params_from_hf(state_dict: Mapping[str, Any], cfg: ModelConfig) -> Params:
     }
     if not cfg.tie_embeddings:
         params["lm_head"] = linear("lm_head.weight")
+    nq_d = cfg.num_heads * cfg.head_dim
+    nkv_d = cfg.num_kv_heads * cfg.head_dim
     for i in range(cfg.num_layers):
         p = f"model.layers.{i}."
+        if p + "self_attn.qkv_proj.weight" in sd:
+            # Phi-3-style fused projections: split [q; k; v] rows.
+            qkv = take(p + "self_attn.qkv_proj.weight")
+            wq = jnp.asarray(qkv[:nq_d].T, cfg.dtype)
+            wk = jnp.asarray(qkv[nq_d:nq_d + nkv_d].T, cfg.dtype)
+            wv = jnp.asarray(qkv[nq_d + nkv_d:].T, cfg.dtype)
+        else:
+            wq = linear(p + "self_attn.q_proj.weight")
+            wk = linear(p + "self_attn.k_proj.weight")
+            wv = linear(p + "self_attn.v_proj.weight")
         params["layers"].append({
             "attn_norm": jnp.asarray(take(p + "input_layernorm.weight"),
                                      cfg.dtype),
-            "wq": linear(p + "self_attn.q_proj.weight"),
-            "wk": linear(p + "self_attn.k_proj.weight"),
-            "wv": linear(p + "self_attn.v_proj.weight"),
+            "wq": wq,
+            "wk": wk,
+            "wv": wv,
             "wo": linear(p + "self_attn.o_proj.weight"),
             **({
                 "bq": jnp.asarray(take(p + "self_attn.q_proj.bias"),
@@ -67,11 +79,22 @@ def params_from_hf(state_dict: Mapping[str, Any], cfg: ModelConfig) -> Params:
             } if cfg.attn_bias else {}),
             "mlp_norm": jnp.asarray(
                 take(p + "post_attention_layernorm.weight"), cfg.dtype),
-            "w_gate": linear(p + "mlp.gate_proj.weight"),
-            "w_up": linear(p + "mlp.up_proj.weight"),
+            **(_split_gate_up(take(p + "mlp.gate_up_proj.weight"),
+                              cfg.dtype)
+               if p + "mlp.gate_up_proj.weight" in sd else {
+                   "w_gate": linear(p + "mlp.gate_proj.weight"),
+                   "w_up": linear(p + "mlp.up_proj.weight"),
+               }),
             "w_down": linear(p + "mlp.down_proj.weight"),
         })
     return params
+
+
+def _split_gate_up(gate_up: np.ndarray, dtype) -> dict:
+    """Phi-3 fuses [gate; up] rows into one matrix."""
+    half = gate_up.shape[0] // 2
+    return {"w_gate": jnp.asarray(gate_up[:half].T, dtype),
+            "w_up": jnp.asarray(gate_up[half:].T, dtype)}
 
 
 def config_from_hf(hf_config, dtype=jnp.bfloat16) -> ModelConfig:

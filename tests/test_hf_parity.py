@@ -140,3 +140,34 @@ def test_qwen2_bias_parity():
     out = generate.generate(params, jnp.asarray(prompt, jnp.int32), cfg,
                             max_new_tokens=8, max_len=256)
     assert [int(t) for t in out[0]] == hf_new
+
+
+def test_phi3_fused_projection_parity():
+    """transformers Phi3ForCausalLM fuses qkv and gate_up projections; the
+    converter splits them — teacher-forced logits must match."""
+    hf_cfg = transformers.Phi3Config(
+        vocab_size=256,
+        hidden_size=128,
+        intermediate_size=256,
+        num_hidden_layers=2,
+        num_attention_heads=4,
+        num_key_value_heads=2,
+        max_position_embeddings=256,
+        rms_norm_eps=1e-5,
+        rope_theta=10000.0,
+        tie_word_embeddings=False,
+        sliding_window=None,
+        pad_token_id=0,  # Phi3Config defaults to 32000 >= our tiny vocab
+        attn_implementation="eager",
+    )
+    torch.manual_seed(13)
+    model = transformers.Phi3ForCausalLM(hf_cfg).eval()
+    cfg = config_from_hf(hf_cfg, dtype=jnp.float32)
+    params = params_from_hf(model.state_dict(), cfg)
+    rng = np.random.default_rng(3)
+    tokens = rng.integers(0, hf_cfg.vocab_size, size=(1, 40))
+    with torch.no_grad():
+        hf_logits = model(torch.from_numpy(tokens)).logits.numpy()
+    ours = llama.forward(params, jnp.asarray(tokens, jnp.int32), cfg)
+    np.testing.assert_allclose(np.asarray(ours), hf_logits,
+                               rtol=2e-4, atol=2e-4)
