@@ -1,6 +1,7 @@
 """Speculative decoding: draft-model proposals verified in ONE chunked
-target pass (greedy acceptance — output is EXACTLY the target model's greedy
-generation, just cheaper per accepted token).
+target pass. Greedy acceptance reproduces the target's greedy generation
+exactly; with `sampling=`, the Leviathan accept/reject scheme emits tokens
+distributed EXACTLY as sampling from the target.
 
 Built on the chunked-decode kernel (ops/decode.py): the target scores the
 draft's k tokens + the anchor token in a single decode_attention_chunk call
@@ -31,6 +32,40 @@ def _rollback(caches, length: int):
     return [dataclasses.replace(c, length=arr) for c in caches]
 
 
+def spec_accept(p_probs, q_probs, drafts, key):
+    """Leviathan et al. speculative-sampling accept/reject (pure, host math).
+
+    p_probs [k+1, V]: target distribution at each verified position;
+    q_probs [k, V]: draft distribution each proposal was drawn from;
+    drafts [k]: the proposed tokens. Returns (n_accepted, next_token):
+    draft i is accepted with prob min(1, p_i(x_i)/q_i(x_i)); on the first
+    rejection the replacement is drawn from the residual
+    norm(max(0, p_i - q_i)); on full acceptance the bonus token comes from
+    p_k. The emitted sequence is distributed EXACTLY as sampling from the
+    target (tested distributionally in tests/test_speculate.py).
+    """
+    import numpy as np
+
+    p = np.asarray(p_probs, np.float64)
+    q = np.asarray(q_probs, np.float64)
+    k = len(drafts)
+    keys = jax.random.split(key, k + 1)
+    for i in range(k):
+        x = drafts[i]
+        u = float(jax.random.uniform(keys[i]))
+        if q[i, x] > 0 and u < min(1.0, p[i, x] / q[i, x]):
+            continue
+        resid = np.clip(p[i] - q[i], 0.0, None)
+        z = resid.sum()
+        dist = resid / z if z > 0 else p[i] / p[i].sum()
+        nxt = int(jax.random.choice(keys[k], dist.shape[0],
+                                    p=jnp.asarray(dist)))
+        return i, nxt
+    dist = p[k] / p[k].sum()
+    nxt = int(jax.random.choice(keys[k], dist.shape[0], p=jnp.asarray(dist)))
+    return k, nxt
+
+
 def speculative_generate(
     target_params: Params,
     target_cfg: ModelConfig,
@@ -42,13 +77,25 @@ def speculative_generate(
     max_len: int | None = None,
     paged: bool = False,
     page_size: int = 128,
+    sampling=None,  # SamplingParams; None / temperature 0 = greedy-exact
+    rng: jax.Array | None = None,
 ) -> tuple[jnp.ndarray, float]:
-    """Greedy speculative decoding.
+    """Speculative decoding.
 
-    Returns ([1, max_new_tokens] tokens — identical to the target model's
-    greedy output — and the draft acceptance rate). paged=True runs both
-    models' caches on the paged backend — the rollback (length reset) makes
-    rejected drafts' pages-resident tokens dead without any page churn."""
+    Greedy (sampling=None): output is identical to the target model's
+    greedy generation. With SamplingParams (temperature > 0): drafts are
+    SAMPLED from the draft distribution and accepted with probability
+    min(1, p/q) (rejections resample the residual) — the emitted sequence
+    is distributed exactly as sampling from the target (spec_accept).
+    Returns ([1, max_new_tokens] tokens, draft acceptance rate).
+    paged=True runs both models' caches on the paged backend — the
+    rollback (length reset) makes rejected drafts' pages-resident tokens
+    dead without any page churn."""
+    from flashattn_tpu.models.sampling import sample, transformed_probs
+
+    sampled = sampling is not None and sampling.temperature > 0.0
+    if rng is None:
+        rng = jax.random.PRNGKey(0)
     b, s = prompt.shape
     assert b == 1, "speculation is per-sequence; batch via the scheduler"
     if max_len is None:
@@ -79,7 +126,11 @@ def speculative_generate(
     _, d_caches = generate.prefill(draft_params, prompt, d_caches, draft_cfg)
 
     out: list[int] = []
-    token = int(jnp.argmax(t_logits[0]))  # anchor: target's first token
+    if sampled:
+        rng, sub = jax.random.split(rng)
+        token = int(sample(t_logits, sub, sampling)[0])
+    else:
+        token = int(jnp.argmax(t_logits[0]))  # anchor: target's next token
     out.append(token)
     pos = s  # position of `token`
     proposed = accepted = 0
@@ -89,27 +140,39 @@ def speculative_generate(
         k_now = min(k, budget)
         # --- draft proposes k_now tokens after `token` ---
         drafts: list[int] = []
+        q_rows = []
         d_tok = token
         for i in range(k_now):
             d_logits, d_caches = generate.decode_step(
                 draft_params, jnp.asarray([d_tok], jnp.int32),
                 jnp.asarray([pos + i], jnp.int32), d_caches, draft_cfg)
-            d_tok = int(jnp.argmax(d_logits[0]))
+            if sampled:
+                rng, sub = jax.random.split(rng)
+                d_tok = int(sample(d_logits, sub, sampling)[0])
+                q_rows.append(transformed_probs(d_logits[0], sampling))
+            else:
+                d_tok = int(jnp.argmax(d_logits[0]))
             drafts.append(d_tok)
         # --- target verifies anchor + drafts in ONE chunked pass ---
         piece = jnp.asarray([[token] + drafts], jnp.int32)  # [1, k_now+1]
         positions = jnp.arange(pos, pos + k_now + 1)
         v_logits, t_caches = generate.chunk_step(
             target_params, piece, positions, t_caches, target_cfg)
-        greedy = [int(t) for t in jnp.argmax(v_logits[0], axis=-1)]
-        # greedy[i] = target's next token after piece[..i]; accept drafts
-        # while they match.
-        n_acc = 0
-        while n_acc < k_now and drafts[n_acc] == greedy[n_acc]:
-            n_acc += 1
+        if sampled:
+            rng, sub = jax.random.split(rng)
+            p_probs = transformed_probs(v_logits[0], sampling)  # [k+1, V]
+            n_acc, nxt = spec_accept(p_probs, jnp.stack(q_rows), drafts, sub)
+        else:
+            greedy = [int(t) for t in jnp.argmax(v_logits[0], axis=-1)]
+            # greedy[i] = target's next token after piece[..i]; accept
+            # drafts while they match.
+            n_acc = 0
+            while n_acc < k_now and drafts[n_acc] == greedy[n_acc]:
+                n_acc += 1
+            nxt = greedy[n_acc]
         proposed += k_now
         accepted += n_acc
-        new_tokens = drafts[:n_acc] + [greedy[n_acc]]
+        new_tokens = drafts[:n_acc] + [nxt]
         out.extend(new_tokens)
         # --- roll back to the accepted frontier ---
         # Target appended k_now+1 entries (positions pos..pos+k_now); keep
