@@ -107,7 +107,10 @@ def config_from_hf(hf_config, dtype=jnp.bfloat16) -> ModelConfig:
         num_heads=hf_config.num_attention_heads,
         num_kv_heads=getattr(hf_config, "num_key_value_heads",
                              hf_config.num_attention_heads),
-        head_dim=hf_config.hidden_size // hf_config.num_attention_heads,
+        # Gemma-2/Qwen3-style configs carry an explicit head_dim that need
+        # not equal hidden_size // num_heads; honor it when present.
+        head_dim=(getattr(hf_config, "head_dim", None)
+                  or hf_config.hidden_size // hf_config.num_attention_heads),
         rope_theta=getattr(hf_config, "rope_theta", 10000.0),
         norm_eps=hf_config.rms_norm_eps,
         dtype=dtype,

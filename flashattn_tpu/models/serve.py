@@ -463,13 +463,31 @@ class InferenceServer:
                 if not slot.free and s not in self._admitting]
         # Mid-admission placeholders hold no decodable state: their logits
         # rows are garbage and must not advance/finish them (skipped above).
-        toks = {
-            s: (int(nxt[s]) if self.slots[s].sampling is None
-                else self._pick(logits[s], self.slots[s].uid,
-                                self.slots[s].sampling,
-                                self.slots[s].position))
-            for s in live
-        }
+        # Greedy slots read from the already-batched argmax; sampled slots
+        # are grouped by SamplingParams (hashable frozen dataclass) and each
+        # group draws in ONE vmapped sample + ONE device readback — per-slot
+        # _pick calls would cost a host-device round-trip per slot per step.
+        # Per-slot keys are derived exactly as _pick does, so draws stay
+        # reproducible regardless of batch composition.
+        toks: dict[int, int] = {}
+        by_params: dict[SamplingParams, list[int]] = {}
+        for s in live:
+            sp = self.slots[s].sampling
+            if sp is None or sp.temperature == 0.0:
+                toks[s] = int(nxt[s])
+            else:
+                by_params.setdefault(sp, []).append(s)
+        for sp, group in by_params.items():
+            keys = jnp.stack([
+                jax.random.fold_in(
+                    jax.random.fold_in(self._rng, self.slots[s].uid),
+                    self.slots[s].position)
+                for s in group])
+            draws = jax.device_get(jax.vmap(
+                lambda l, k, sp=sp: sample(l[None], k, sp)[0]
+            )(logits[jnp.asarray(group)], keys))
+            for i, s in enumerate(group):
+                toks[s] = int(draws[i])
         if self.return_logprobs and live:
             # One batched gather + logsumexp + readback for every live slot
             # (per-slot _logprob syncs would cost O(B) relay round-trips).
@@ -511,8 +529,13 @@ class InferenceServer:
             generate.chunk_step(self.params, piece, positions, self.caches,
                                 self.cfg, active=jnp.zeros((b,), bool))
         else:
-            buckets = range(self.prompt_bucket, self.max_len + 1,
-                            self.prompt_bucket)
+            # Admission pads to min(round_up(plen, bucket), max_len): when
+            # max_len is not a bucket multiple the clamped max_len shape is
+            # a real prefill shape too — precompile it or the first long
+            # prompt eats the compile stall warmup exists to hide.
+            buckets = sorted(set(
+                range(self.prompt_bucket, self.max_len + 1,
+                      self.prompt_bucket)) | {self.max_len})
             single = [
                 init_cache(1, self.cfg.num_kv_heads, self.max_len,
                            self.cfg.head_dim, dtype=self.cfg.dtype,

@@ -100,6 +100,8 @@ def flash_attention(
       alibi_slopes: optional (Hq,) f32 per-head slope table overriding the
         standard one — REQUIRED under head sharding (pass the global table
         sharded with the heads so each shard indexes its local slice).
+        Slopes are NOT differentiable: the gradient is explicitly stopped
+        (a trainable-slopes use case would silently get zeros otherwise).
 
     Returns:
       O: [B, Hq, S_q, D] in q.dtype.
@@ -114,6 +116,10 @@ def flash_attention(
         alibi_slopes = default_alibi_slopes(q.shape[1])
     if alibi_slopes is None:
         alibi_slopes = jnp.zeros((q.shape[1],), jnp.float32)  # unused
+    # Slopes are a position-bias table, not a parameter: stop the gradient
+    # so autodiff records the non-differentiability instead of silently
+    # propagating the custom-VJP's zero cotangent into an optimizer.
+    alibi_slopes = jax.lax.stop_gradient(alibi_slopes)
     return _flash_attention(q, k, v, seed, alibi_slopes, is_causal, scale,
                             block_sizes, interpret, dropout_rate, window,
                             logit_softcap, alibi)

@@ -110,8 +110,15 @@ def update_cache(
     a masked append can never clobber live data (the clamped
     dynamic_update_slice otherwise shifts into the live region for slots
     within T of capacity).
+
+    Appends past capacity are DROPPED (the row's buffer and length are
+    preserved), mirroring append_paged's semantics — the clamped
+    dynamic_update_slice would otherwise silently overwrite the row's last
+    T live tokens.
     """
     b, hkv, t, d = k_new.shape
+    fits = cache.length + t <= cache.k.shape[2]
+    active = fits if active is None else (active & fits)
     if cache.quantized:
         k_q, k_s = quantize_tokens(k_new, cache.k.dtype)
         v_q, v_s = quantize_tokens(v_new, cache.v.dtype)
