@@ -58,6 +58,10 @@ class BlockSizes:
     block_kv_dq: int = 1024
     block_q_dkv: int = 1024
     block_kv_dkv: int = 1024
+    # Fused one-kernel backward tiles (flash_bwd_fused.py): the resident
+    # dK/dV accumulators dominate VMEM, so its score tiles tune separately.
+    block_q_fused: int = 1024
+    block_kv_fused: int = 1024
 
     def clamp(self, s_q: int, s_k: int) -> "BlockSizes":
         """Shrink tiles to the (padded) problem size."""
@@ -72,6 +76,8 @@ class BlockSizes:
             block_kv_dq=fit(self.block_kv_dq, s_k),
             block_q_dkv=fit(self.block_q_dkv, s_q),
             block_kv_dkv=fit(self.block_kv_dkv, s_k),
+            block_q_fused=fit(self.block_q_fused, s_q),
+            block_kv_fused=fit(self.block_kv_fused, s_k),
         )
 
 

@@ -413,7 +413,7 @@ def _dkv_kernel(
     jax.jit,
     static_argnames=("is_causal", "scale", "block_sizes", "interpret",
                      "debug", "dropout_rate", "window", "logit_softcap",
-                     "alibi"),
+                     "alibi", "impl"),
 )
 def flash_attention_backward(
     q: jnp.ndarray,
@@ -434,12 +434,20 @@ def flash_attention_backward(
     logit_softcap: float | None = None,
     alibi: bool = False,
     alibi_slopes: jnp.ndarray | None = None,  # (Hq,) f32; None = standard
+    impl: str = "auto",
 ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """Two-kernel flash-attention backward (launcher layer).
+    """Flash-attention backward (launcher layer + implementation dispatch).
 
     TPU analogue of the reference ``flash_attention_backward``
-    (``My_FlashAttention_optimized.py:62-128``): launches the dQ kernel, then
-    the dK/dV kernel which consumes the delta array the first kernel wrote.
+    (``My_FlashAttention_optimized.py:62-128``), with two implementations:
+
+      - ``fused``: one kernel, dK/dV accumulators resident in VMEM — 5
+        matmul passes, exp2 once (flash_bwd_fused.py). The default
+        whenever the accumulators fit VMEM.
+      - ``split``: the reference's two-kernel structure (dQ persists delta,
+        dKV reloads it) — the long-context fallback.
+
+    ``impl``: "auto" (VMEM-based dispatch), "fused", or "split".
 
     segment_ids: optional (seg_q [B,S_q], seg_k [B,S_k]) varlen ids — must
     match the forward call that produced o/lse.
@@ -459,6 +467,27 @@ def flash_attention_backward(
 
         block_sizes = default_block_sizes(s_q, s_k, d, is_causal)
     block_sizes = block_sizes.clamp(s_q, s_k)
+
+    assert impl in ("auto", "fused", "split"), impl
+    if impl != "split":
+        from flashattn_tpu.ops.flash_bwd_fused import (
+            flash_attention_backward_fused,
+            fused_backward_vmem_bytes,
+        )
+
+        bqf, bkvf = block_sizes.block_q_fused, block_sizes.block_kv_fused
+        fits = fused_backward_vmem_bytes(
+            s_q, s_k, d, bqf, bkvf
+        ) <= 100 * 1024 * 1024
+        if impl == "fused" or fits:
+            return flash_attention_backward_fused(
+                q, k, v, o, do, lse, is_causal=is_causal, scale=scale,
+                block_q=bqf, block_kv=bkvf, interpret=interpret, debug=debug,
+                segment_ids=segment_ids, dropout_rate=dropout_rate,
+                dropout_seed=dropout_seed, window=window,
+                logit_softcap=logit_softcap, alibi=alibi,
+                alibi_slopes=alibi_slopes,
+            )
     causal_offset = s_k - s_q
     guard_zero_rows = is_causal and causal_offset < 0
     lse4 = lse[..., None]  # [B,Hq,Sq,1] — sublane-aligned row stats
