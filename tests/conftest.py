@@ -25,3 +25,35 @@ import pytest  # noqa: E402
 def _check_cpu_devices():
     assert jax.default_backend() == "cpu"
     assert jax.device_count() == 8, jax.devices()
+
+
+# Smoke tier: one or two fast tests per subsystem so `pytest -m smoke`
+# gives a cross-cutting sanity pass in minutes on the CPU backend (the full
+# suite runs ~35 min+ and cannot fit a short iteration loop). Curated here
+# (substring match on nodeid) rather than scattered across 30 files.
+_SMOKE = [
+    "test_reference.py::test_lse_matches_logsumexp",
+    "test_verify.py",
+    "test_flash_fwd.py::test_fwd_matches_oracle[256-256-True]",
+    "test_flash_fwd.py::test_fwd_matches_oracle[200-200-True]",
+    "test_flash_fwd.py::test_fwd_gqa_mqa[4-2]",
+    "test_flash_bwd.py::test_bwd_square[True]",
+    "test_flash_bwd_fused.py::test_fused_square[True]",
+    "test_decode.py::test_decode_matches_oracle_ragged[int8]",
+    "test_varlen.py::test_varlen_forward_vs_unpacked[True]",
+    "test_window.py::test_window_forward[300]",
+    "test_softcap.py::test_softcap_forward[30.0-True]",
+    "test_alibi.py::test_alibi_forward[True]",
+    "test_dropout.py::test_dropout_keep_fraction",
+    "test_sampling.py::test_temperature_zero_is_greedy",
+    "test_quant_matmul.py::test_kernel_matches_dequant_oracle[8]",
+    "test_serve.py::test_single_request_matches_generate",
+    "test_model.py::test_forward_shapes",
+    "test_paged.py::test_paged_matches_dense_single[int8]",
+]
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        if any(s in item.nodeid for s in _SMOKE):
+            item.add_marker(pytest.mark.smoke)
