@@ -192,62 +192,84 @@ def _attention(q, k, v, mesh, block_sizes=None, segment_ids=None,
     heads over 'model', and — when the mesh carries an 'sp' axis — sequence
     over 'sp' with ring-attention K/V rotation (context parallelism, the
     pallas kernel itself is mesh-oblivious). segment_ids [B, S] enables
-    packed-document training (within-segment causal attention, T7)."""
-    if segment_ids is not None:
-        assert mesh is None, (
-            "packed segments + mesh sharding not wired yet — shard batch "
-            "with pjit outside, or drop the sp axis")
-        from flashattn_tpu.ops.varlen import flash_attention_varlen
+    packed-document training (within-segment causal attention, T7).
 
-        assert window is None, "packed segments + window not wired yet"
-        return flash_attention_varlen(
-            q, k, v, segment_ids=segment_ids, is_causal=True,
-            block_sizes=block_sizes,
-            logit_softcap=logit_softcap, alibi=alibi)
+    Every variant composes with every mesh: window / softcap / ALiBi /
+    segments ride the ring via static per-hop pos_offsets (parallel/ring.py)
+    and shard over heads via the slope-table input; packed segments shard
+    over batch and sequence like the tokens they label.
+    """
     if mesh is None:
+        if segment_ids is not None:
+            from flashattn_tpu.ops.varlen import flash_attention_varlen
+
+            return flash_attention_varlen(
+                q, k, v, segment_ids=segment_ids, is_causal=True,
+                block_sizes=block_sizes, window=window,
+                logit_softcap=logit_softcap, alibi=alibi)
         return flash_attention(q, k, v, is_causal=True,
                                block_sizes=block_sizes, window=window,
                                logit_softcap=logit_softcap, alibi=alibi)
     da = "data" if "data" in mesh.axis_names else None
     ma = "model" if "model" in mesh.axis_names else None
     use_sp = "sp" in mesh.axis_names and mesh.shape["sp"] > 1
+    # Slopes are a per-head table: build it GLOBALLY and shard it with the
+    # heads, so each shard's kernel indexes its local slice — head-sharding-
+    # correct by construction (the in-kernel head grid index is shard-local).
+    slopes = None
+    if alibi:
+        from flashattn_tpu.ops.flash_fwd import default_alibi_slopes
+
+        slopes = default_alibi_slopes(q.shape[1])
     if use_sp:
-        assert window is None and logit_softcap is None and not alibi, (
-            "window/softcap/alibi + ring context parallelism not wired yet")
         from flashattn_tpu.parallel.ring import ring_flash_attention
 
-        fn = functools.partial(
+        inner = functools.partial(
             ring_flash_attention, axis_name="sp", is_causal=True,
-            block_sizes=block_sizes,
+            block_sizes=block_sizes, window=window,
+            logit_softcap=logit_softcap, alibi=alibi,
         )
         spec = P(da, ma, "sp", None)
+        sspec = P(da, "sp")
     else:
-        spec = P(da, ma, None, None)
-        if alibi:
-            # Slopes are a per-head table: build it GLOBALLY and shard it
-            # with the heads, so each shard's kernel indexes its local
-            # slice — head-sharding-correct by construction (the in-kernel
-            # head grid index is shard-local).
-            from flashattn_tpu.ops.flash_fwd import default_alibi_slopes
-
-            slopes = default_alibi_slopes(q.shape[1])
-            fn = functools.partial(
-                flash_attention, is_causal=True, block_sizes=block_sizes,
-                window=window, logit_softcap=logit_softcap, alibi=True,
-            )
-            return jax.shard_map(
-                lambda q, k, v, sl: fn(q, k, v, alibi_slopes=sl),
-                mesh=mesh, in_specs=(spec, spec, spec, P(ma)),
-                out_specs=spec, check_vma=False,
-            )(q, k, v, slopes)
-        fn = functools.partial(
+        inner = functools.partial(
             flash_attention, is_causal=True, block_sizes=block_sizes,
-            window=window, logit_softcap=logit_softcap,
+            window=window, logit_softcap=logit_softcap, alibi=alibi,
         )
+        spec = P(da, ma, None, None)
+        sspec = P(da, None)
+
+    if segment_ids is not None and use_sp:
+        seg = segment_ids.astype(jnp.int32)
+        fn = (lambda q, k, v, sq, sk, sl=None: inner(
+            q, k, v, segment_ids=(sq, sk), alibi_slopes=sl))
+    elif segment_ids is not None:
+        from flashattn_tpu.ops.varlen import flash_attention_varlen
+
+        seg = segment_ids.astype(jnp.int32)
+        fn = (lambda q, k, v, sq, sk, sl=None: flash_attention_varlen(
+            q, k, v, segment_ids=(sq, sk), is_causal=True,
+            block_sizes=block_sizes, window=window,
+            logit_softcap=logit_softcap, alibi=alibi, alibi_slopes=sl))
+    else:
+        seg = None
+        fn = (lambda q, k, v, sl=None: inner(q, k, v, alibi_slopes=sl))
+
+    in_specs = [spec, spec, spec]
+    args = [q, k, v]
+    if seg is not None:
+        in_specs += [sspec, sspec]
+        args += [seg, seg]
+    if slopes is not None:
+        in_specs += [P(ma)]
+        args += [slopes]
+        wrapped = fn
+    else:
+        wrapped = lambda *a: fn(*a)
     return jax.shard_map(
-        fn, mesh=mesh, in_specs=(spec, spec, spec), out_specs=spec,
+        wrapped, mesh=mesh, in_specs=tuple(in_specs), out_specs=spec,
         check_vma=False,
-    )(q, k, v)
+    )(*args)
 
 
 # ---------------- forward ----------------

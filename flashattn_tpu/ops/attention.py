@@ -21,38 +21,42 @@ from flashattn_tpu.ops.flash_bwd import flash_attention_backward
 
 
 @functools.partial(
-    jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9, 10, 11, 12)
+    jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9, 10, 11, 12, 13)
 )
 def _flash_attention(q, k, v, seed, slopes, is_causal, scale, block_sizes,
-                     interpret, dropout_rate, window, logit_softcap, alibi):
+                     interpret, dropout_rate, window, logit_softcap, alibi,
+                     pos_offset):
     o, _ = flash_attention_forward(
         q, k, v, is_causal=is_causal, scale=scale,
         block_sizes=block_sizes, interpret=interpret,
         dropout_rate=dropout_rate, dropout_seed=seed, window=window,
         logit_softcap=logit_softcap, alibi=alibi, alibi_slopes=slopes,
+        pos_offset=pos_offset,
     )
     return o
 
 
 def _fwd(q, k, v, seed, slopes, is_causal, scale, block_sizes, interpret,
-         dropout_rate, window, logit_softcap, alibi):
+         dropout_rate, window, logit_softcap, alibi, pos_offset):
     o, lse = flash_attention_forward(
         q, k, v, is_causal=is_causal, scale=scale,
         block_sizes=block_sizes, interpret=interpret,
         dropout_rate=dropout_rate, dropout_seed=seed, window=window,
         logit_softcap=logit_softcap, alibi=alibi, alibi_slopes=slopes,
+        pos_offset=pos_offset,
     )
     return o, (q, k, v, seed, slopes, o, lse)
 
 
 def _bwd(is_causal, scale, block_sizes, interpret, dropout_rate, window,
-         logit_softcap, alibi, residuals, do):
+         logit_softcap, alibi, pos_offset, residuals, do):
     q, k, v, seed, slopes, o, lse = residuals
     dq, dk, dv = flash_attention_backward(
         q, k, v, o, do, lse, is_causal=is_causal, scale=scale,
         block_sizes=block_sizes, interpret=interpret,
         dropout_rate=dropout_rate, dropout_seed=seed, window=window,
         logit_softcap=logit_softcap, alibi=alibi, alibi_slopes=slopes,
+        pos_offset=pos_offset,
     )
     return (dq, dk, dv, np.zeros(seed.shape, dtype=jax.dtypes.float0),
             jnp.zeros_like(slopes))
@@ -75,6 +79,7 @@ def flash_attention(
     logit_softcap: float | None = None,
     alibi: bool = False,
     alibi_slopes: jnp.ndarray | None = None,
+    pos_offset: int | None = None,
 ) -> jnp.ndarray:
     """Differentiable fused flash attention (public entry point, mirroring
     the reference ``flash_attention`` at ``My_FlashAttention_optimized.py:169-170``).
@@ -102,6 +107,10 @@ def flash_attention(
         sharded with the heads so each shard indexes its local slice).
         Slopes are NOT differentiable: the gradient is explicitly stopped
         (a trainable-slopes use case would silently get zeros otherwise).
+      pos_offset: static global q/k alignment override (global position of
+        q row r = r + pos_offset in k column coordinates) driving the causal
+        mask, window edge, and ALiBi distance alike; defaults to S_k - S_q.
+        Used by ring/context parallelism for per-hop shard alignment.
 
     Returns:
       O: [B, Hq, S_q, D] in q.dtype.
@@ -122,7 +131,7 @@ def flash_attention(
     alibi_slopes = jax.lax.stop_gradient(alibi_slopes)
     return _flash_attention(q, k, v, seed, alibi_slopes, is_causal, scale,
                             block_sizes, interpret, dropout_rate, window,
-                            logit_softcap, alibi)
+                            logit_softcap, alibi, pos_offset)
 
 
 # Re-exported for API parity with the reference's launcher layer.

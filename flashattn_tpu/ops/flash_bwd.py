@@ -219,9 +219,10 @@ def _dq_kernel(
 
     # Rebuild P from stored LSE (reference :243-244; math Phase_4.md:143-158).
     p = jnp.exp2(s - lse2)  # (bq, bkv) f32
-    if segmented:
-        # Empty rows carry LSE = -inf; exp2(MASK - (-inf)) = inf — select
-        # through the mask so their contribution is exactly zero.
+    if segmented or windowed:
+        # Empty rows carry LSE = -inf (segments, or a sharded/pos_offset
+        # windowed call whose window misses this shard); exp2(MASK - (-inf))
+        # = inf — select through the mask so the contribution is exactly 0.
         p = jnp.where(mask, p, 0.0)
     if guard_zero_rows:
         riota = jax.lax.broadcasted_iota(jnp.int32, (block_q, 1), 0)
@@ -353,7 +354,7 @@ def _dkv_kernel(
         s = jnp.where(mask, s, MASK_VALUE)
 
     p = jnp.exp2(s - lse2)  # Pᵀ (bkv, bq) f32
-    if segmented:
+    if segmented or windowed:
         p = jnp.where(mask, p, 0.0)  # empty rows carry LSE = -inf
     if guard_zero_rows:
         q1g = jax.lax.broadcasted_iota(jnp.int32, (1, block_q), 1)
@@ -413,7 +414,7 @@ def _dkv_kernel(
     jax.jit,
     static_argnames=("is_causal", "scale", "block_sizes", "interpret",
                      "debug", "dropout_rate", "window", "logit_softcap",
-                     "alibi", "impl"),
+                     "alibi", "impl", "pos_offset"),
 )
 def flash_attention_backward(
     q: jnp.ndarray,
@@ -435,6 +436,7 @@ def flash_attention_backward(
     alibi: bool = False,
     alibi_slopes: jnp.ndarray | None = None,  # (Hq,) f32; None = standard
     impl: str = "auto",
+    pos_offset: int | None = None,
 ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Flash-attention backward (launcher layer + implementation dispatch).
 
@@ -451,6 +453,10 @@ def flash_attention_backward(
 
     segment_ids: optional (seg_q [B,S_q], seg_k [B,S_k]) varlen ids — must
     match the forward call that produced o/lse.
+
+    ``pos_offset``: global q/k alignment override — must match the forward
+    call (see ``flash_attention_forward``); ring/context parallelism passes
+    the per-hop shard offset here.
 
     Returns (dQ [B,Hq,S_q,D], dK [B,Hkv,S_k,D], dV [B,Hkv,S_k,D]).
     """
@@ -486,9 +492,9 @@ def flash_attention_backward(
                 segment_ids=segment_ids, dropout_rate=dropout_rate,
                 dropout_seed=dropout_seed, window=window,
                 logit_softcap=logit_softcap, alibi=alibi,
-                alibi_slopes=alibi_slopes,
+                alibi_slopes=alibi_slopes, pos_offset=pos_offset,
             )
-    causal_offset = s_k - s_q
+    causal_offset = (s_k - s_q) if pos_offset is None else int(pos_offset)
     guard_zero_rows = is_causal and causal_offset < 0
     lse4 = lse[..., None]  # [B,Hq,Sq,1] — sublane-aligned row stats
 

@@ -189,9 +189,10 @@ def _fused_bwd_kernel(
     # Rebuild P from the stored LSE — the ONLY P materialization in the
     # whole backward (the two-kernel design rebuilds it twice).
     p = jnp.exp2(s - lse2)  # (bq, bkv) f32
-    if segmented:
-        # Empty rows carry LSE = -inf; exp2(MASK - (-inf)) = inf — select
-        # through the mask so their contribution is exactly zero.
+    if segmented or windowed:
+        # Empty rows carry LSE = -inf (segments, or a sharded/pos_offset
+        # windowed call whose window misses this shard); exp2(MASK - (-inf))
+        # = inf — select through the mask so the contribution is exactly 0.
         p = jnp.where(mask, p, 0.0)
     if guard_zero_rows:
         riota = jax.lax.broadcasted_iota(jnp.int32, (block_q, 1), 0)
@@ -288,17 +289,18 @@ def flash_attention_backward_fused(
     logit_softcap: float | None = None,
     alibi: bool = False,
     alibi_slopes: jnp.ndarray | None = None,
+    pos_offset: int | None = None,
 ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Launcher for the fused one-kernel backward (see module docstring).
 
     Called by flash_attention_backward's dispatch; same contract
-    (dQ, dK, dV) as the two-kernel path.
+    (dQ, dK, dV, pos_offset semantics) as the two-kernel path.
     """
     b, hq, s_q, d = q.shape
     _, hkv, s_k, _ = k.shape
     assert hq % hkv == 0
     q_per_kv = hq // hkv
-    causal_offset = s_k - s_q
+    causal_offset = (s_k - s_q) if pos_offset is None else int(pos_offset)
     guard_zero_rows = is_causal and causal_offset < 0
     lse4 = lse[..., None]
 

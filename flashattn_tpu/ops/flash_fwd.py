@@ -275,7 +275,9 @@ def _fwd_kernel(
         # LSE in natural-log units: ln Σ exp(s·scale) = (m + log2 l)·ln2.
         # Stored [.., S, 1] so row stats stay sublane-aligned in VMEM.
         lse = (m + jnp.log2(l_safe)) * LN2
-        if guard_zero_rows or segmented:
+        if guard_zero_rows or segmented or windowed:
+            # windowed: a sharded (pos_offset) call can have rows whose whole
+            # window lies outside this shard — they must merge as no-ops.
             lse = jnp.where(l == 0.0, -jnp.inf, lse)
         lse_ref[0, 0] = lse
 
@@ -284,7 +286,7 @@ def _fwd_kernel(
     jax.jit,
     static_argnames=("is_causal", "scale", "block_sizes", "interpret",
                      "debug", "dropout_rate", "window", "logit_softcap",
-                     "alibi"),
+                     "alibi", "pos_offset"),
 )
 def flash_attention_forward(
     q: jnp.ndarray,
@@ -302,6 +304,7 @@ def flash_attention_forward(
     logit_softcap: float | None = None,
     alibi: bool = False,
     alibi_slopes: jnp.ndarray | None = None,  # (Hq,) f32; None = standard
+    pos_offset: int | None = None,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Fused flash-attention forward.
 
@@ -314,6 +317,16 @@ def flash_attention_forward(
       segment_ids: optional (seg_q [B, S_q], seg_k [B, S_k]) int32 packed-
         sequence ids for varlen/cu_seqlens batching (reference deferred
         design ``Phase_6.md:118-178``); attention restricted to equal ids.
+      pos_offset: global q/k alignment override — the global position of
+        q row r is ``r + pos_offset`` relative to k column coordinates, so
+        causal visibility is ``col <= row + pos_offset``, the window's left
+        edge is ``col >= row + pos_offset - window + 1``, and the ALiBi
+        distance is ``col - row - pos_offset``. Defaults to ``s_k - s_q``
+        (bottom-right alignment, the dense convention). Ring/context
+        parallelism passes the per-hop shard offset here so every
+        position-dependent feature stays globally exact on sharded calls
+        (the same tile-merge algebra as ``Phase_0.md:123-188``, applied
+        across chips).
 
     Returns:
       (O [B, Hq, S_q, D] in q.dtype, LSE [B, Hq, S_q] fp32, natural log;
@@ -348,7 +361,7 @@ def flash_attention_forward(
     num_q_blocks = s_q_p // bq
     num_kv_blocks = s_k_p // bkv
 
-    causal_offset = s_k - s_q
+    causal_offset = (s_k - s_q) if pos_offset is None else int(pos_offset)
     assert window is None or (is_causal and window >= 1), (
         "window requires is_causal and window >= 1")
     meta = build_wavefront(

@@ -43,39 +43,44 @@ def segment_ids_from_cu_seqlens(cu_seqlens: jnp.ndarray,
     return jnp.where(pos < cu_seqlens[-1], ids.astype(jnp.int32), -1)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9, 10))
-def _flash_attention_varlen(q, k, v, seg_q, seg_k, is_causal, scale,
-                            block_sizes, interpret, logit_softcap, alibi):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9, 10, 11, 12))
+def _flash_attention_varlen(q, k, v, seg_q, seg_k, slopes, is_causal, scale,
+                            block_sizes, interpret, logit_softcap, alibi,
+                            window):
     o, _ = flash_attention_forward(
         q, k, v, is_causal=is_causal, scale=scale, block_sizes=block_sizes,
         interpret=interpret, segment_ids=(seg_q, seg_k),
-        logit_softcap=logit_softcap, alibi=alibi,
+        logit_softcap=logit_softcap, alibi=alibi, alibi_slopes=slopes,
+        window=window,
     )
     return o
 
 
-def _varlen_fwd(q, k, v, seg_q, seg_k, is_causal, scale, block_sizes,
-                interpret, logit_softcap, alibi):
+def _varlen_fwd(q, k, v, seg_q, seg_k, slopes, is_causal, scale, block_sizes,
+                interpret, logit_softcap, alibi, window):
     o, lse = flash_attention_forward(
         q, k, v, is_causal=is_causal, scale=scale, block_sizes=block_sizes,
         interpret=interpret, segment_ids=(seg_q, seg_k),
-        logit_softcap=logit_softcap, alibi=alibi,
+        logit_softcap=logit_softcap, alibi=alibi, alibi_slopes=slopes,
+        window=window,
     )
-    return o, (q, k, v, seg_q, seg_k, o, lse)
+    return o, (q, k, v, seg_q, seg_k, slopes, o, lse)
 
 
 def _varlen_bwd(is_causal, scale, block_sizes, interpret, logit_softcap,
-                alibi, residuals, do):
-    q, k, v, seg_q, seg_k, o, lse = residuals
+                alibi, window, residuals, do):
+    q, k, v, seg_q, seg_k, slopes, o, lse = residuals
     dq, dk, dv = flash_attention_backward(
         q, k, v, o, do, lse, is_causal=is_causal, scale=scale,
         block_sizes=block_sizes, interpret=interpret,
         segment_ids=(seg_q, seg_k),
-        logit_softcap=logit_softcap, alibi=alibi,
+        logit_softcap=logit_softcap, alibi=alibi, alibi_slopes=slopes,
+        window=window,
     )
     zero_q = np.zeros(seg_q.shape, dtype=jax.dtypes.float0)
     zero_k = np.zeros(seg_k.shape, dtype=jax.dtypes.float0)
-    return dq, dk, dv, zero_q, zero_k
+    return (dq, dk, dv, zero_q, zero_k,
+            None if slopes is None else jnp.zeros_like(slopes))
 
 
 _flash_attention_varlen.defvjp(_varlen_fwd, _varlen_bwd)
@@ -93,8 +98,15 @@ def flash_attention_varlen(
     interpret: bool | None = None,
     logit_softcap: float | None = None,
     alibi: bool = False,
+    alibi_slopes: jnp.ndarray | None = None,
+    window: int | None = None,
 ) -> jnp.ndarray:
     """Differentiable packed-sequence flash attention.
+
+    ``window`` (sliding window, requires is_causal) composes exactly with
+    packing for the same reason ALiBi does: the window condition depends
+    only on (q_pos - k_pos), which is translation-invariant, so the global
+    window restricted by segment equality IS the per-document window.
 
     ALiBi composes exactly with packing: the bias depends only on
     (k_pos - q_pos), which is translation-invariant, so global positions
@@ -131,7 +143,13 @@ def flash_attention_varlen(
     # q-side padding to -1 and k-side to -2 so pad rows see zero keys.
     seg_q = jnp.where(seg_q < 0, -1, seg_q).astype(jnp.int32)
     seg_k = jnp.where(seg_k < 0, -2, seg_k).astype(jnp.int32)
+    if alibi and alibi_slopes is None:
+        from flashattn_tpu.ops.flash_fwd import default_alibi_slopes
+
+        alibi_slopes = default_alibi_slopes(q.shape[1])
+    if alibi_slopes is not None:
+        alibi_slopes = jax.lax.stop_gradient(alibi_slopes)
     return _flash_attention_varlen(
-        q, k, v, seg_q, seg_k, is_causal, scale, block_sizes, interpret,
-        logit_softcap, alibi,
+        q, k, v, seg_q, seg_k, alibi_slopes, is_causal, scale, block_sizes,
+        interpret, logit_softcap, alibi, window,
     )

@@ -56,6 +56,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax import lax
 
 from flashattn_tpu.ops.common import BlockSizes
@@ -90,9 +91,42 @@ def _rotate(xs, axis_name: str, n: int):
     return [lax.ppermute(x, axis_name, perm) for x in xs]
 
 
+def _fold_seed(seed, idx, step: int):
+    """Per-(device, ring-step) dropout seed: decorrelates the counter-based
+    mask across shards/hops while staying identical between the forward and
+    backward call at the same (idx, step) — the fwd/bwd-consistency property
+    the reference's Philox design needs (``Phase_6.md:54-114``), lifted to
+    the ring."""
+    return seed * jnp.int32(1000003) + idx * jnp.int32(7919) + jnp.int32(step)
+
+
+def _ring_steps(n: int, is_causal: bool, window, s_local: int) -> int:
+    """Number of ring hops that can contribute ANY visible (q, k) pair.
+
+    A sliding window prunes whole hops statically: at hop t >= 1 the K shard
+    is (t-1)·L+1 .. (t+1)·L-1 positions in the past, so it is visible iff
+    (t-1)·L + 1 <= window - 1. The same pruning the wavefront does per tile
+    (flash_fwd.build_wavefront), applied per ring hop.
+    """
+    if not (is_causal and window is not None):
+        return n
+    if window < 2:
+        return 1
+    return min(n, (window - 2) // s_local + 2)
+
+
 @functools.partial(
-    jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7)
+    jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9, 10, 11, 12, 13, 14)
 )
+def _ring_core(q, k, v, dropout_seed, alibi_slopes, segment_ids,
+               axis_name, is_causal, scale, block_sizes, interpret,
+               window, logit_softcap, alibi, dropout_rate):
+    o, _ = _ring_forward(q, k, v, dropout_seed, alibi_slopes, segment_ids,
+                         axis_name, is_causal, scale, block_sizes, interpret,
+                         window, logit_softcap, alibi, dropout_rate)
+    return o
+
+
 def ring_flash_attention(
     q,
     k,
@@ -102,6 +136,13 @@ def ring_flash_attention(
     scale: float | None = None,
     block_sizes: BlockSizes | None = None,
     interpret: bool | None = None,
+    window: int | None = None,
+    logit_softcap: float | None = None,
+    alibi: bool = False,
+    dropout_rate: float = 0.0,
+    dropout_seed=None,
+    alibi_slopes=None,
+    segment_ids=None,
 ):
     """Context-parallel flash attention; call INSIDE shard_map.
 
@@ -110,47 +151,103 @@ def ring_flash_attention(
          partitioned over `axis_name`); k, v: [B, Hkv, S/n, D] local shards.
       axis_name: mesh axis carrying the sequence shards.
       is_causal: global causal mask (chunk-aligned across the ring).
+      window / logit_softcap / alibi / dropout: the same attention variants
+        as the dense kernels, globally exact across shards — every hop calls
+        the kernel with ``pos_offset = t·L`` (the static global q/k shard
+        alignment), so the causal mask, the window's left edge, and the
+        ALiBi distance all use true global positions. A window additionally
+        prunes whole hops statically (the ring stops rotating once every
+        remaining shard is entirely left of the window). window and alibi
+        require is_causal (non-causal hop offsets are device-dependent).
+      dropout_seed: int32 scalar (traced ok); folded per (device, hop).
+      alibi_slopes: (Hq_local,) f32 table — REQUIRED under head sharding
+        (shard the global table with the heads).
+      segment_ids: (seg_q [B, S/n], seg_k [B, S/n]) local packed-sequence id
+        shards; seg_k travels with its K/V shard around the ring.
 
     Returns:
       O [B, Hq, S/n, D] local output shard in q.dtype.
     """
-    o, _ = _ring_forward(q, k, v, axis_name, is_causal, scale, block_sizes,
-                         interpret)
-    return o
+    if alibi and alibi_slopes is None:
+        from flashattn_tpu.ops.flash_fwd import default_alibi_slopes
+
+        alibi_slopes = default_alibi_slopes(q.shape[1])
+    if alibi_slopes is not None:
+        alibi_slopes = jax.lax.stop_gradient(alibi_slopes)
+    if dropout_rate > 0.0:
+        assert dropout_seed is not None, "dropout needs dropout_seed"
+        dropout_seed = jnp.asarray(dropout_seed, jnp.int32)
+    if segment_ids is not None:
+        # Same padding canonicalization as flash_attention_varlen: q-side
+        # pads -> -1, k-side pads -> -2, so padding never matches anything
+        # (raw ids would let pad rows attend to pad keys).
+        seg_q, seg_k = segment_ids
+        segment_ids = (
+            jnp.where(seg_q < 0, -1, seg_q).astype(jnp.int32),
+            jnp.where(seg_k < 0, -2, seg_k).astype(jnp.int32),
+        )
+    return _ring_core(q, k, v, dropout_seed, alibi_slopes, segment_ids,
+                      axis_name, is_causal, scale, block_sizes, interpret,
+                      window, logit_softcap, alibi, dropout_rate)
 
 
-def _ring_forward(q, k, v, axis_name, is_causal, scale, block_sizes,
-                  interpret):
+def _check_ring_features(is_causal, window, alibi):
+    assert window is None or is_causal, "ring window requires is_causal"
+    assert not alibi or is_causal, (
+        "ring alibi requires is_causal (non-causal hop offsets are "
+        "device-dependent; use zigzag/Ulysses or open an issue)")
+
+
+def _ring_forward(q, k, v, dropout_seed, alibi_slopes, segment_ids,
+                  axis_name, is_causal, scale, block_sizes, interpret,
+                  window, logit_softcap, alibi, dropout_rate):
     n = lax.axis_size(axis_name)
     idx = lax.axis_index(axis_name)
     b, hq, s_local, d = q.shape
+    _check_ring_features(is_causal, window, alibi)
 
     if scale is None:
         scale = 1.0 / (d**0.5)
+    seg_q = segment_ids[0] if segment_ids is not None else None
 
-    def local_attn(k_in, v_in, causal):
+    def local_attn(k_in, v_in, causal, step, seg_k_in):
         return flash_attention_forward(
             q, k_in, v_in, is_causal=causal, scale=scale,
             block_sizes=block_sizes, interpret=interpret,
+            window=window if causal else None,
+            logit_softcap=logit_softcap, alibi=alibi,
+            alibi_slopes=alibi_slopes,
+            dropout_rate=dropout_rate,
+            dropout_seed=(_fold_seed(dropout_seed, idx, step)
+                          if dropout_rate > 0.0 else None),
+            segment_ids=((seg_q, seg_k_in) if segment_ids is not None
+                         else None),
+            pos_offset=step * s_local if causal else None,
         )
 
     m = jnp.full((b, hq, s_local), NEG_INF, jnp.float32)
     l = jnp.zeros((b, hq, s_local), jnp.float32)
     acc = jnp.zeros((b, hq, s_local, d), jnp.float32)
 
+    steps = _ring_steps(n, is_causal, window, s_local)
     k_cur, v_cur = k, v
-    for step in range(n):
-        if step < n - 1:
-            k_nxt, v_nxt = _rotate([k_cur, v_cur], axis_name, n)
-        if not is_causal:
-            o_p, lse_p = local_attn(k_cur, v_cur, False)
-        elif step == 0:
-            o_p, lse_p = local_attn(k_cur, v_cur, True)  # diagonal shard
+    segk_cur = segment_ids[1] if segment_ids is not None else None
+    for step in range(steps):
+        if step < steps - 1:
+            # Issue the next hop's permute before this step's compute so XLA
+            # can overlap the ICI transfer with the kernel.
+            nxt = _rotate([x for x in (k_cur, v_cur, segk_cur)
+                           if x is not None], axis_name, n)
+        if not is_causal or step == 0:
+            o_p, lse_p = local_attn(k_cur, v_cur, is_causal, step, segk_cur)
         else:
             # Visible iff the shard we hold originated upstream of us
-            # (src = idx - step  =>  visible iff step <= idx).
+            # (src = idx - step  =>  visible iff step <= idx). The local
+            # call carries pos_offset = step·L: with a window it masks /
+            # prunes the stale left edge exactly; without one it is the
+            # fully-visible rectangle.
             def _visible(kv):
-                return local_attn(kv[0], kv[1], False)
+                return local_attn(kv[0], kv[1], True, step, kv[2])
 
             def _skip(kv):
                 return (
@@ -159,10 +256,13 @@ def _ring_forward(q, k, v, axis_name, is_causal, scale, block_sizes,
                 )
 
             o_p, lse_p = lax.cond(step <= idx, _visible, _skip,
-                                  (k_cur, v_cur))
+                                  (k_cur, v_cur, segk_cur))
         m, l, acc = _merge_partial(m, l, acc, o_p, lse_p)
-        if step < n - 1:
-            k_cur, v_cur = k_nxt, v_nxt
+        if step < steps - 1:
+            if segk_cur is not None:
+                k_cur, v_cur, segk_cur = nxt
+            else:
+                k_cur, v_cur = nxt
 
     l_safe = jnp.where(l == 0.0, 1.0, l)
     o = (acc / l_safe[..., None]).astype(q.dtype)
@@ -170,43 +270,59 @@ def _ring_forward(q, k, v, axis_name, is_causal, scale, block_sizes,
     return o, lse
 
 
-def _ring_fwd(q, k, v, axis_name, is_causal, scale, block_sizes, interpret):
-    o, lse = _ring_forward(q, k, v, axis_name, is_causal, scale, block_sizes,
-                           interpret)
-    return o, (q, k, v, o, lse)
+def _ring_fwd(q, k, v, dropout_seed, alibi_slopes, segment_ids,
+              axis_name, is_causal, scale, block_sizes, interpret,
+              window, logit_softcap, alibi, dropout_rate):
+    o, lse = _ring_forward(q, k, v, dropout_seed, alibi_slopes, segment_ids,
+                           axis_name, is_causal, scale, block_sizes,
+                           interpret, window, logit_softcap, alibi,
+                           dropout_rate)
+    return o, (q, k, v, dropout_seed, alibi_slopes, segment_ids, o, lse)
 
 
 def _ring_bwd(axis_name, is_causal, scale, block_sizes, interpret,
-              residuals, do):
-    q, k, v, o, lse = residuals
+              window, logit_softcap, alibi, dropout_rate, residuals, do):
+    q, k, v, dropout_seed, alibi_slopes, segment_ids, o, lse = residuals
     n = lax.axis_size(axis_name)
     idx = lax.axis_index(axis_name)
     b, hq, s_local, d = q.shape
     hkv = k.shape[1]
     if scale is None:
         scale = 1.0 / (d**0.5)
+    seg_q = segment_ids[0] if segment_ids is not None else None
 
-    def local_bwd(k_in, v_in, causal):
+    def local_bwd(k_in, v_in, causal, step, seg_k_in):
         return flash_attention_backward(
             q, k_in, v_in, o, do, lse, is_causal=causal, scale=scale,
             block_sizes=block_sizes, interpret=interpret,
+            window=window if causal else None,
+            logit_softcap=logit_softcap, alibi=alibi,
+            alibi_slopes=alibi_slopes,
+            dropout_rate=dropout_rate,
+            dropout_seed=(_fold_seed(dropout_seed, idx, step)
+                          if dropout_rate > 0.0 else None),
+            segment_ids=((seg_q, seg_k_in) if segment_ids is not None
+                         else None),
+            pos_offset=step * s_local if causal else None,
         )
 
+    steps = _ring_steps(n, is_causal, window, s_local)
     dq_acc = jnp.zeros((b, hq, s_local, d), jnp.float32)
     dk_cur = jnp.zeros((b, hkv, s_local, d), jnp.float32)
     dv_cur = jnp.zeros((b, hkv, s_local, d), jnp.float32)
     k_cur, v_cur = k, v
+    segk_cur = segment_ids[1] if segment_ids is not None else None
 
-    for step in range(n):
-        if step < n - 1:
-            k_nxt, v_nxt = _rotate([k_cur, v_cur], axis_name, n)
-        if not is_causal:
-            dq_p, dk_p, dv_p = local_bwd(k_cur, v_cur, False)
-        elif step == 0:
-            dq_p, dk_p, dv_p = local_bwd(k_cur, v_cur, True)
+    for step in range(steps):
+        if step < steps - 1:
+            nxt = _rotate([x for x in (k_cur, v_cur, segk_cur)
+                           if x is not None], axis_name, n)
+        if not is_causal or step == 0:
+            dq_p, dk_p, dv_p = local_bwd(k_cur, v_cur, is_causal, step,
+                                         segk_cur)
         else:
             def _visible(kv):
-                return local_bwd(kv[0], kv[1], False)
+                return local_bwd(kv[0], kv[1], True, step, kv[2])
 
             def _skip(kv):
                 return (
@@ -216,26 +332,43 @@ def _ring_bwd(axis_name, is_causal, scale, block_sizes, interpret,
                 )
 
             dq_p, dk_p, dv_p = lax.cond(step <= idx, _visible, _skip,
-                                        (k_cur, v_cur))
+                                        (k_cur, v_cur, segk_cur))
         dq_acc = dq_acc + dq_p.astype(jnp.float32)
         dk_cur = dk_cur + dk_p.astype(jnp.float32)
         dv_cur = dv_cur + dv_p.astype(jnp.float32)
         # dK/dV accumulators travel WITH their K/V shard; the K/V rotation
-        # below and the final hop after the loop complete the full cycle
-        # that brings each accumulator home to the shard's owner.
-        if step < n - 1:
-            k_cur, v_cur = k_nxt, v_nxt
+        # below plus the final return permute complete the full cycle that
+        # brings each accumulator home to the shard's owner.
+        if step < steps - 1:
+            if segk_cur is not None:
+                k_cur, v_cur, segk_cur = nxt
+            else:
+                k_cur, v_cur = nxt
             dk_cur, dv_cur = _rotate([dk_cur, dv_cur], axis_name, n)
 
-    dk_cur, dv_cur = _rotate([dk_cur, dv_cur], axis_name, n)
+    # After (steps - 1) in-loop hops the accumulators are (steps - 1) hops
+    # from home; one permute with the complementary shift returns them
+    # (shift 1 when the ring ran full length — the classic final hop).
+    shift = (n - (steps - 1)) % n or n
+    perm = [(i, (i + shift) % n) for i in range(n)]
+    dk_cur, dv_cur = (lax.ppermute(x, axis_name, perm)
+                      for x in (dk_cur, dv_cur))
+    zeros = None
+    if segment_ids is not None:
+        zeros = tuple(np.zeros(s.shape, dtype=jax.dtypes.float0)
+                      for s in segment_ids)
     return (
         dq_acc.astype(q.dtype),
         dk_cur.astype(k.dtype),
         dv_cur.astype(v.dtype),
+        (None if dropout_seed is None
+         else np.zeros(jnp.shape(dropout_seed), dtype=jax.dtypes.float0)),
+        None if alibi_slopes is None else jnp.zeros_like(alibi_slopes),
+        zeros,
     )
 
 
-ring_flash_attention.defvjp(_ring_fwd, _ring_bwd)
+_ring_core.defvjp(_ring_fwd, _ring_bwd)
 
 
 # ---------------- zigzag (load-balanced causal) layout ----------------
