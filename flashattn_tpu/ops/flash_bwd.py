@@ -149,11 +149,17 @@ def _dq_kernel(
     block_kv: int,
     causal_offset: int,
     scale: float,
+    dynamic_offset: bool = False,
+    window_size: int = 0,
 ):
+    # dynoff (1,) SMEM int32 (dynamic_offset only): traced q/k alignment for
+    # device-dependent shard offsets (zigzag hops) — see flash_fwd.
     # seed (1,) SMEM int32 (dropout only); q (1,1,bq,D) pre-scaled by
     # scale·log2(e); k/v (1,1,bkv,D); o/do (1,1,bq,D); lse (1,1,bq,1);
     # seg_q (1,bq,1) / seg_k (1,1,bkv) int32; outs dq (1,1,bq,D), delta
     # (1,1,bq,1) f32; scratch dq_acc (bq,D) f32, delta_scratch (bq,128) f32.
+    if dynamic_offset:
+        dynoff_ref, *refs = refs
     if dropout_rate > 0.0:
         seed_ref, *refs = refs
     if alibi:
@@ -193,11 +199,12 @@ def _dq_kernel(
         s = t_cap * (softcap * LOG2E)
     if alibi:
         slope = slopes_ref[pl.program_id(1)]
+        aoff = dynoff_ref[0] if dynamic_offset else causal_offset
         r1a = jax.lax.broadcasted_iota(jnp.int32, (block_q, 1), 0)
         c1a = jax.lax.broadcasted_iota(jnp.int32, (1, block_kv), 1)
         dist = ((c1a + meta_ref[META_KJ, step] * block_kv)
                 - (r1a + meta_ref[META_QI, step] * block_q)
-                - causal_offset).astype(jnp.float32)
+                - aoff).astype(jnp.float32)
         s = s + (slope * LOG2E) * dist
 
     mask = None
@@ -209,7 +216,12 @@ def _dq_kernel(
                             meta_ref[META_CTHRESH, step])  # (bq, 1)
         cols1 = jax.lax.broadcasted_iota(jnp.int32, (1, block_kv), 1)
         mask = cols1 <= limit  # (bq, bkv)
-        if windowed:
+        if windowed and dynamic_offset:
+            lth = (dynoff_ref[0] - (window_size - 1)
+                   + meta_ref[META_QI, step] * block_q
+                   - meta_ref[META_KJ, step] * block_kv)
+            mask = mask & (cols1 >= rows1 + lth)
+        elif windowed:
             mask = mask & (cols1 >= rows1 + meta_ref[META_LTHRESH, step])
     if segmented:
         seg_mask = segq_ref[0] == segk_ref[0]  # (bq,1)==(1,bkv) -> (bq,bkv)
@@ -275,6 +287,8 @@ def _dkv_kernel(
     block_kv: int,
     causal_offset: int,
     scale: float,
+    dynamic_offset: bool = False,
+    window_size: int = 0,
 ):
     # seed (1,) SMEM int32 (dropout only); q/do (1,1,bq,D); lse/delta
     # (1,1,1,bq) — reshaped host-side so q-row stats arrive lane-major
@@ -291,6 +305,8 @@ def _dkv_kernel(
     # v5e: 63.5% -> ~75% of peak). The reference's "pre-transposing K loses"
     # lesson (Phase_5.md:639-651) survives as: transpose the MATH, not the
     # data.
+    if dynamic_offset:
+        dynoff_ref, *refs = refs
     if dropout_rate > 0.0:
         seed_ref, *refs = refs
     if alibi:
@@ -326,11 +342,12 @@ def _dkv_kernel(
     if alibi:
         h_q = pl.program_id(1) * q_per_kv + meta_ref[DKV_G, step]
         slope = slopes_ref[h_q]
+        aoff = dynoff_ref[0] if dynamic_offset else causal_offset
         k1a = jax.lax.broadcasted_iota(jnp.int32, (block_kv, 1), 0)
         q1a = jax.lax.broadcasted_iota(jnp.int32, (1, block_q), 1)
         dist = ((k1a + meta_ref[DKV_KJ, step] * block_kv)
                 - (q1a + meta_ref[DKV_QI, step] * block_q)
-                - causal_offset).astype(jnp.float32)
+                - aoff).astype(jnp.float32)
         s = s + (slope * LOG2E) * dist
 
     mask = None
@@ -345,7 +362,12 @@ def _dkv_kernel(
                           q1m + meta_ref[DKV_RTHRESH, step], -_BIG)
         k1m = jax.lax.broadcasted_iota(jnp.int32, (block_kv, 1), 0)
         mask = k1m <= limit  # (bkv, bq)
-        if windowed:
+        if windowed and dynamic_offset:
+            lth = (dynoff_ref[0] - (window_size - 1)
+                   + meta_ref[DKV_QI, step] * block_q
+                   - meta_ref[DKV_KJ, step] * block_kv)
+            mask = mask & (k1m >= q1m + lth)
+        elif windowed:
             mask = mask & (k1m >= q1m + meta_ref[DKV_LTHRESH, step])
     if segmented:
         seg_mask = segk_ref[0] == segq_ref[0]  # (bkv,1)==(1,bq) -> (bkv,bq)
@@ -437,6 +459,7 @@ def flash_attention_backward(
     alibi_slopes: jnp.ndarray | None = None,  # (Hq,) f32; None = standard
     impl: str = "auto",
     pos_offset: int | None = None,
+    dyn_pos_offset: jnp.ndarray | None = None,
 ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Flash-attention backward (launcher layer + implementation dispatch).
 
@@ -456,7 +479,9 @@ def flash_attention_backward(
 
     ``pos_offset``: global q/k alignment override — must match the forward
     call (see ``flash_attention_forward``); ring/context parallelism passes
-    the per-hop shard offset here.
+    the per-hop shard offset here. ``dyn_pos_offset``: the TRACED variant
+    for device-dependent shard offsets (zigzag hops); requires
+    is_causal=False — see flash_attention_forward.
 
     Returns (dQ [B,Hq,S_q,D], dK [B,Hkv,S_k,D], dV [B,Hkv,S_k,D]).
     """
@@ -493,7 +518,13 @@ def flash_attention_backward(
                 dropout_seed=dropout_seed, window=window,
                 logit_softcap=logit_softcap, alibi=alibi,
                 alibi_slopes=alibi_slopes, pos_offset=pos_offset,
+                dyn_pos_offset=dyn_pos_offset,
             )
+    dynamic_offset = dyn_pos_offset is not None
+    assert not (dynamic_offset and pos_offset is not None), (
+        "pos_offset and dyn_pos_offset are mutually exclusive")
+    assert not (dynamic_offset and is_causal), (
+        "dyn_pos_offset requires is_causal=False")
     causal_offset = (s_k - s_q) if pos_offset is None else int(pos_offset)
     guard_zero_rows = is_causal and causal_offset < 0
     lse4 = lse[..., None]  # [B,Hq,Sq,1] — sublane-aligned row stats
@@ -517,7 +548,7 @@ def flash_attention_backward(
     meta = build_wavefront(
         num_q_blocks, num_kv_blocks, bq, bkv, s_k,
         causal_offset if is_causal else None,
-        window=window,
+        window=None if dynamic_offset else window,
     )
     windowed = window is not None
     needs_mask = windowed or bool((meta[:, META_RTHRESH] != _BIG).any()
@@ -525,6 +556,8 @@ def flash_attention_backward(
     segmented = segment_ids is not None
     assert 0.0 <= dropout_rate < 1.0, dropout_rate
     seed_prefetch = []
+    if dynamic_offset:
+        seed_prefetch.append(jnp.asarray(dyn_pos_offset, jnp.int32).reshape(1))
     if dropout_rate > 0.0:
         assert dropout_seed is not None, "dropout needs dropout_seed"
         seed_prefetch = [jnp.asarray(dropout_seed, jnp.int32).reshape(1)]
@@ -568,6 +601,8 @@ def flash_attention_backward(
         block_kv=bkv,
         causal_offset=causal_offset,
         scale=scale,
+        dynamic_offset=dynamic_offset,
+        window_size=int(window or 0),
     )
     in_specs = [
         pl.BlockSpec((1, 1, bq, d), q_index),
@@ -639,7 +674,7 @@ def flash_attention_backward(
     meta2 = build_dkv_wavefront(
         num_q_blocks2, num_kv_blocks2, bq2, bkv2, s_q, q_per_kv,
         causal_offset if is_causal else None,
-        window=window,
+        window=None if dynamic_offset else window,
     )
     needs_mask2 = windowed or bool((meta2[:, DKV_RTHRESH] != _BIG).any()
                                    or (meta2[:, DKV_ROWTHRESH] != _BIG).any())
@@ -665,6 +700,8 @@ def flash_attention_backward(
         block_kv=bkv2,
         causal_offset=causal_offset,
         scale=scale,
+        dynamic_offset=dynamic_offset,
+        window_size=int(window or 0),
     )
     def qstat_index2(b_i, h_i, s_i, m, *_):
         # [B, Hq*nq, 1, bq] with the q-head and q-block axes folded.

@@ -112,11 +112,15 @@ def _fused_bwd_kernel(
     block_kv: int,
     causal_offset: int,
     scale: float,
+    dynamic_offset: bool = False,
+    window_size: int = 0,
 ):
     # q (1,1,bq,D) pre-scaled by scale[·log2e]; o/do (1,1,bq,D);
     # lse (1,1,bq,1); k/v (1,1,bkv,D) RAW; seg_q (1,bq,1) / seg_k (1,1,bkv);
     # outs dq (1,1,bq,D), dk/dv (1,1,nkv,bkv,D); scratch dq_acc (bq,D) f32,
     # delta_scratch (bq,128) f32, dk_acc/dv_acc (nkv,bkv,D) f32.
+    if dynamic_offset:
+        dynoff_ref, *refs = refs  # (1,) SMEM int32 traced q/k alignment
     if dropout_rate > 0.0:
         seed_ref, *refs = refs
     if alibi:
@@ -164,11 +168,12 @@ def _fused_bwd_kernel(
     if alibi:
         h_q = pl.program_id(1) * q_per_kv + meta_ref[FUSED_G, step]
         slope = slopes_ref[h_q]
+        aoff = dynoff_ref[0] if dynamic_offset else causal_offset
         r1a = jax.lax.broadcasted_iota(jnp.int32, (block_q, 1), 0)
         c1a = jax.lax.broadcasted_iota(jnp.int32, (1, block_kv), 1)
         dist = ((c1a + kj * block_kv)
                 - (r1a + meta_ref[META_QI, step] * block_q)
-                - causal_offset).astype(jnp.float32)
+                - aoff).astype(jnp.float32)
         s = s + (slope * LOG2E) * dist
 
     mask = None
@@ -178,7 +183,12 @@ def _fused_bwd_kernel(
                             meta_ref[META_CTHRESH, step])  # (bq, 1)
         cols1 = jax.lax.broadcasted_iota(jnp.int32, (1, block_kv), 1)
         mask = cols1 <= limit  # (bq, bkv)
-        if windowed:
+        if windowed and dynamic_offset:
+            lth = (dynoff_ref[0] - (window_size - 1)
+                   + meta_ref[META_QI, step] * block_q
+                   - kj * block_kv)
+            mask = mask & (cols1 >= rows1 + lth)
+        elif windowed:
             mask = mask & (cols1 >= rows1 + meta_ref[META_LTHRESH, step])
     if segmented:
         seg_mask = segq_ref[0] == segk_ref[0]  # (bq,1)==(1,bkv) -> (bq,bkv)
@@ -290,6 +300,7 @@ def flash_attention_backward_fused(
     alibi: bool = False,
     alibi_slopes: jnp.ndarray | None = None,
     pos_offset: int | None = None,
+    dyn_pos_offset: jnp.ndarray | None = None,
 ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Launcher for the fused one-kernel backward (see module docstring).
 
@@ -300,6 +311,8 @@ def flash_attention_backward_fused(
     _, hkv, s_k, _ = k.shape
     assert hq % hkv == 0
     q_per_kv = hq // hkv
+    dynamic_offset = dyn_pos_offset is not None
+    assert not (dynamic_offset and (pos_offset is not None or is_causal))
     causal_offset = (s_k - s_q) if pos_offset is None else int(pos_offset)
     guard_zero_rows = is_causal and causal_offset < 0
     lse4 = lse[..., None]
@@ -319,7 +332,7 @@ def flash_attention_backward_fused(
     meta = build_fused_wavefront(
         num_q_blocks, num_kv_blocks, bq, bkv, s_k, q_per_kv,
         causal_offset if is_causal else None,
-        window=window,
+        window=None if dynamic_offset else window,
     )
     num_steps = meta.shape[0]
     windowed = window is not None
@@ -329,6 +342,8 @@ def flash_attention_backward_fused(
     assert 0.0 <= dropout_rate < 1.0, dropout_rate
 
     seed_prefetch = []
+    if dynamic_offset:
+        seed_prefetch.append(jnp.asarray(dyn_pos_offset, jnp.int32).reshape(1))
     if dropout_rate > 0.0:
         assert dropout_seed is not None, "dropout needs dropout_seed"
         seed_prefetch = [jnp.asarray(dropout_seed, jnp.int32).reshape(1)]
@@ -365,6 +380,8 @@ def flash_attention_backward_fused(
         block_kv=bkv,
         causal_offset=causal_offset,
         scale=scale,
+        dynamic_offset=dynamic_offset,
+        window_size=int(window or 0),
     )
     in_specs = [
         pl.BlockSpec((1, 1, bq, d), q_index),

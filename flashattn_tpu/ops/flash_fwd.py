@@ -138,7 +138,7 @@ def build_wavefront(
 
 def _fwd_kernel(
     meta_ref,  # SMEM (7, L) int32 (scalar-prefetched, column-per-step)
-    *refs,  # [seed,] q, k, v, [seg_q, seg_k,] o, lse, m, l, acc scratches
+    *refs,  # [dynoff,] [seed,] q, k, v, [seg_q, seg_k,] o, lse, m/l/acc scr.
     needs_mask: bool,
     guard_zero_rows: bool,
     segmented: bool,
@@ -150,11 +150,20 @@ def _fwd_kernel(
     block_q: int,
     block_kv: int,
     causal_offset: int,
+    dynamic_offset: bool = False,
+    window_size: int = 0,
 ):
+    # dynoff (1,) SMEM int32 (dynamic_offset only): TRACED q/k alignment —
+    # zigzag ring hops have device-dependent shard offsets, so the window's
+    # left edge and the ALiBi distance are computed from this scalar instead
+    # of the static causal_offset (the wavefront cannot prune dynamically;
+    # callers guarantee causal full-visibility and pass is_causal=False).
     # seed (1,) SMEM int32 (scalar-prefetched, dropout only); q_ref
     # (1,1,bq,D) pre-scaled by scale·log2(e); k/v (1,1,bkv,D);
     # seg_q (1,bq,1) / seg_k (1,1,bkv) int32 packed-sequence ids (varlen);
     # outputs o (1,1,bq,D), lse (1,1,bq,1); f32 scratch m/l (bq,128), acc.
+    if dynamic_offset:
+        dynoff_ref, *refs = refs
     if dropout_rate > 0.0:
         seed_ref, *refs = refs
     if alibi:
@@ -191,11 +200,12 @@ def _fwd_kernel(
         # shards the global slope table with the heads), and overridable
         # with model-custom slopes.
         slope = slopes_ref[pl.program_id(1)]
+        aoff = dynoff_ref[0] if dynamic_offset else causal_offset
         r1a = jax.lax.broadcasted_iota(jnp.int32, (block_q, 1), 0)
         c1a = jax.lax.broadcasted_iota(jnp.int32, (1, block_kv), 1)
         dist = ((c1a + meta_ref[META_KJ, step] * block_kv)
                 - (r1a + meta_ref[META_QI, step] * block_q)
-                - causal_offset).astype(jnp.float32)
+                - aoff).astype(jnp.float32)
         s = s + (slope * LOG2E) * dist
 
     mask = None
@@ -211,7 +221,14 @@ def _fwd_kernel(
                             meta_ref[META_CTHRESH, step])  # (bq, 1)
         cols1 = jax.lax.broadcasted_iota(jnp.int32, (1, block_kv), 1)
         mask = cols1 <= limit  # (bq, bkv)
-        if windowed:
+        if windowed and dynamic_offset:
+            # Traced alignment: compute the left-edge threshold in-kernel
+            # (static builds ship it in META_LTHRESH).
+            lth = (dynoff_ref[0] - (window_size - 1)
+                   + meta_ref[META_QI, step] * block_q
+                   - meta_ref[META_KJ, step] * block_kv)
+            mask = mask & (cols1 >= rows1 + lth)
+        elif windowed:
             # Sliding window: left edge is a per-row LOWER column bound.
             mask = mask & (cols1 >= rows1 + meta_ref[META_LTHRESH, step])
     if segmented:
@@ -305,6 +322,7 @@ def flash_attention_forward(
     alibi: bool = False,
     alibi_slopes: jnp.ndarray | None = None,  # (Hq,) f32; None = standard
     pos_offset: int | None = None,
+    dyn_pos_offset: jnp.ndarray | None = None,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Fused flash-attention forward.
 
@@ -327,6 +345,12 @@ def flash_attention_forward(
         position-dependent feature stays globally exact on sharded calls
         (the same tile-merge algebra as ``Phase_0.md:123-188``, applied
         across chips).
+      dyn_pos_offset: TRACED q/k alignment (int32 scalar) for shard offsets
+        that are device-dependent under shard_map (zigzag ring hops). Only
+        the window's left edge and the ALiBi distance use it; the causal
+        wavefront cannot prune on a traced value, so the caller must
+        guarantee every pair is causally visible and pass is_causal=False.
+        Mutually exclusive with pos_offset.
 
     Returns:
       (O [B, Hq, S_q, D] in q.dtype, LSE [B, Hq, S_q] fp32, natural log;
@@ -361,19 +385,26 @@ def flash_attention_forward(
     num_q_blocks = s_q_p // bq
     num_kv_blocks = s_k_p // bkv
 
+    dynamic_offset = dyn_pos_offset is not None
+    assert not (dynamic_offset and pos_offset is not None), (
+        "pos_offset and dyn_pos_offset are mutually exclusive")
+    assert not (dynamic_offset and is_causal), (
+        "dyn_pos_offset requires is_causal=False (the wavefront cannot "
+        "prune on a traced alignment; see docstring)")
     causal_offset = (s_k - s_q) if pos_offset is None else int(pos_offset)
-    assert window is None or (is_causal and window >= 1), (
+    assert window is None or dynamic_offset or (is_causal and window >= 1), (
         "window requires is_causal and window >= 1")
     meta = build_wavefront(
         num_q_blocks, num_kv_blocks, bq, bkv, s_k,
         causal_offset if is_causal else None,
-        window=window,
+        window=None if dynamic_offset else window,
     )
     num_steps = meta.shape[0]
     windowed = window is not None
-    needs_mask = bool((meta[:, META_RTHRESH] != _BIG).any()
-                      or (meta[:, META_CTHRESH] != _BIG).any()
-                      or (meta[:, META_LTHRESH] != -_BIG).any())
+    needs_mask = dynamic_offset and windowed or bool(
+        (meta[:, META_RTHRESH] != _BIG).any()
+        or (meta[:, META_CTHRESH] != _BIG).any()
+        or (meta[:, META_LTHRESH] != -_BIG).any())
     guard_zero_rows = is_causal and causal_offset < 0
     segmented = segment_ids is not None
     assert 0.0 <= dropout_rate < 1.0, dropout_rate
@@ -391,6 +422,8 @@ def flash_attention_forward(
         block_q=bq,
         block_kv=bkv,
         causal_offset=causal_offset,
+        dynamic_offset=dynamic_offset,
+        window_size=int(window or 0),
     )
     assert not (alibi and logit_softcap), "alibi + softcap: pick one"
 
@@ -407,6 +440,8 @@ def flash_attention_forward(
     # axis must be last or long-sequence wavefronts overflow the ~1MB SMEM
     # (row-major [L, 7] costs 512B/step; this costs 28B/step).
     prefetch = [jnp.asarray(np.ascontiguousarray(meta.T))]
+    if dynamic_offset:
+        prefetch.append(jnp.asarray(dyn_pos_offset, jnp.int32).reshape(1))
     if dropout_rate > 0.0:
         assert dropout_seed is not None, "dropout needs dropout_seed"
         prefetch.append(jnp.asarray(dropout_seed, jnp.int32).reshape(1))

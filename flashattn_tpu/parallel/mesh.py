@@ -12,6 +12,7 @@ import functools
 from collections.abc import Mapping
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh
 from jax.sharding import PartitionSpec as P
@@ -52,6 +53,12 @@ def sharded_ring_attention(
     batch_axis: str | None = "data",
     head_axis: str | None = "model",
     mode: str = "ring",
+    window: int | None = None,
+    logit_softcap: float | None = None,
+    alibi: bool = False,
+    dropout_rate: float = 0.0,
+    dropout_seed=None,
+    segment_ids=None,
 ):
     """Global-view [B, H, S, D] attention sharded over `mesh`.
 
@@ -59,31 +66,72 @@ def sharded_ring_attention(
     `seq_axis` with ring (default), zigzag (load-balanced causal ring), or
     Ulysses collectives inside a shard_map island. Axes absent from the
     mesh are ignored. Zigzag mode handles the layout permutation here
-    (global view), so callers always pass natural sequence order.
+    (global view — tokens AND segment ids), so callers always pass natural
+    sequence order. Attention variants (window / softcap / ALiBi / dropout /
+    packed segments) ride all modes; the ALiBi slope table is built globally
+    and sharded with the heads.
     """
     assert seq_axis in mesh.axis_names, (seq_axis, mesh.axis_names)
     n_sp = mesh.shape[seq_axis]
+    slopes = None
+    if alibi:
+        from flashattn_tpu.ops.flash_fwd import default_alibi_slopes
+
+        slopes = default_alibi_slopes(q.shape[1])
+    variant_kw = dict(window=window, logit_softcap=logit_softcap,
+                      alibi=alibi, dropout_rate=dropout_rate,
+                      dropout_seed=dropout_seed)
     if mode == "zigzag":
         assert is_causal, "zigzag layout only matters for causal attention"
         inner = functools.partial(
             zigzag_ring_flash_attention, axis_name=seq_axis, scale=scale,
-            block_sizes=block_sizes, interpret=interpret,
+            block_sizes=block_sizes, interpret=interpret, **variant_kw,
+        )
+    elif mode == "ulysses":
+        assert dropout_rate == 0.0 and segment_ids is None, (
+            "dropout/segments not wired for ulysses; use ring/zigzag")
+        inner = functools.partial(
+            ulysses_flash_attention, axis_name=seq_axis, is_causal=is_causal,
+            scale=scale, block_sizes=block_sizes, interpret=interpret,
+            window=window, logit_softcap=logit_softcap, alibi=alibi,
         )
     else:
-        base = {"ring": ring_flash_attention,
-                "ulysses": ulysses_flash_attention}[mode]
         inner = functools.partial(
-            base, axis_name=seq_axis, is_causal=is_causal, scale=scale,
-            block_sizes=block_sizes, interpret=interpret,
+            ring_flash_attention, axis_name=seq_axis, is_causal=is_causal,
+            scale=scale, block_sizes=block_sizes, interpret=interpret,
+            **variant_kw,
         )
     ba = batch_axis if batch_axis in mesh.axis_names else None
     ha = head_axis if head_axis in mesh.axis_names else None
     spec = P(ba, ha, seq_axis, None)
+    in_specs = [spec, spec, spec]
+    args = [q, k, v]
+    call = inner
+    if segment_ids is not None:
+        seg = segment_ids.astype(jnp.int32)
+        if mode == "zigzag":
+            seg = zigzag_shard(seg, n_sp, axis=1)
+        sspec = P(ba, seq_axis)
+        in_specs += [sspec, sspec]
+        args += [seg, seg]
+        if slopes is not None:
+            in_specs += [P(ha)]
+            args += [slopes]
+            call = (lambda q, k, v, sq, sk, sl: inner(
+                q, k, v, segment_ids=(sq, sk), alibi_slopes=sl))
+        else:
+            call = (lambda q, k, v, sq, sk: inner(
+                q, k, v, segment_ids=(sq, sk)))
+    elif slopes is not None:
+        in_specs += [P(ha)]
+        args += [slopes]
+        call = lambda q, k, v, sl: inner(q, k, v, alibi_slopes=sl)
     fn = jax.shard_map(
-        inner, mesh=mesh, in_specs=(spec, spec, spec), out_specs=spec,
+        call, mesh=mesh, in_specs=tuple(in_specs), out_specs=spec,
         check_vma=False,
     )
     if mode == "zigzag":
-        q, k, v = (zigzag_shard(x, n_sp) for x in (q, k, v))
-        return zigzag_unshard(fn(q, k, v), n_sp)
-    return fn(q, k, v)
+        args[0], args[1], args[2] = (zigzag_shard(x, n_sp)
+                                     for x in (q, k, v))
+        return zigzag_unshard(fn(*args), n_sp)
+    return fn(*args)

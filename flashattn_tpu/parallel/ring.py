@@ -428,7 +428,18 @@ def _place(o_p, lse_p, half: str):
             jnp.concatenate([zl, lse_p], axis=2))
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+@functools.partial(
+    jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9, 10, 11, 12, 13)
+)
+def _zz_core(q, k, v, dropout_seed, alibi_slopes, segment_ids,
+             axis_name, scale, block_sizes, interpret,
+             window, logit_softcap, alibi, dropout_rate):
+    o, _ = _zz_forward(q, k, v, dropout_seed, alibi_slopes, segment_ids,
+                       axis_name, scale, block_sizes, interpret,
+                       window, logit_softcap, alibi, dropout_rate)
+    return o
+
+
 def zigzag_ring_flash_attention(
     q,
     k,
@@ -437,26 +448,85 @@ def zigzag_ring_flash_attention(
     scale: float | None = None,
     block_sizes: BlockSizes | None = None,
     interpret: bool | None = None,
+    window: int | None = None,
+    logit_softcap: float | None = None,
+    alibi: bool = False,
+    dropout_rate: float = 0.0,
+    dropout_seed=None,
+    alibi_slopes=None,
+    segment_ids=None,
 ):
     """Load-balanced CAUSAL ring attention; call INSIDE shard_map with
     zigzag-layout shards (see zigzag_shard). Non-causal needs no balancing —
-    use ring_flash_attention for it."""
-    o, _ = _zz_forward(q, k, v, axis_name, scale, block_sizes, interpret)
-    return o
+    use ring_flash_attention for it.
+
+    Variants: softcap / dropout / segments are position-free and pass
+    straight through (per-sub-call seed folding keeps dropout fwd/bwd
+    consistent and decorrelated). window / ALiBi need global positions;
+    zigzag chunk offsets are DEVICE-dependent, so the always-visible
+    (q_hi, k_lo) pair threads a TRACED alignment into the kernels
+    (``dyn_pos_offset`` — scalar-prefetched, masks/biases computed in-kernel)
+    while the diagonal pairs use static per-hop offsets like the contiguous
+    ring. segment_ids must be in zigzag layout (zigzag_shard the global ids
+    exactly like the tokens).
+    """
+    if alibi and alibi_slopes is None:
+        from flashattn_tpu.ops.flash_fwd import default_alibi_slopes
+
+        alibi_slopes = default_alibi_slopes(q.shape[1])
+    if alibi_slopes is not None:
+        alibi_slopes = jax.lax.stop_gradient(alibi_slopes)
+    if dropout_rate > 0.0:
+        assert dropout_seed is not None, "dropout needs dropout_seed"
+        dropout_seed = jnp.asarray(dropout_seed, jnp.int32)
+    if segment_ids is not None:
+        seg_q, seg_k = segment_ids
+        segment_ids = (
+            jnp.where(seg_q < 0, -1, seg_q).astype(jnp.int32),
+            jnp.where(seg_k < 0, -2, seg_k).astype(jnp.int32),
+        )
+    return _zz_core(q, k, v, dropout_seed, alibi_slopes, segment_ids,
+                    axis_name, scale, block_sizes, interpret,
+                    window, logit_softcap, alibi, dropout_rate)
 
 
-def _zz_forward(q, k, v, axis_name, scale, block_sizes, interpret):
+def _zz_attn_args(window, logit_softcap, alibi, alibi_slopes, dropout_rate,
+                  dropout_seed, idx, step, subid):
+    """Common variant kwargs for one zigzag sub-call; subid (0=hi-lo, 1=lo-lo,
+    2=hi-hi) decorrelates the dropout mask between the sub-calls of a hop."""
+    kw = dict(logit_softcap=logit_softcap, alibi=alibi,
+              alibi_slopes=alibi_slopes, dropout_rate=dropout_rate,
+              window=window)
+    if dropout_rate > 0.0:
+        kw["dropout_seed"] = (_fold_seed(dropout_seed, idx, step)
+                              + jnp.int32(subid) * jnp.int32(424243))
+    return kw
+
+
+def _zz_forward(q, k, v, dropout_seed, alibi_slopes, segment_ids,
+                axis_name, scale, block_sizes, interpret,
+                window, logit_softcap, alibi, dropout_rate):
     n = lax.axis_size(axis_name)
     idx = lax.axis_index(axis_name)
     b, hq, s_local, d = q.shape
     assert s_local % 2 == 0
+    c = s_local // 2
     if scale is None:
         scale = 1.0 / (d**0.5)
+    segmented = segment_ids is not None
+    sq_lo = sq_hi = None
+    if segmented:
+        sq_lo, sq_hi = segment_ids[0][:, :c], segment_ids[0][:, c:]
 
-    def attn(qc, kc, vc, causal):
+    def attn(qc, kc, vc, causal, step, subid, sq, sk,
+             pos_off=None, dyn_off=None):
+        kw = _zz_attn_args(window, logit_softcap, alibi, alibi_slopes,
+                           dropout_rate, dropout_seed, idx, step, subid)
         return flash_attention_forward(
             qc, kc, vc, is_causal=causal, scale=scale,
-            block_sizes=block_sizes, interpret=interpret)
+            block_sizes=block_sizes, interpret=interpret,
+            segment_ids=((sq, sk) if segmented else None),
+            pos_offset=pos_off, dyn_pos_offset=dyn_off, **kw)
 
     q_lo, q_hi = _halves(q)
     m = jnp.full((b, hq, s_local), NEG_INF, jnp.float32)
@@ -464,37 +534,57 @@ def _zz_forward(q, k, v, axis_name, scale, block_sizes, interpret):
     acc = jnp.zeros((b, hq, s_local, d), jnp.float32)
 
     k_cur, v_cur = k, v
+    segk_cur = segment_ids[1] if segmented else None
     for step in range(n):
         if step < n - 1:
-            k_nxt, v_nxt = _rotate([k_cur, v_cur], axis_name, n)
+            nxt = _rotate([x for x in (k_cur, v_cur, segk_cur)
+                           if x is not None], axis_name, n)
         k_lo, k_hi = _halves(k_cur)
         v_lo, v_hi = _halves(v_cur)
+        sk_lo = segk_cur[:, :c] if segmented else None
+        sk_hi = segk_cur[:, c:] if segmented else None
         # Always-visible pair: q_hi (chunk 2n-1-idx) vs k_lo (chunk < n).
-        o_p, lse_p = attn(q_hi, k_lo, v_lo, False)
+        # Its global alignment (2n-1-idx - src)·C is device-dependent —
+        # traced into the kernel when a position feature needs it.
+        if window is not None or alibi:
+            src = jnp.mod(idx - step, n)
+            dyn = ((2 * n - 1) - idx - src) * c
+            o_p, lse_p = attn(q_hi, k_lo, v_lo, False, step, 0, sq_hi, sk_lo,
+                              dyn_off=dyn)
+        else:
+            o_p, lse_p = attn(q_hi, k_lo, v_lo, False, step, 0, sq_hi, sk_lo)
         m, l, acc = _merge_partial(m, l, acc, *_place(o_p, lse_p, "hi"))
         if step == 0:
-            for qc, kc, vc, half in ((q_lo, k_lo, v_lo, "lo"),
-                                     (q_hi, k_hi, v_hi, "hi")):
-                o_p, lse_p = attn(qc, kc, vc, True)
+            for qc, kc, vc, half, subid, sq, sk in (
+                    (q_lo, k_lo, v_lo, "lo", 1, sq_lo, sk_lo),
+                    (q_hi, k_hi, v_hi, "hi", 2, sq_hi, sk_hi)):
+                o_p, lse_p = attn(qc, kc, vc, True, step, subid, sq, sk)
                 m, l, acc = _merge_partial(m, l, acc,
                                            *_place(o_p, lse_p, half))
         else:
             # Exactly one of the two remaining pairs is fully visible:
-            # (q_lo, k_lo) iff step <= idx, else (q_hi, k_hi). Equal work
-            # either way — this is the load-balancing property.
+            # (q_lo, k_lo) iff step <= idx (static alignment step·C), else
+            # (q_hi, k_hi) (static alignment (n-step)·C). Equal work either
+            # way — the load-balancing property. The static offsets keep
+            # window pruning/masking and ALiBi exact per branch.
             def _lo(kv):
-                (kl, vl), (kh, vh) = kv
-                return _place(*attn(q_lo, kl, vl, False), "lo")
+                (kl, vl, skl), _ = kv
+                return _place(*attn(q_lo, kl, vl, True, step, 1, sq_lo, skl,
+                                    pos_off=step * c), "lo")
 
             def _hi(kv):
-                (kl, vl), (kh, vh) = kv
-                return _place(*attn(q_hi, kh, vh, False), "hi")
+                _, (kh, vh, skh) = kv
+                return _place(*attn(q_hi, kh, vh, True, step, 2, sq_hi, skh,
+                                    pos_off=(n - step) * c), "hi")
 
             o_f, lse_f = lax.cond(step <= idx, _lo, _hi,
-                                  ((k_lo, v_lo), (k_hi, v_hi)))
+                                  ((k_lo, v_lo, sk_lo), (k_hi, v_hi, sk_hi)))
             m, l, acc = _merge_partial(m, l, acc, o_f, lse_f)
         if step < n - 1:
-            k_cur, v_cur = k_nxt, v_nxt
+            if segmented:
+                k_cur, v_cur, segk_cur = nxt
+            else:
+                k_cur, v_cur = nxt
 
     l_safe = jnp.where(l == 0.0, 1.0, l)
     o = (acc / l_safe[..., None]).astype(q.dtype)
@@ -502,13 +592,18 @@ def _zz_forward(q, k, v, axis_name, scale, block_sizes, interpret):
     return o, lse
 
 
-def _zz_fwd(q, k, v, axis_name, scale, block_sizes, interpret):
-    o, lse = _zz_forward(q, k, v, axis_name, scale, block_sizes, interpret)
-    return o, (q, k, v, o, lse)
+def _zz_fwd(q, k, v, dropout_seed, alibi_slopes, segment_ids,
+            axis_name, scale, block_sizes, interpret,
+            window, logit_softcap, alibi, dropout_rate):
+    o, lse = _zz_forward(q, k, v, dropout_seed, alibi_slopes, segment_ids,
+                         axis_name, scale, block_sizes, interpret,
+                         window, logit_softcap, alibi, dropout_rate)
+    return o, (q, k, v, dropout_seed, alibi_slopes, segment_ids, o, lse)
 
 
-def _zz_bwd(axis_name, scale, block_sizes, interpret, residuals, do):
-    q, k, v, o, lse = residuals
+def _zz_bwd(axis_name, scale, block_sizes, interpret,
+            window, logit_softcap, alibi, dropout_rate, residuals, do):
+    q, k, v, dropout_seed, alibi_slopes, segment_ids, o, lse = residuals
     n = lax.axis_size(axis_name)
     idx = lax.axis_index(axis_name)
     b, hq, s_local, d = q.shape
@@ -516,90 +611,121 @@ def _zz_bwd(axis_name, scale, block_sizes, interpret, residuals, do):
     c = s_local // 2
     if scale is None:
         scale = 1.0 / (d**0.5)
+    segmented = segment_ids is not None
+    sq_lo = sq_hi = None
+    if segmented:
+        sq_lo, sq_hi = segment_ids[0][:, :c], segment_ids[0][:, c:]
 
     q_lo, q_hi = _halves(q)
     o_lo, o_hi = _halves(o)
     do_lo, do_hi = _halves(do)
     lse_lo, lse_hi = lse[:, :, :c], lse[:, :, c:]
 
-    def bwd(qc, oc, doc, lsec, kc, vc, causal):
+    def bwd(qc, oc, doc, lsec, kc, vc, causal, step, subid, sq, sk,
+            pos_off=None, dyn_off=None):
+        kw = _zz_attn_args(window, logit_softcap, alibi, alibi_slopes,
+                           dropout_rate, dropout_seed, idx, step, subid)
         return flash_attention_backward(
             qc, kc, vc, oc, doc, lsec, is_causal=causal, scale=scale,
-            block_sizes=block_sizes, interpret=interpret)
+            block_sizes=block_sizes, interpret=interpret,
+            segment_ids=((sq, sk) if segmented else None),
+            pos_offset=pos_off, dyn_pos_offset=dyn_off, **kw)
 
     def cat(lo_x, hi_x):
         return jnp.concatenate([lo_x, hi_x], axis=2)
 
+    def dkv(dk_p, dv_p):
+        return jnp.concatenate([dk_p, dv_p], -1).astype(jnp.float32)
+
+    zero2 = jnp.zeros((b, hkv, c, 2 * d), jnp.float32)
     dq_lo = jnp.zeros((b, hq, c, d), jnp.float32)
     dq_hi = jnp.zeros((b, hq, c, d), jnp.float32)
     dkv_cur = jnp.zeros((b, hkv, s_local, 2 * d), jnp.float32)  # [dK | dV]
     k_cur, v_cur = k, v
+    segk_cur = segment_ids[1] if segmented else None
 
     for step in range(n):
         if step < n - 1:
-            k_nxt, v_nxt = _rotate([k_cur, v_cur], axis_name, n)
+            nxt = _rotate([x for x in (k_cur, v_cur, segk_cur)
+                           if x is not None], axis_name, n)
         k_lo, k_hi = _halves(k_cur)
         v_lo, v_hi = _halves(v_cur)
+        sk_lo = segk_cur[:, :c] if segmented else None
+        sk_hi = segk_cur[:, c:] if segmented else None
 
-        dq_p, dk_p, dv_p = bwd(q_hi, o_hi, do_hi, lse_hi, k_lo, v_lo, False)
+        if window is not None or alibi:
+            src = jnp.mod(idx - step, n)
+            dyn = ((2 * n - 1) - idx - src) * c
+            dq_p, dk_p, dv_p = bwd(q_hi, o_hi, do_hi, lse_hi, k_lo, v_lo,
+                                   False, step, 0, sq_hi, sk_lo, dyn_off=dyn)
+        else:
+            dq_p, dk_p, dv_p = bwd(q_hi, o_hi, do_hi, lse_hi, k_lo, v_lo,
+                                   False, step, 0, sq_hi, sk_lo)
         dq_hi = dq_hi + dq_p.astype(jnp.float32)
-        upd = cat(jnp.concatenate([dk_p, dv_p], -1).astype(jnp.float32),
-                  jnp.zeros((b, hkv, c, 2 * d), jnp.float32))
-        dkv_cur = dkv_cur + upd
+        dkv_cur = dkv_cur + cat(dkv(dk_p, dv_p), zero2)
 
         if step == 0:
             dq_p, dk_p, dv_p = bwd(q_lo, o_lo, do_lo, lse_lo, k_lo, v_lo,
-                                   True)
+                                   True, step, 1, sq_lo, sk_lo)
             dq_lo = dq_lo + dq_p.astype(jnp.float32)
-            dkv_cur = dkv_cur + cat(
-                jnp.concatenate([dk_p, dv_p], -1).astype(jnp.float32),
-                jnp.zeros((b, hkv, c, 2 * d), jnp.float32))
+            dkv_cur = dkv_cur + cat(dkv(dk_p, dv_p), zero2)
             dq_p, dk_p, dv_p = bwd(q_hi, o_hi, do_hi, lse_hi, k_hi, v_hi,
-                                   True)
+                                   True, step, 2, sq_hi, sk_hi)
             dq_hi = dq_hi + dq_p.astype(jnp.float32)
-            dkv_cur = dkv_cur + cat(
-                jnp.zeros((b, hkv, c, 2 * d), jnp.float32),
-                jnp.concatenate([dk_p, dv_p], -1).astype(jnp.float32))
+            dkv_cur = dkv_cur + cat(zero2, dkv(dk_p, dv_p))
         else:
             def _lo(kv):
-                (kl, vl), (kh, vh) = kv
+                (kl, vl, skl), _ = kv
                 dq_p, dk_p, dv_p = bwd(q_lo, o_lo, do_lo, lse_lo, kl, vl,
-                                       False)
+                                       True, step, 1, sq_lo, skl,
+                                       pos_off=step * c)
                 return (
                     jnp.concatenate(
                         [dq_p.astype(jnp.float32),
                          jnp.zeros((b, hq, c, d), jnp.float32)], axis=2),
-                    cat(jnp.concatenate([dk_p, dv_p], -1).astype(jnp.float32),
-                        jnp.zeros((b, hkv, c, 2 * d), jnp.float32)),
+                    cat(dkv(dk_p, dv_p), zero2),
                 )
 
             def _hi(kv):
-                (kl, vl), (kh, vh) = kv
+                _, (kh, vh, skh) = kv
                 dq_p, dk_p, dv_p = bwd(q_hi, o_hi, do_hi, lse_hi, kh, vh,
-                                       False)
+                                       True, step, 2, sq_hi, skh,
+                                       pos_off=(n - step) * c)
                 return (
                     jnp.concatenate(
                         [jnp.zeros((b, hq, c, d), jnp.float32),
                          dq_p.astype(jnp.float32)], axis=2),
-                    cat(jnp.zeros((b, hkv, c, 2 * d), jnp.float32),
-                        jnp.concatenate([dk_p, dv_p], -1).astype(jnp.float32)),
+                    cat(zero2, dkv(dk_p, dv_p)),
                 )
 
             dq_f, dkv_f = lax.cond(step <= idx, _lo, _hi,
-                                   ((k_lo, v_lo), (k_hi, v_hi)))
+                                   ((k_lo, v_lo, sk_lo), (k_hi, v_hi, sk_hi)))
             dq_lo = dq_lo + dq_f[:, :, :c]
             dq_hi = dq_hi + dq_f[:, :, c:]
             dkv_cur = dkv_cur + dkv_f
 
         if step < n - 1:
-            k_cur, v_cur = k_nxt, v_nxt
+            if segmented:
+                k_cur, v_cur, segk_cur = nxt
+            else:
+                k_cur, v_cur = nxt
             (dkv_cur,) = _rotate([dkv_cur], axis_name, n)
 
     (dkv_cur,) = _rotate([dkv_cur], axis_name, n)
     dq = jnp.concatenate([dq_lo, dq_hi], axis=2).astype(q.dtype)
     dk = dkv_cur[..., :d].astype(k.dtype)
     dv = dkv_cur[..., d:].astype(v.dtype)
-    return dq, dk, dv
+    zeros = None
+    if segmented:
+        zeros = tuple(np.zeros(s.shape, dtype=jax.dtypes.float0)
+                      for s in segment_ids)
+    return (
+        dq, dk, dv,
+        (None if dropout_seed is None
+         else np.zeros(jnp.shape(dropout_seed), dtype=jax.dtypes.float0)),
+        None if alibi_slopes is None else jnp.zeros_like(alibi_slopes),
+        zeros,
+    )
 
 
-zigzag_ring_flash_attention.defvjp(_zz_fwd, _zz_bwd)
+_zz_core.defvjp(_zz_fwd, _zz_bwd)

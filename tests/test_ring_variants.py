@@ -121,6 +121,72 @@ def test_ring_segments():
         assert r.passed, f"{name}: {r}"
 
 
+# ---------------- zigzag (device-dependent offsets -> traced) ----------
+
+
+def zz_fn(mesh, **kw):
+    from flashattn_tpu.parallel import sharded_ring_attention
+
+    return lambda q, k, v: sharded_ring_attention(
+        q, k, v, mesh, is_causal=True, block_sizes=BS, mode="zigzag",
+        batch_axis=None, head_axis=None, **kw)
+
+
+@pytest.mark.parametrize("feat", ["window", "alibi", "softcap",
+                                  "window+alibi"])
+def test_zigzag_variants(feat):
+    # The (q_hi, k_lo) pair's global alignment is device-dependent: this
+    # exercises the kernels' TRACED pos-offset path (dyn_pos_offset).
+    mesh = make_mesh({"sp": 4})
+    kw = {"window": dict(window=300), "alibi": dict(alibi=True),
+          "softcap": dict(logit_softcap=30.0),
+          "window+alibi": dict(window=300, alibi=True)}[feat]
+    q, k, v, do = make_inputs(1, 2, 2, 1024, 64)
+    ours = zz_fn(mesh, **kw)
+    ref = lambda q, k, v: reference_attention(q, k, v, is_causal=True, **kw)
+    r = verify_results(ref(q, k, v), ours(q, k, v), atol=1e-5, rtol=1e-4)
+    assert r.passed, r
+    gl = lambda f: jax.grad(
+        lambda q, k, v: jnp.sum(f(q, k, v) * do), (0, 1, 2))(q, k, v)
+    for name, a, b in zip(("dQ", "dK", "dV"), gl(ref), gl(ours)):
+        r = verify_results(a, b, atol=5e-5, rtol=1e-3)
+        assert r.passed, f"{name}: {r}"
+
+
+def test_zigzag_segments():
+    mesh = make_mesh({"sp": 4})
+    s = 1024
+    q, k, v, do = make_inputs(1, 2, 2, s, 64)
+    bounds = [0, 200, 640, 1024]
+    seg = np.zeros((1, s), np.int32)
+    for i, (lo, hi) in enumerate(zip(bounds[:-1], bounds[1:])):
+        seg[:, lo:hi] = i
+    seg = jnp.asarray(seg)
+    ours = zz_fn(mesh, segment_ids=seg)
+    ref = lambda q, k, v: reference_attention(q, k, v, is_causal=True,
+                                              segment_ids=(seg, seg))
+    r = verify_results(ref(q, k, v), ours(q, k, v), atol=1e-5)
+    assert r.passed, r
+    gl = lambda f: jax.grad(
+        lambda q, k, v: jnp.sum(f(q, k, v) * do), (0, 1, 2))(q, k, v)
+    for name, a, b in zip(("dQ", "dK", "dV"), gl(ref), gl(ours)):
+        r = verify_results(a, b, atol=5e-5, rtol=1e-3)
+        assert r.passed, f"{name}: {r}"
+
+
+def test_zigzag_dropout_runs():
+    mesh = make_mesh({"sp": 2})
+    q, k, v, do = make_inputs(1, 2, 2, 512, 64)
+    f = zz_fn(mesh, dropout_rate=0.25, dropout_seed=3)
+    o1, o2 = f(q, k, v), f(q, k, v)
+    assert jnp.array_equal(o1, o2)
+    assert not jnp.array_equal(o1, zz_fn(mesh)(q, k, v))
+    g = jax.grad(lambda q, k, v: jnp.sum(f(q, k, v) * do), (0, 1, 2))(
+        q, k, v)
+    for t in g:
+        assert bool(jnp.all(jnp.isfinite(t)))
+
+
 def test_windowed_model_trains_on_dp_tp_sp_mesh():
     # VERDICT round-1 done-criterion: a Mistral-geometry (sliding-window)
     # model trains on a dp x tp x sp mesh and matches the unsharded oracle.
