@@ -30,6 +30,11 @@ class ModelConfig:
     # Mixture-of-Experts FFN (Mixtral-style); 0 = dense MLP.
     num_experts: int = 0
     top_k_experts: int = 2
+    # Expert-parallel dispatch: "a2a" = GShard all_to_all capacity dispatch
+    # (per-device FLOPs ∝ cf·k instead of E; over-capacity tokens dropped),
+    # "dense" = masked-dense (exact, E/k more compute). parallel/moe.py.
+    moe_dispatch: str = "a2a"
+    moe_capacity_factor: float = 2.0
     # Gemma-style attention logit soft-capping; None = off.
     logit_softcap: float | None = None
     # ALiBi position bias (BLOOM/MPT-style) — disables RoPE when True.
@@ -101,4 +106,7 @@ TINY_MOE = ModelConfig(
     max_seq_len=256,
     num_experts=4,
     top_k_experts=2,
+    # Generous capacity so the a2a dispatch is drop-free at test sizes and
+    # matches the dense oracle exactly.
+    moe_capacity_factor=8.0,
 )

@@ -353,19 +353,31 @@ def _mlp_block(layer, x, cfg, mesh=None):
     xn = rms_norm(x, layer["mlp_norm"], cfg.norm_eps)
     if "moe" in layer:  # Mixture-of-Experts FFN (cfg.num_experts > 0)
         from flashattn_tpu.parallel.moe import (
-            moe_ffn, moe_ffn_dense_reference)
+            moe_ffn, moe_ffn_a2a, moe_ffn_dense_reference)
 
         flat = xn.reshape(-1, xn.shape[-1])
         if mesh is not None and "ep" in mesh.axis_names and (
                 mesh.shape["ep"] > 1):
             specs = {"router": P(), "w_gate": P("ep"), "w_up": P("ep"),
                      "w_down": P("ep")}
-            out = jax.shard_map(
-                functools.partial(moe_ffn, axis_name="ep",
-                                  top_k=cfg.top_k_experts),
-                mesh=mesh, in_specs=(P(), specs), out_specs=P(),
-                check_vma=False,
-            )(flat, layer["moe"])
+            if cfg.moe_dispatch == "a2a" and (
+                    flat.shape[0] % mesh.shape["ep"] == 0):
+                # Tokens shard over ep; per-device FLOPs ∝ cf·k, not E.
+                out = jax.shard_map(
+                    functools.partial(
+                        moe_ffn_a2a, axis_name="ep",
+                        top_k=cfg.top_k_experts,
+                        capacity_factor=cfg.moe_capacity_factor),
+                    mesh=mesh, in_specs=(P("ep"), specs), out_specs=P("ep"),
+                    check_vma=False,
+                )(flat, layer["moe"])
+            else:
+                out = jax.shard_map(
+                    functools.partial(moe_ffn, axis_name="ep",
+                                      top_k=cfg.top_k_experts),
+                    mesh=mesh, in_specs=(P(), specs), out_specs=P(),
+                    check_vma=False,
+                )(flat, layer["moe"])
         else:
             out = moe_ffn_dense_reference(flat, layer["moe"],
                                           top_k=cfg.top_k_experts)

@@ -1,17 +1,26 @@
 """Expert parallelism: a Mixture-of-Experts FFN with experts sharded over an
 'ep' mesh axis (SURVEY.md T10's EP entry).
 
-v1 dispatch is **masked-dense**: every device runs ONLY its local experts,
-but over all tokens, masking by the router's assignment, and a single psum
-combines expert outputs. This is exact (no capacity factor, no token
-dropping) and genuinely expert-parallel — per-device compute is
-(E / n_ep) · tokens · mlp, so it scales with the axis — at the cost of an
-E/top_k compute overhead vs. a sort-based all_to_all dispatch (the
-documented optimization path; Gshard-style capacity dispatch trades
-exactness for it).
+Two dispatch implementations:
+
+- ``moe_ffn`` — **masked-dense**: every device runs ONLY its local experts,
+  but over all tokens, masking by the router's assignment, and a single psum
+  combines expert outputs. Exact (no capacity factor, no token dropping),
+  at an E/top_k compute overhead. Kept as the exactness oracle and the
+  small-scale fallback.
+- ``moe_ffn_a2a`` — **GShard-style all_to_all capacity dispatch**: tokens
+  are SHARDED over the ep axis; each device packs its tokens into fixed
+  [E, C, H] per-expert queues (C = capacity, static — XLA needs static
+  shapes, so over-capacity tokens are DROPPED, prioritized by router choice
+  rank), all_to_all ships every expert its global queue [e_local, n·C, H],
+  the expert MLPs run batched, and a second all_to_all + combine-weighted
+  sum returns outputs. Per-device FLOPs = cf·k·T_local·mlp — the full
+  E/(k·cf) factor below masked-dense. With capacity high enough for zero
+  drops the result is EXACT (pinned against masked-dense in tests).
 
 Router: top-k softmax gates, renormalized over the selected experts
-(Switch/Mixtral convention).
+(Switch/Mixtral convention). ``router_aux_loss`` is the Switch
+load-balancing loss for training the router toward uniform dispatch.
 """
 
 from __future__ import annotations
@@ -78,6 +87,86 @@ def moe_ffn(
                     params["w_down"][j])
         acc = acc + y.astype(jnp.float32) * weight[:, None]
     return lax.psum(acc, axis_name).astype(x.dtype)
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def moe_ffn_a2a(
+    x: jnp.ndarray,  # [T_local, H] tokens SHARDED over the ep axis
+    params,  # router replicated; expert leaves are the LOCAL [E/n, ...] shard
+    axis_name: str,
+    top_k: int = 2,
+    capacity_factor: float = 2.0,
+    capacity: int | None = None,
+) -> jnp.ndarray:
+    """GShard-style all_to_all expert dispatch; call INSIDE shard_map with
+    tokens sharded over `axis_name` (see module docstring).
+
+    capacity: per-(expert, source-device) queue length; default
+    ceil(cf · k · T_local / E) rounded up to a sublane multiple. Tokens
+    routed past an expert's capacity are dropped (their gate weight simply
+    contributes nothing), prioritized by router choice rank — the classic
+    capacity/exactness trade the masked-dense path avoids.
+    """
+    n = lax.axis_size(axis_name)
+    e = params["router"].shape[1]
+    e_local = params["w_gate"].shape[0]
+    assert e_local * n == e, (e_local, n, e)
+    t_l, h = x.shape
+    if capacity is None:
+        capacity = _round_up(
+            max(1, int(-(-capacity_factor * top_k * t_l // e))), 8)
+
+    expert_ids, gates = router_gates(x, params["router"], top_k)  # [T, k]
+
+    # Queue slot assignment, choice-major priority (all rank-0 choices claim
+    # slots before any rank-1 choice, GShard-style).
+    m = jax.nn.one_hot(expert_ids, e, dtype=jnp.int32)  # [T, k, E]
+    m_cm = m.transpose(1, 0, 2).reshape(top_k * t_l, e)  # choice-major
+    pos_all = jnp.cumsum(m_cm, axis=0) - m_cm  # [kT, E]
+    pos = jnp.sum(pos_all * m_cm, axis=1)  # [kT] slot within chosen expert
+    keep = pos < capacity
+    slot_oh = jax.nn.one_hot(pos, capacity, dtype=jnp.float32)
+    slot_oh = slot_oh * keep[:, None].astype(jnp.float32)  # [kT, C]
+    disp = m_cm.astype(jnp.float32)[:, :, None] * slot_oh[:, None, :]
+    gates_cm = gates.T.reshape(top_k * t_l)
+    disp_t = disp.reshape(top_k, t_l, e, capacity).sum(0)  # [T, E, C] 0/1
+    comb_t = (disp * gates_cm[:, None, None]).reshape(
+        top_k, t_l, e, capacity).sum(0)  # [T, E, C] gate weights
+
+    # Pack per-expert queues and ship each expert its global queue.
+    expert_in = jnp.einsum(
+        "tec,th->ech", disp_t.astype(x.dtype), x)  # [E, C, H]
+    ein = lax.all_to_all(expert_in, axis_name, split_axis=0, concat_axis=1,
+                         tiled=True)  # [e_local, n*C, H]
+
+    g = jnp.einsum("ech,ehf->ecf", ein, params["w_gate"])
+    u = jnp.einsum("ech,ehf->ecf", ein, params["w_up"])
+    act = jax.nn.silu(g.astype(jnp.float32)).astype(x.dtype) * u
+    y = jnp.einsum("ecf,efh->ech", act, params["w_down"])
+
+    yout = lax.all_to_all(y, axis_name, split_axis=1, concat_axis=0,
+                          tiled=True)  # [E, C, H] back at the token owner
+    out = jnp.einsum("tec,ech->th", comb_t, yout.astype(jnp.float32))
+    return out.astype(x.dtype)
+
+
+def router_aux_loss(x: jnp.ndarray, router_w: jnp.ndarray,
+                    top_k: int = 2) -> jnp.ndarray:
+    """Switch-Transformer load-balancing loss: E · Σ_e f_e · p_e, where f_e
+    is the fraction of tokens whose TOP choice is e and p_e the mean router
+    probability of e. Minimized (=1) at uniform dispatch; add
+    coef·aux (coef ~0.01) to the training loss when using capacity dispatch
+    so drops stay rare."""
+    e = router_w.shape[1]
+    logits = jnp.dot(x.astype(jnp.float32), router_w.astype(jnp.float32))
+    probs = jax.nn.softmax(logits, axis=-1)  # [T, E]
+    top1 = jnp.argmax(logits, axis=-1)
+    f = jnp.mean(jax.nn.one_hot(top1, e, dtype=jnp.float32), axis=0)
+    p = jnp.mean(probs, axis=0)
+    return e * jnp.sum(f * p)
 
 
 def moe_ffn_dense_reference(x, params, top_k: int = 2):
