@@ -437,6 +437,7 @@ def pipeline_forward(
     num_microbatches: int,
     pp_axis: str = "pp",
     block_sizes=None,
+    remat: bool = False,
 ) -> jnp.ndarray:
     """Training forward with the LAYER STACK pipelined over `pp_axis`
     (SURVEY.md T10; parallel/pipeline.py). Embedding and head are cheap and
@@ -465,7 +466,7 @@ def pipeline_forward(
 
     def body(stage_stacked, x_mbs):
         stage = unstack_stage_params(stage_stacked)
-        return pipeline_apply(stage_fn, stage, x_mbs, pp_axis)
+        return pipeline_apply(stage_fn, stage, x_mbs, pp_axis, remat=remat)
 
     from jax.sharding import PartitionSpec as P
 
@@ -507,9 +508,10 @@ def stack_pipeline_params(params: Params, n_stages: int) -> Params:
 
 
 def pipeline_loss_fn(params, tokens, cfg, mesh, num_microbatches,
-                     block_sizes=None):
+                     block_sizes=None, remat=False):
     logits = pipeline_forward(params, tokens[:, :-1], cfg, mesh,
-                              num_microbatches, block_sizes=block_sizes)
+                              num_microbatches, block_sizes=block_sizes,
+                              remat=remat)
     targets = tokens[:, 1:]
     logz = jax.scipy.special.logsumexp(logits, axis=-1)
     gold = jnp.take_along_axis(logits, targets[..., None], axis=-1)[..., 0]

@@ -83,3 +83,22 @@ def test_pipeline_with_data_axis():
     piped = llama.pipeline_forward(stacked, tokens, CFG, mesh, 4)
     np.testing.assert_allclose(np.asarray(piped), np.asarray(plain),
                                rtol=2e-4, atol=2e-4)
+
+
+def test_pipeline_remat_grads_identical():
+    # remat=True must change memory behavior only: bitwise-equal grads to
+    # the non-remat pipeline (jax.checkpoint recomputes the same ops).
+    n_pp, n_mb = 2, 2
+    mesh = make_mesh({"pp": n_pp})
+    params = llama.init_params(CFG, jax.random.PRNGKey(0))
+    tokens = jax.random.randint(jax.random.PRNGKey(5), (4, 17), 0,
+                                CFG.vocab_size, jnp.int32)
+    loss = lambda p, r: llama.pipeline_loss_fn(
+        llama.stack_pipeline_params(p, n_pp), tokens, CFG, mesh, n_mb,
+        remat=r)
+    g0 = jax.grad(lambda p: loss(p, False))(params)
+    g1 = jax.grad(lambda p: loss(p, True))(params)
+    for a, b in zip(jax.tree_util.tree_leaves(g0),
+                    jax.tree_util.tree_leaves(g1)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=1e-6, atol=1e-6)
