@@ -17,11 +17,14 @@ Rules encoded here (How-to-Scale-Your-Model recipe):
 
 from __future__ import annotations
 
+import logging
 import os
 
 import jax
 import numpy as np
 from jax.sharding import Mesh
+
+logger = logging.getLogger(__name__)
 
 
 def initialize_distributed(
@@ -36,13 +39,24 @@ def initialize_distributed(
     JAX_NUM_PROCESSES / JAX_PROCESS_ID).
     """
     explicit = coordinator_address or os.environ.get("JAX_COORDINATOR_ADDRESS")
-    if jax.process_count() > 1:
+    # NOTE: jax.process_count() would force XLA backend init, which must not
+    # happen before jax.distributed.initialize — probe the runtime state.
+    if jax.distributed.is_initialized():
         return  # already initialized
     if explicit is None and num_processes is None:
         try:
             jax.distributed.initialize()  # TPU-pod autodetection
-        except Exception:
-            pass  # single-process run — nothing to wire
+        except Exception as e:
+            # Autodetection fails on single-process / non-pod runs — that is
+            # the normal local path, but say so: a REAL pod misconfiguration
+            # (bad metadata, firewalled coordinator) lands here too, and a
+            # silent fallback would train single-host at 1/N throughput.
+            logger.info(
+                "jax.distributed.initialize() autodetection unavailable "
+                "(%s: %s) — continuing single-process. If this IS a "
+                "multi-host run, pass coordinator_address/num_processes/"
+                "process_id or set JAX_COORDINATOR_ADDRESS.",
+                type(e).__name__, e)
         return
     jax.distributed.initialize(
         coordinator_address=explicit,
