@@ -18,6 +18,7 @@ the packed-training side, this covers decode.
 from __future__ import annotations
 
 import dataclasses
+import time
 from collections import deque
 from typing import Any
 
@@ -113,6 +114,12 @@ class InferenceServer:
         self.page_size = page_size
         self.admit_chunk = admit_chunk
         self._rng = jax.random.PRNGKey(seed)
+        # Phase timing (stats()): wall seconds per step phase, so scheduler
+        # overhead (admission + host sampling/readback) is measurable
+        # against the decode dispatch instead of hiding in tok/s.
+        self._timing = {"steps": 0, "decode_s": 0.0, "admit_s": 0.0,
+                        "host_s": 0.0, "decoded_tokens": 0}
+        self._device_step_s: float | None = None
         self.return_logprobs = return_logprobs
         self.finished_logprobs: dict[int, list[float]] = {}
         # slot -> [req, next_prompt_pos] while its prompt streams in chunks
@@ -441,6 +448,7 @@ class InferenceServer:
     def step(self) -> None:
         """Admit queued requests, stream at most one prompt chunk, then
         advance every decodable slot one token."""
+        t0 = time.perf_counter()
         self._admit()
         if self._admitting:
             # Round-robin across streaming slots: process the front, then
@@ -452,6 +460,8 @@ class InferenceServer:
                 self._admitting[s] = self._admitting.pop(s)
         active = [not s.free and i not in self._admitting
                   for i, s in enumerate(self.slots)]
+        t1 = time.perf_counter()
+        self._timing["admit_s"] += t1 - t0
         if not any(active):
             return
         positions = jnp.asarray([s.position for s in self.slots], jnp.int32)
@@ -459,6 +469,8 @@ class InferenceServer:
             self.params, self.tokens, positions, self.caches, self.cfg,
             active=jnp.asarray(active))
         nxt = jax.device_get(jnp.argmax(logits, axis=-1).astype(jnp.int32))
+        t2 = time.perf_counter()  # first sync: decode phase complete
+        self._timing["decode_s"] += t2 - t1
         live = [s for s, slot in enumerate(self.slots)
                 if not slot.free and s not in self._admitting]
         # Mid-admission placeholders hold no decodable state: their logits
@@ -508,6 +520,31 @@ class InferenceServer:
             if slot.remaining <= 0 or (slot.eos is not None
                                        and tok == slot.eos):
                 self._finish(s)
+        self._timing["host_s"] += time.perf_counter() - t2
+        self._timing["steps"] += 1
+        self._timing["decoded_tokens"] += len(live)
+
+    def calibrate_device_step(self, iters: int = 100) -> float:
+        """Measure the PURE decode-step device time with an on-device scan
+        loop (one dispatch of `iters` chained steps — per-step relay/host
+        overhead excluded; see utils.timing.measure_looped). Stored and
+        reported by stats() as device_step_ms, giving the device-side
+        tokens/s bound the scheduler overhead is measured against."""
+        from flashattn_tpu.utils.timing import measure_looped
+
+        b = len(self.slots)
+        positions = jnp.asarray(
+            [max(s.position, 1) if not s.free else 1 for s in self.slots],
+            jnp.int32)
+        act = jnp.ones((b,), bool)
+
+        def fn(tokens):
+            return generate.decode_step(self.params, tokens, positions,
+                                        self.caches, self.cfg,
+                                        active=act)[0]
+
+        self._device_step_s = measure_looped(fn, self.tokens, iters=iters)
+        return self._device_step_s
 
     def run(self) -> dict[int, list[int]]:
         """Drain queue + slots; returns {uid: generated tokens}."""
@@ -571,4 +608,23 @@ class InferenceServer:
                 page_utilization=round(
                     1 - self.allocator.free_pages / total, 3),
             )
+        t = self._timing
+        if t["steps"]:
+            wall = t["decode_s"] + t["admit_s"] + t["host_s"]
+            st.update(
+                steps=t["steps"],
+                decode_ms_avg=round(1e3 * t["decode_s"] / t["steps"], 3),
+                admit_ms_avg=round(1e3 * t["admit_s"] / t["steps"], 3),
+                host_ms_avg=round(1e3 * t["host_s"] / t["steps"], 3),
+                # Fraction of step wall NOT spent in the decode dispatch —
+                # the scheduler/host overhead the device-side bound exposes.
+                sched_overhead_frac=round(
+                    (t["admit_s"] + t["host_s"]) / max(wall, 1e-9), 3),
+                wall_tokens_per_s=round(
+                    t["decoded_tokens"] / max(wall, 1e-9), 1),
+            )
+        if self._device_step_s:
+            st["device_step_ms"] = round(1e3 * self._device_step_s, 4)
+            st["device_tokens_per_s_bound"] = round(
+                len(self.slots) / self._device_step_s, 1)
         return st

@@ -325,3 +325,21 @@ def test_unknown_prefix_id_rejected_at_submit():
     with pytest.raises(AssertionError, match="unknown prefix_id"):
         srv.submit(Request(uid=1, prompt=[1], max_new_tokens=2,
                            prefix_id=99))
+
+
+def test_step_timing_and_device_calibration():
+    # Observability: phase timers populate after steps, and the on-device
+    # calibration yields a positive device_step_ms + tokens/s bound.
+    params = make_params()
+    server = InferenceServer(params, CFG, max_slots=2, max_len=512)
+    server.submit(Request(uid=0, prompt=[5, 9, 3], max_new_tokens=4))
+    server.run()
+    st = server.stats()
+    assert st["steps"] > 0
+    assert st["decode_ms_avg"] > 0 and st["wall_tokens_per_s"] > 0
+    assert 0.0 <= st["sched_overhead_frac"] <= 1.0
+    t = server.calibrate_device_step(iters=8)
+    assert t > 0
+    st = server.stats()
+    assert st["device_step_ms"] > 0
+    assert st["device_tokens_per_s_bound"] > 0
