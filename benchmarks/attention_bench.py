@@ -136,6 +136,9 @@ def main():
                     "tflops": round(tf, 2),
                     "sol_frac": round(roof.sol_seconds / (ms / 1e3), 3)
                     if mode != "fwd_bwd" else None,
+                    # Effective MXU peak fraction (D-depth penalty) the
+                    # sol_frac ceiling already accounts for.
+                    "mxu_frac": roof.mxu_frac,
                 }
                 results.append(rec)
                 print(json.dumps(rec))
