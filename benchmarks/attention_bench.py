@@ -107,6 +107,9 @@ def main():
     ap.add_argument("--providers", default="flash,xla")
     ap.add_argument("--modes", default="fwd,fwd_bwd")
     ap.add_argument("--causal", type=int, default=1)
+    ap.add_argument("--autotune", action="store_true",
+                    help="sweep tile configs per shape before measuring "
+                         "(winners persist in the autotune cache)")
     args = ap.parse_args()
 
     chip = detect_chip()
@@ -118,6 +121,16 @@ def main():
     causal = bool(args.causal)
     results = []
     for s in seqs:
+        tuned = None
+        if args.autotune:
+            from flashattn_tpu.ops.autotune import autotune
+
+            keys = jax.random.split(jax.random.PRNGKey(0), 3)
+            qa = jax.random.normal(keys[0], (b, h, s, d), jnp.bfloat16)
+            ka = jax.random.normal(keys[1], (b, h, s, d), jnp.bfloat16)
+            va = jax.random.normal(keys[2], (b, h, s, d), jnp.bfloat16)
+            tuned = autotune(qa, ka, va, is_causal=causal, verbose=True)
+            print(f"# tuned S={s}: {tuned}", file=sys.stderr)
         for provider in args.providers.split(","):
             for mode in args.modes.split(","):
                 ms, tf = benchmark_attention(
@@ -125,6 +138,7 @@ def main():
                     is_causal=causal,
                     warmup=3 if args.quick else 10,
                     repeat=10 if args.quick else 30,
+                    block_sizes=tuned if provider == "flash" else None,
                 )
                 roof = (attention_fwd_roofline if mode == "fwd"
                         else attention_bwd_roofline)(

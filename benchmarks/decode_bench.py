@@ -47,10 +47,26 @@ def kernel_sweep(args):
             cache = update_cache(cache, k_new, v_new)
             q = jax.random.normal(jax.random.PRNGKey(2), (b, hq, d),
                                   jnp.bfloat16)
-            # Sub-millisecond kernels: chain on device (one dispatch) so the
-            # relay's per-dispatch overlap can't under-measure.
-            sec = measure_looped(decode_attention, q, cache,
-                                 iters=max(8, int(2e8 // (s * b))))
+            iters = max(8, int(2e8 // (s * b)))
+            best_bkv, best_sec = None, float("inf")
+            if args.tune_block_kv:
+                # Per-(dtype, S) block_kv sweep instead of the static
+                # per-dtype default (VERDICT r1 weak #5): the winner is
+                # reported in the record for the defaults table.
+                cands = [bk for bk in (1024, 2048, 4096, 8192) if bk <= s]
+                for bk in cands:
+                    sec_c = measure_looped(
+                        lambda q, c: decode_attention(q, c, block_kv=bk),
+                        q, cache, iters=iters)
+                    print(f"#   S={s} {quant or 'bf16'} block_kv={bk}: "
+                          f"{sec_c*1e6:.1f} us", file=sys.stderr)
+                    if sec_c < best_sec:
+                        best_bkv, best_sec = bk, sec_c
+                sec = best_sec
+            else:
+                # Sub-millisecond kernels: chain on device (one dispatch) so
+                # the relay's per-dispatch overlap can't under-measure.
+                sec = measure_looped(decode_attention, q, cache, iters=iters)
             gbs = cache_bytes(b, hkv, s, d, quant) / sec / 1e9
             rec = {
                 "bench": "decode_kernel", "B": b, "Hq": hq, "Hkv": hkv,
@@ -59,6 +75,8 @@ def kernel_sweep(args):
                 "hbm_gbps": round(gbs, 1),
                 "hbm_frac": round(gbs / chip.hbm_gbps, 3),
             }
+            if best_bkv is not None:
+                rec["block_kv"] = best_bkv
             results.append(rec)
             print(json.dumps(rec))
     return results
@@ -115,6 +133,9 @@ def main():
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--wbits", type=int, default=8, choices=[4, 8],
                     help="weight-only quantization bits for --model 8b")
+    ap.add_argument("--tune-block-kv", action="store_true",
+                    help="sweep decode block_kv per (dtype, S) instead of "
+                         "the static per-dtype default")
     args = ap.parse_args()
     chip = detect_chip()
     print(f"# chip {chip.name}: {chip.hbm_gbps} GB/s HBM peak",

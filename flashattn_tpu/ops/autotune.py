@@ -29,6 +29,10 @@ FWD_CONFIGS = [(1024, 1024), (2048, 2048), (4096, 1024), (4096, 2048),
                (1024, 2048), (2048, 1024), (512, 1024)]
 BWD_CONFIGS = [(1024, 1024), (2048, 2048), (2048, 1024), (1024, 2048),
                (4096, 2048), (512, 1024)]
+# Fused one-kernel backward: resident dK/dV accumulators dominate VMEM, so
+# its candidate score tiles are a separate (smaller-leaning) list.
+FUSED_CONFIGS = [(1024, 1024), (2048, 1024), (1024, 2048), (512, 1024),
+                 (2048, 2048)]
 
 _CACHE_ENV = "FLASHATTN_TPU_AUTOTUNE_CACHE"
 _DEFAULT_CACHE = pathlib.Path.home() / ".cache" / "flashattn_tpu" / "autotune.json"
@@ -103,19 +107,27 @@ def autotune(
     key = _key(b, hq, hkv, s_q, s_k, d, is_causal, q.dtype)
     cache = _load_cache()
     if key in cache:
-        return BlockSizes(**cache[key])
+        return _to_block_sizes(cache[key])
 
     def fits(bq, bkv):
         # S-tile (f32) + P copy + operands, double buffered; keep under limit.
         vmem = (bq * bkv * 4 * 2) + 2 * (bq + bkv) * d * 4
-        return vmem < 80 * 1024 * 1024 and bq <= round_up(s_q, 128) * 2 and (
-            bkv <= round_up(s_k, 128) * 2
-        )
+        return vmem < 80 * 1024 * 1024
+
+    def clamp_dedupe(configs):
+        # Tiny problems clamp every candidate to the padded size — sweep the
+        # distinct survivors only (each trial costs an XLA compile).
+        seen, out = set(), []
+        cap_q, cap_kv = round_up(s_q, 128), round_up(s_k, 128)
+        for bq, bkv in configs:
+            c = (min(bq, cap_q), min(bkv, cap_kv))
+            if fits(*c) and c not in seen:
+                seen.add(c)
+                out.append(c)
+        return out
 
     best_fwd, best_fwd_t = None, float("inf")
-    for bq, bkv in FWD_CONFIGS:
-        if not fits(bq, bkv):
-            continue
+    for bq, bkv in clamp_dedupe(FWD_CONFIGS):
         bs = BlockSizes(block_q=bq, block_kv=bkv)
         try:
             t = measure(
@@ -143,36 +155,82 @@ def autotune(
             block_sizes=BlockSizes(block_q=best_fwd[0], block_kv=best_fwd[1]),
         )
         do = q  # any same-shaped array works for timing
-        best_bwd, best_bwd_t = None, float("inf")
-        for bq, bkv in BWD_CONFIGS:
-            if not fits(bq, bkv):
-                continue
-            bs = BlockSizes(
-                block_q_dq=bq, block_kv_dq=bkv,
-                block_q_dkv=bq, block_kv_dkv=bkv,
+
+        def time_bwd(bs, impl):
+            return measure(
+                lambda *a: flash_attention_backward(
+                    *a, is_causal=is_causal, scale=scale, block_sizes=bs,
+                    impl=impl,
+                ),
+                q, k, v, o, do, lse, warmup=2, n1=3, n2=10,
             )
-            try:
-                t = measure(
-                    lambda *a: flash_attention_backward(
-                        *a, is_causal=is_causal, scale=scale, block_sizes=bs
-                    ),
-                    q, k, v, o, do, lse, warmup=2, n1=3, n2=10,
-                )
-            except Exception:
-                continue
-            if verbose:
-                print(f"[autotune bwd] bq={bq} bkv={bkv}: {t*1e3:.3f} ms")
-            if t < best_bwd_t:
-                best_bwd, best_bwd_t = (bq, bkv), t
-        assert best_bwd is not None, "no backward config compiled"
+
+        def sweep(configs, make_bs, impl, label):
+            best, best_t = None, float("inf")
+            for bq, bkv in clamp_dedupe(configs):
+                try:
+                    t = time_bwd(make_bs(bq, bkv), impl)
+                except Exception:
+                    continue
+                if verbose:
+                    print(f"[autotune {label}] bq={bq} bkv={bkv}: "
+                          f"{t*1e3:.3f} ms")
+                if t < best_t:
+                    best, best_t = (bq, bkv), t
+            return best, best_t
+
+        # The dQ and dKV kernels have different pressure profiles (reference
+        # tunes its three kernels independently, :148-162 vs :275-289):
+        # sweep dQ with dKV pinned, then dKV with the dQ winner pinned.
+        pin = BlockSizes()
+        best_dq, t_dq = sweep(
+            BWD_CONFIGS,
+            lambda bq, bkv: dataclasses.replace(
+                pin, block_q_dq=bq, block_kv_dq=bkv),
+            "split", "bwd dQ")
+        assert best_dq is not None, "no dQ config compiled"
+        best_dkv, t_dkv = sweep(
+            BWD_CONFIGS,
+            lambda bq, bkv: dataclasses.replace(
+                pin, block_q_dq=best_dq[0], block_kv_dq=best_dq[1],
+                block_q_dkv=bq, block_kv_dkv=bkv),
+            "split", "bwd dKV")
+        assert best_dkv is not None, "no dKV config compiled"
+        split_t = t_dkv  # full split backward at both winners
+
+        best_fused, fused_t = sweep(
+            FUSED_CONFIGS,
+            lambda bq, bkv: dataclasses.replace(
+                pin, block_q_fused=bq, block_kv_fused=bkv),
+            "fused", "bwd fused")
+
         result.update(
-            block_q_dq=best_bwd[0], block_kv_dq=best_bwd[1],
-            block_q_dkv=best_bwd[0], block_kv_dkv=best_bwd[1],
+            block_q_dq=best_dq[0], block_kv_dq=best_dq[1],
+            block_q_dkv=best_dkv[0], block_kv_dkv=best_dkv[1],
         )
+        if best_fused is not None:
+            result.update(block_q_fused=best_fused[0],
+                          block_kv_fused=best_fused[1])
+        # Which implementation won (informational; flash_attention_backward's
+        # impl='auto' picks fused whenever its accumulators fit VMEM).
+        result["bwd_impl"] = (
+            "fused" if best_fused is not None and fused_t <= split_t
+            else "split")
+        if verbose:
+            print(f"[autotune] split {split_t*1e3:.3f} ms "
+                  f"(dq={best_dq}, dkv={best_dkv}) vs fused "
+                  f"{(fused_t*1e3 if best_fused else float('nan')):.3f} ms "
+                  f"-> {result['bwd_impl']}")
 
     cache[key] = result
     try:
         _save_cache()
     except Exception:
         pass
-    return BlockSizes(**{**dataclasses.asdict(BlockSizes()), **result})
+    return _to_block_sizes(result)
+
+
+def _to_block_sizes(entry: dict) -> BlockSizes:
+    fields = {f.name for f in dataclasses.fields(BlockSizes)}
+    return BlockSizes(**{**dataclasses.asdict(BlockSizes()),
+                         **{k: v for k, v in entry.items() if k in fields}})

@@ -1,0 +1,84 @@
+"""Autotuner tests (ops/autotune.py) — the reference analogue is
+@triton.autotune with key=['S_q','S_k','D','is_causal']
+(``code/_flash_attention_kernel_optimized.py:18-32``); ours adds a
+persistent cache (XLA compiles cost seconds) and independent dQ/dKV/fused
+winners. Runs in interpret mode on CPU with tiny shapes — timings are
+meaningless there, but the sweep/caching/selection machinery is identical.
+"""
+
+import dataclasses
+import json
+
+import jax
+import jax.numpy as jnp
+import pytest
+
+from flashattn_tpu.ops import autotune as at
+from flashattn_tpu.ops.common import BlockSizes
+
+
+@pytest.fixture
+def tmp_cache(tmp_path, monkeypatch):
+    path = tmp_path / "autotune.json"
+    monkeypatch.setenv(at._CACHE_ENV, str(path))
+    at._memory_cache.clear()
+    yield path
+    at._memory_cache.clear()
+
+
+def small_qkv(s=128, d=64):
+    ks = jax.random.split(jax.random.PRNGKey(0), 3)
+    return tuple(jax.random.normal(k, (1, 2, s, d)) for k in ks)
+
+
+def test_default_block_sizes_table():
+    # Causal keeps the 1024^2 default (sharper wavefront pruning); long
+    # non-causal upgrades to 2048^2 (measured v5e defaults).
+    assert at.default_block_sizes(16384, 16384, 128, True) == BlockSizes()
+    bs = at.default_block_sizes(16384, 16384, 128, False)
+    assert bs.block_q == 2048 and bs.block_kv == 2048
+    assert at.default_block_sizes(512, 512, 128, False) == BlockSizes()
+
+
+def test_autotune_returns_valid_blocks_and_caches(tmp_cache):
+    q, k, v = small_qkv()
+    bs = at.autotune(q, k, v, is_causal=True)
+    assert isinstance(bs, BlockSizes)
+    for f in dataclasses.fields(BlockSizes):
+        assert getattr(bs, f.name) >= 128
+    # Persisted: one entry with the independent dQ/dKV winners + impl.
+    data = json.loads(tmp_cache.read_text())
+    assert len(data) == 1
+    entry = next(iter(data.values()))
+    assert {"block_q", "block_kv", "block_q_dq", "block_kv_dq",
+            "block_q_dkv", "block_kv_dkv", "bwd_impl"} <= set(entry)
+    assert entry["bwd_impl"] in ("fused", "split")
+
+
+def test_autotune_cache_hit_skips_measurement(tmp_cache, monkeypatch):
+    q, k, v = small_qkv()
+    bs1 = at.autotune(q, k, v, is_causal=False)
+
+    def boom(*a, **kw):
+        raise AssertionError("measure called on a cache hit")
+
+    import flashattn_tpu.utils.timing as timing
+
+    monkeypatch.setattr(timing, "measure", boom)
+    bs2 = at.autotune(q, k, v, is_causal=False)
+    assert bs1 == bs2
+
+
+def test_autotune_key_separates_shapes_and_causality(tmp_cache):
+    q, k, v = small_qkv()
+    at.autotune(q, k, v, is_causal=True, tune_backward=False)
+    at.autotune(q, k, v, is_causal=False, tune_backward=False)
+    q2, k2, v2 = small_qkv(s=256)
+    at.autotune(q2, k2, v2, is_causal=True, tune_backward=False)
+    assert len(json.loads(tmp_cache.read_text())) == 3
+
+
+def test_to_block_sizes_ignores_extra_keys():
+    bs = at._to_block_sizes({"block_q": 512, "bwd_impl": "fused",
+                             "some_future_field": 1})
+    assert bs.block_q == 512 and bs.block_kv == BlockSizes().block_kv
