@@ -88,12 +88,10 @@ def sharded_ring_attention(
             block_sizes=block_sizes, interpret=interpret, **variant_kw,
         )
     elif mode == "ulysses":
-        assert dropout_rate == 0.0 and segment_ids is None, (
-            "dropout/segments not wired for ulysses; use ring/zigzag")
         inner = functools.partial(
             ulysses_flash_attention, axis_name=seq_axis, is_causal=is_causal,
             scale=scale, block_sizes=block_sizes, interpret=interpret,
-            window=window, logit_softcap=logit_softcap, alibi=alibi,
+            **variant_kw,
         )
     else:
         inner = functools.partial(

@@ -34,13 +34,19 @@ def ulysses_flash_attention(
     logit_softcap: float | None = None,
     alibi: bool = False,
     alibi_slopes: jnp.ndarray | None = None,  # GLOBAL (Hq,) table
+    dropout_rate: float = 0.0,
+    dropout_seed=None,
+    segment_ids=None,  # (seg_q [B,S/n], seg_k [B,S/n]) local shards
 ) -> jnp.ndarray:
     """Sequence-parallel attention via head all-to-all; call INSIDE shard_map.
 
     Because each device runs FULL-sequence attention over a head slice, the
     attention variants compose with no cross-device logic: window/softcap
-    apply locally, and ALiBi takes the GLOBAL slope table (replicated) and
-    slices the local heads' entries after the all-to-all.
+    apply locally, ALiBi takes the GLOBAL slope table (replicated) and
+    slices the local heads' entries after the all-to-all, packed-segment
+    ids all-gather to the full sequence (tiny int32 arrays), and dropout
+    folds the device index into the counter seed so head shards draw
+    decorrelated masks (the in-kernel head index is shard-local).
 
     Args:
       q: [B, Hq, S/n, D] local shard (sequence partitioned over `axis_name`);
@@ -91,12 +97,35 @@ def ulysses_flash_attention(
         local_slopes = lax.dynamic_slice_in_dim(
             table, lax.axis_index(axis_name) * (hq // n), hq // n)
 
-    o_h = flash_attention(
-        q_h, k_h, v_h, is_causal=is_causal, scale=scale,
-        block_sizes=block_sizes, interpret=interpret,
-        window=window, logit_softcap=logit_softcap,
-        alibi=alibi, alibi_slopes=local_slopes,
-    )
+    seed = None
+    if dropout_rate > 0.0:
+        assert dropout_seed is not None, "dropout needs dropout_seed"
+        from flashattn_tpu.parallel.ring import _fold_seed
+
+        seed = _fold_seed(jnp.asarray(dropout_seed, jnp.int32),
+                          lax.axis_index(axis_name), 0)
+    if segment_ids is not None:
+        seg_q, seg_k = segment_ids
+        seg_qf = lax.all_gather(seg_q, axis_name, axis=1, tiled=True)
+        seg_kf = lax.all_gather(seg_k, axis_name, axis=1, tiled=True)
+        from flashattn_tpu.ops.varlen import flash_attention_varlen
+
+        assert dropout_rate == 0.0, "segments + dropout: not wired"
+        o_h = flash_attention_varlen(
+            q_h, k_h, v_h, segment_ids=(seg_qf, seg_kf),
+            is_causal=is_causal, scale=scale, block_sizes=block_sizes,
+            interpret=interpret, window=window,
+            logit_softcap=logit_softcap, alibi=alibi,
+            alibi_slopes=local_slopes,
+        )
+    else:
+        o_h = flash_attention(
+            q_h, k_h, v_h, is_causal=is_causal, scale=scale,
+            block_sizes=block_sizes, interpret=interpret,
+            window=window, logit_softcap=logit_softcap,
+            alibi=alibi, alibi_slopes=local_slopes,
+            dropout_rate=dropout_rate, dropout_seed=seed,
+        )
 
     # [B, H/n, S, D] -> [B, H, S/n, D]
     return lax.all_to_all(o_h, axis_name, split_axis=2, concat_axis=1,

@@ -285,3 +285,35 @@ def test_ring_dropout_deterministic_and_consistent():
         q, k, v)
     for t in g:
         assert bool(jnp.all(jnp.isfinite(t)))
+
+
+# ---------------- ulysses variant completion ----------------
+
+
+def test_ulysses_segments_and_dropout():
+    from flashattn_tpu.parallel import sharded_ring_attention
+
+    mesh = make_mesh({"sp": 2})
+    s = 512
+    q, k, v, do = make_inputs(1, 4, 4, s, 64)
+    seg = jnp.asarray(np.repeat(np.arange(4), s // 4))[None]
+    uly = lambda **kw: (lambda q, k, v: sharded_ring_attention(
+        q, k, v, mesh, is_causal=True, block_sizes=BS, mode="ulysses",
+        batch_axis=None, head_axis=None, **kw))
+    ref = lambda q, k, v: reference_attention(
+        q, k, v, is_causal=True, segment_ids=(seg, seg))
+    ours = uly(segment_ids=seg)
+    r = verify_results(ref(q, k, v), ours(q, k, v), atol=1e-5)
+    assert r.passed, r
+    gl = lambda f: jax.grad(
+        lambda q, k, v: jnp.sum(f(q, k, v) * do), (0, 1, 2))(q, k, v)
+    for name, a, b in zip(("dQ", "dK", "dV"), gl(ref), gl(ours)):
+        r = verify_results(a, b, atol=5e-5, rtol=1e-3)
+        assert r.passed, f"{name}: {r}"
+    # Dropout: deterministic in the seed, sensitive to it, finite grads.
+    f = uly(dropout_rate=0.25, dropout_seed=3)
+    assert jnp.array_equal(f(q, k, v), f(q, k, v))
+    assert not jnp.array_equal(f(q, k, v), uly()(q, k, v))
+    for t in jax.grad(lambda q, k, v: jnp.sum(f(q, k, v) * do),
+                      (0, 1, 2))(q, k, v):
+        assert bool(jnp.all(jnp.isfinite(t)))
