@@ -45,6 +45,25 @@ class ModelConfig:
     attn_sink: int = 0
     # Qwen2-style additive biases on the q/k/v projections.
     attn_bias: bool = False
+    # Gemma-2-style architecture knobs (all default to Llama conventions):
+    # per-layer window pattern: None = attn_window on every layer;
+    # "alternate" = even layers sliding, odd layers full (HF layer_types).
+    window_pattern: str | None = None
+    # cap*tanh(logits/cap) on the FINAL lm-head logits.
+    final_logit_softcap: float | None = None
+    mlp_activation: str = "silu"  # or "gelu_tanh" (Gemma GeGLU)
+    # Sandwich norms: extra RMSNorm on each block's OUTPUT before the
+    # residual add (post_attention / post_feedforward layernorms).
+    use_post_norms: bool = False
+    scale_embeddings: bool = False  # x *= sqrt(hidden) after embedding
+    # Softmax scale override (Gemma-2 query_pre_attn_scalar**-0.5);
+    # None = 1/sqrt(head_dim).
+    attn_scale: float | None = None
+    # RMSNorm multiplies (norm_offset + w): Gemma stores zero-centered
+    # weights (offset 1.0), Llama stores the weight directly (offset 0).
+    norm_offset: float = 0.0
+    # Qwen3-style per-head RMSNorm on q and k (over head_dim, pre-RoPE).
+    qk_norm: bool = False
 
     @property
     def q_per_kv(self) -> int:

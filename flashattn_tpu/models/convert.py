@@ -77,8 +77,26 @@ def params_from_hf(state_dict: Mapping[str, Any], cfg: ModelConfig) -> Params:
                 "bv": jnp.asarray(take(p + "self_attn.v_proj.bias"),
                                   cfg.dtype),
             } if cfg.attn_bias else {}),
+            # Llama's pre-FFN norm is named post_attention_layernorm;
+            # Gemma-2 (use_post_norms) names it pre_feedforward_layernorm
+            # and post_attention_layernorm is the attn OUTPUT norm.
             "mlp_norm": jnp.asarray(
-                take(p + "post_attention_layernorm.weight"), cfg.dtype),
+                take(p + ("pre_feedforward_layernorm.weight"
+                          if cfg.use_post_norms
+                          else "post_attention_layernorm.weight")),
+                cfg.dtype),
+            **({
+                "post_attn_norm": jnp.asarray(
+                    take(p + "post_attention_layernorm.weight"), cfg.dtype),
+                "post_mlp_norm": jnp.asarray(
+                    take(p + "post_feedforward_layernorm.weight"), cfg.dtype),
+            } if cfg.use_post_norms else {}),
+            **({
+                "q_norm": jnp.asarray(
+                    take(p + "self_attn.q_norm.weight"), cfg.dtype),
+                "k_norm": jnp.asarray(
+                    take(p + "self_attn.k_norm.weight"), cfg.dtype),
+            } if cfg.qk_norm else {}),
             **(_split_gate_up(take(p + "mlp.gate_up_proj.weight"),
                               cfg.dtype)
                if p + "mlp.gate_up_proj.weight" in sd else {
@@ -98,8 +116,31 @@ def _split_gate_up(gate_up: np.ndarray, dtype) -> dict:
 
 
 def config_from_hf(hf_config, dtype=jnp.bfloat16) -> ModelConfig:
-    """Map a transformers LlamaConfig onto ModelConfig."""
+    """Map a transformers config onto ModelConfig. Llama conventions by
+    default; Gemma-2 (sandwich norms, (1+w) RMSNorm, GeGLU, alternating
+    window, attn+final soft-caps, scaled embeddings, query_pre_attn_scalar)
+    and Qwen3 (per-head q/k RMSNorm, explicit head_dim) detected from
+    model_type."""
+    mt = getattr(hf_config, "model_type", "")
+    gemma2 = mt == "gemma2"
+    extra = {}
+    if gemma2:
+        extra = dict(
+            window_pattern="alternate",  # HF layer_types: even layers slide
+            logit_softcap=getattr(hf_config, "attn_logit_softcapping", None),
+            final_logit_softcap=getattr(
+                hf_config, "final_logit_softcapping", None),
+            mlp_activation="gelu_tanh",
+            use_post_norms=True,
+            scale_embeddings=True,
+            attn_scale=getattr(
+                hf_config, "query_pre_attn_scalar", None) ** -0.5,
+            norm_offset=1.0,
+        )
+    if mt == "qwen3":
+        extra = dict(qk_norm=True)
     return ModelConfig(
+        **extra,
         vocab_size=hf_config.vocab_size,
         hidden_size=hf_config.hidden_size,
         intermediate_size=hf_config.intermediate_size,
@@ -116,7 +157,7 @@ def config_from_hf(hf_config, dtype=jnp.bfloat16) -> ModelConfig:
         dtype=dtype,
         tie_embeddings=getattr(hf_config, "tie_word_embeddings", False),
         max_seq_len=hf_config.max_position_embeddings,
-        # Mistral-style sliding window when present and enabled.
+        # Mistral/Gemma-style sliding window when present and enabled.
         attn_window=(getattr(hf_config, "sliding_window", None)
                      if getattr(hf_config, "use_sliding_window", True)
                      else None),

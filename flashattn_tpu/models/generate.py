@@ -50,20 +50,22 @@ def prefill(
     Returns (logits [B, vocab] for the LAST position — or [B, S, vocab] for
     every position when return_all (padded-prompt serving) — and caches)."""
     b, s = tokens.shape
-    x = jnp.take(params["embed"], tokens, axis=0)
+    x = llama.embed_tokens(params, tokens, cfg)
     positions = jnp.arange(s)
     cos, sin = ((None, None) if cfg.use_alibi
                 else llama.rope_tables(cfg, positions))
 
     new_caches = []
-    for layer, cache in zip(params["layers"], caches):
-        xn = llama.rms_norm(x, layer["attn_norm"], cfg.norm_eps)
+    for i, (layer, cache) in enumerate(zip(params["layers"], caches)):
+        xn = llama.rms_norm(x, layer["attn_norm"], cfg.norm_eps,
+                            cfg.norm_offset)
         q = llama.qkv_proj(xn, layer, cfg, "q").reshape(
             b, s, cfg.num_heads, cfg.head_dim)
         k = llama.qkv_proj(xn, layer, cfg, "k").reshape(
             b, s, cfg.num_kv_heads, cfg.head_dim)
         v = llama.qkv_proj(xn, layer, cfg, "v").reshape(
             b, s, cfg.num_kv_heads, cfg.head_dim)
+        q, k = llama.apply_qk_norm(q, k, layer, cfg)
         q, k, v = (t.transpose(0, 2, 1, 3) for t in (q, k, v))
         if not cfg.use_alibi:
             q = llama.apply_rope(q, cos, sin)
@@ -74,17 +76,23 @@ def prefill(
         from flashattn_tpu.ops.attention import flash_attention
 
         o = flash_attention(q, k, v, is_causal=True,
-                            window=cfg.attn_window,
+                            window=llama.layer_window(cfg, i),
+                            scale=cfg.attn_scale,
                             logit_softcap=cfg.logit_softcap,
                             alibi=cfg.use_alibi)
         o = o.transpose(0, 2, 1, 3).reshape(b, s, cfg.num_heads * cfg.head_dim)
-        x = x + llama.proj(o, layer["wo"])
-        x = x + llama._mlp_block(layer, x, cfg)
+        a = llama.proj(o, layer["wo"])
+        if cfg.use_post_norms:
+            a = llama.rms_norm(a, layer["post_attn_norm"], cfg.norm_eps,
+                               cfg.norm_offset)
+        x = x + a
+        m = llama._mlp_block(layer, x, cfg)
+        if cfg.use_post_norms:
+            m = llama.rms_norm(m, layer["post_mlp_norm"], cfg.norm_eps,
+                               cfg.norm_offset)
+        x = x + m
 
-    x = llama.rms_norm(x if return_all else x[:, -1],
-                       params["final_norm"], cfg.norm_eps)
-    head = params["embed"].T if cfg.tie_embeddings else params["lm_head"]
-    logits = llama.proj(x, head, out_dtype=jnp.float32)
+    logits = llama.lm_logits(x if return_all else x[:, -1], params, cfg)
     return logits, new_caches
 
 
@@ -105,20 +113,22 @@ def decode_step(
     Caches may be dense (KVCache) or paged (PagedKVCache): the dispatch is
     on pytree structure, i.e. static at trace time."""
     b = token.shape[0]
-    x = jnp.take(params["embed"], token, axis=0)  # [B, H]
+    x = llama.embed_tokens(params, token, cfg)  # [B, H]
     cos, sin = ((None, None) if cfg.use_alibi
                 else llama.rope_tables(cfg, positions))  # [B, hd/2]
 
     new_caches = []
-    for layer, cache in zip(params["layers"], caches):
+    for i, (layer, cache) in enumerate(zip(params["layers"], caches)):
         paged = isinstance(cache, PagedKVCache)
-        xn = llama.rms_norm(x, layer["attn_norm"], cfg.norm_eps)
+        xn = llama.rms_norm(x, layer["attn_norm"], cfg.norm_eps,
+                            cfg.norm_offset)
         q = llama.qkv_proj(xn, layer, cfg, "q").reshape(
             b, cfg.num_heads, 1, cfg.head_dim)
         k = llama.qkv_proj(xn, layer, cfg, "k").reshape(
             b, cfg.num_kv_heads, 1, cfg.head_dim)
         v = llama.qkv_proj(xn, layer, cfg, "v").reshape(
             b, cfg.num_kv_heads, 1, cfg.head_dim)
+        q, k = llama.apply_qk_norm(q, k, layer, cfg)
         if not cfg.use_alibi:
             q = llama.apply_rope(q, cos[:, None], sin[:, None])
             k = llama.apply_rope(k, cos[:, None], sin[:, None])
@@ -126,17 +136,24 @@ def decode_step(
             cache, k, v, active=active)
         new_caches.append(cache)
         attn = paged_decode_attention if paged else decode_attention
-        o = attn(q[:, :, 0], cache,
-                 window=cfg.attn_window, sink=cfg.attn_sink,
+        win = llama.layer_window(cfg, i)
+        o = attn(q[:, :, 0], cache, scale=cfg.attn_scale,
+                 window=win, sink=cfg.attn_sink if win else 0,
                  logit_softcap=cfg.logit_softcap,
                  alibi=cfg.use_alibi)  # [B, Hq, D]
         o = o.reshape(b, cfg.num_heads * cfg.head_dim)
-        x = x + llama.proj(o, layer["wo"])
-        x = x + llama._mlp_block(layer, x[:, None], cfg)[:, 0]
+        a = llama.proj(o, layer["wo"])
+        if cfg.use_post_norms:
+            a = llama.rms_norm(a, layer["post_attn_norm"], cfg.norm_eps,
+                               cfg.norm_offset)
+        x = x + a
+        m = llama._mlp_block(layer, x[:, None], cfg)[:, 0]
+        if cfg.use_post_norms:
+            m = llama.rms_norm(m, layer["post_mlp_norm"], cfg.norm_eps,
+                               cfg.norm_offset)
+        x = x + m
 
-    x = llama.rms_norm(x, params["final_norm"], cfg.norm_eps)
-    head = params["embed"].T if cfg.tie_embeddings else params["lm_head"]
-    logits = llama.proj(x, head, out_dtype=jnp.float32)
+    logits = llama.lm_logits(x, params, cfg)
     return logits, new_caches
 
 
@@ -192,19 +209,22 @@ def chunk_step(
     from flashattn_tpu.ops.decode import decode_attention_chunk
 
     b, chunk = piece.shape
-    x = jnp.take(params["embed"], piece, axis=0)  # [B, C, H]
+    x = llama.embed_tokens(params, piece, cfg)  # [B, C, H]
     cos, sin = ((None, None) if cfg.use_alibi
                 else llama.rope_tables(cfg, positions))
     new_caches = []
-    for layer, cache in zip(params["layers"], caches):
+    for i, (layer, cache) in enumerate(zip(params["layers"], caches)):
         paged = isinstance(cache, PagedKVCache)
-        xn = llama.rms_norm(x, layer["attn_norm"], cfg.norm_eps)
+        xn = llama.rms_norm(x, layer["attn_norm"], cfg.norm_eps,
+                            cfg.norm_offset)
         q = llama.qkv_proj(xn, layer, cfg, "q").reshape(
-            b, chunk, cfg.num_heads, cfg.head_dim).transpose(0, 2, 1, 3)
+            b, chunk, cfg.num_heads, cfg.head_dim)
         k = llama.qkv_proj(xn, layer, cfg, "k").reshape(
-            b, chunk, cfg.num_kv_heads, cfg.head_dim).transpose(0, 2, 1, 3)
+            b, chunk, cfg.num_kv_heads, cfg.head_dim)
         v = llama.qkv_proj(xn, layer, cfg, "v").reshape(
-            b, chunk, cfg.num_kv_heads, cfg.head_dim).transpose(0, 2, 1, 3)
+            b, chunk, cfg.num_kv_heads, cfg.head_dim)
+        q, k = llama.apply_qk_norm(q, k, layer, cfg)
+        q, k, v = (t.transpose(0, 2, 1, 3) for t in (q, k, v))
         if not cfg.use_alibi:
             q = llama.apply_rope(q, cos, sin)
             k = llama.apply_rope(k, cos, sin)
@@ -213,16 +233,24 @@ def chunk_step(
         new_caches.append(cache)
         attn = (paged_decode_attention_chunk if paged
                 else decode_attention_chunk)
-        o = attn(q, cache, window=cfg.attn_window, sink=cfg.attn_sink,
+        win = llama.layer_window(cfg, i)
+        o = attn(q, cache, scale=cfg.attn_scale,
+                 window=win, sink=cfg.attn_sink if win else 0,
                  logit_softcap=cfg.logit_softcap,
                  alibi=cfg.use_alibi)
         o = o.transpose(0, 2, 1, 3).reshape(
             b, chunk, cfg.num_heads * cfg.head_dim)
-        x = x + llama.proj(o, layer["wo"])
-        x = x + llama._mlp_block(layer, x, cfg)
-    x = llama.rms_norm(x, params["final_norm"], cfg.norm_eps)
-    head = params["embed"].T if cfg.tie_embeddings else params["lm_head"]
-    logits = llama.proj(x, head, out_dtype=jnp.float32)
+        a = llama.proj(o, layer["wo"])
+        if cfg.use_post_norms:
+            a = llama.rms_norm(a, layer["post_attn_norm"], cfg.norm_eps,
+                               cfg.norm_offset)
+        x = x + a
+        m = llama._mlp_block(layer, x, cfg)
+        if cfg.use_post_norms:
+            m = llama.rms_norm(m, layer["post_mlp_norm"], cfg.norm_eps,
+                               cfg.norm_offset)
+        x = x + m
+    logits = llama.lm_logits(x, params, cfg)
     return logits, new_caches
 
 

@@ -82,7 +82,7 @@ def init_params(cfg: ModelConfig, key: jax.Array) -> Params:
     keys = jax.random.split(key, 3 + cfg.num_layers)
     params: Params = {
         "embed": dense(keys[0], (cfg.vocab_size, h), h**-0.5),
-        "final_norm": jnp.ones((h,), cfg.dtype),
+        "final_norm": jnp.full((h,), 1.0 - cfg.norm_offset, cfg.dtype),
         "layers": [],
     }
     if not cfg.tie_embeddings:
@@ -90,17 +90,24 @@ def init_params(cfg: ModelConfig, key: jax.Array) -> Params:
     for i in range(cfg.num_layers):
         lk = jax.random.split(keys[3 + i], 7)
         layer = {
-            "attn_norm": jnp.ones((h,), cfg.dtype),
+            "attn_norm": jnp.full((h,), 1.0 - cfg.norm_offset, cfg.dtype),
             "wq": dense(lk[0], (h, nq * hd), h**-0.5),
             "wk": dense(lk[1], (h, nkv * hd), h**-0.5),
             "wv": dense(lk[2], (h, nkv * hd), h**-0.5),
             "wo": dense(lk[3], (nq * hd, h), (nq * hd) ** -0.5),
-            "mlp_norm": jnp.ones((h,), cfg.dtype),
+            "mlp_norm": jnp.full((h,), 1.0 - cfg.norm_offset, cfg.dtype),
         }
         if cfg.attn_bias:
             layer.update(bq=jnp.zeros((nq * hd,), cfg.dtype),
                          bk=jnp.zeros((nkv * hd,), cfg.dtype),
                          bv=jnp.zeros((nkv * hd,), cfg.dtype))
+        # Identity norm = (offset + w) == 1, so init w = 1 - offset.
+        norm_one = jnp.full((h,), 1.0 - cfg.norm_offset, cfg.dtype)
+        if cfg.use_post_norms:
+            layer.update(post_attn_norm=norm_one, post_mlp_norm=norm_one)
+        if cfg.qk_norm:
+            hd_one = jnp.full((hd,), 1.0 - cfg.norm_offset, cfg.dtype)
+            layer.update(q_norm=hd_one, k_norm=hd_one)
         if cfg.num_experts:
             from flashattn_tpu.parallel.moe import init_moe_params
 
@@ -133,6 +140,10 @@ def param_shardings(cfg: ModelConfig) -> Params:
     }
     if cfg.attn_bias:
         layer.update(bq=P("model"), bk=P("model"), bv=P("model"))
+    if cfg.use_post_norms:
+        layer.update(post_attn_norm=P(), post_mlp_norm=P())
+    if cfg.qk_norm:
+        layer.update(q_norm=P(), k_norm=P())
     if cfg.num_experts:
         # Experts shard over 'ep' at rest (matches the shard_map island).
         layer["moe"] = {
@@ -155,10 +166,55 @@ def param_shardings(cfg: ModelConfig) -> Params:
 # ---------------- building blocks ----------------
 
 
-def rms_norm(x: jnp.ndarray, w: jnp.ndarray, eps: float) -> jnp.ndarray:
+def rms_norm(x: jnp.ndarray, w: jnp.ndarray, eps: float,
+             offset: float = 0.0) -> jnp.ndarray:
     xf = x.astype(jnp.float32)
     var = jnp.mean(xf * xf, axis=-1, keepdims=True)
-    return (xf * jax.lax.rsqrt(var + eps)).astype(x.dtype) * w
+    normed = xf * jax.lax.rsqrt(var + eps)
+    if offset:
+        # Gemma convention: multiply by (offset + w) IN f32, then cast
+        # (transformers Gemma2RMSNorm does the product in float).
+        return ((offset + w.astype(jnp.float32)) * normed).astype(x.dtype)
+    return normed.astype(x.dtype) * w
+
+
+def layer_window(cfg: ModelConfig, layer_idx: int) -> int | None:
+    """Per-layer sliding window: Gemma-2-style 'alternate' puts the window
+    on even layers and full attention on odd ones (HF layer_types)."""
+    if cfg.window_pattern is None:
+        return cfg.attn_window
+    assert cfg.window_pattern == "alternate", cfg.window_pattern
+    return cfg.attn_window if layer_idx % 2 == 0 else None
+
+
+def apply_qk_norm(q, k, layer, cfg):
+    """Qwen3-style per-head RMSNorm over head_dim, pre-RoPE. q/k are
+    [B, S, H, D] (pre-transpose) or [B, H, S, D] — last dim is D either way.
+    """
+    if not cfg.qk_norm:
+        return q, k
+    return (rms_norm(q, layer["q_norm"], cfg.norm_eps, cfg.norm_offset),
+            rms_norm(k, layer["k_norm"], cfg.norm_eps, cfg.norm_offset))
+
+
+def embed_tokens(params, tokens, cfg):
+    x = jnp.take(params["embed"], tokens, axis=0)
+    if cfg.scale_embeddings:
+        # HF casts the sqrt(hidden) normalizer to the activation dtype
+        # BEFORE multiplying — match it for bit-level parity.
+        x = x * jnp.asarray(cfg.hidden_size**0.5, x.dtype)
+    return x
+
+
+def lm_logits(x, params, cfg):
+    """Final norm -> head -> optional Gemma-style final logit soft-cap."""
+    x = rms_norm(x, params["final_norm"], cfg.norm_eps, cfg.norm_offset)
+    head = params["embed"].T if cfg.tie_embeddings else params["lm_head"]
+    logits = proj(x, head, out_dtype=jnp.float32)
+    if cfg.final_logit_softcap:
+        cap = cfg.final_logit_softcap
+        logits = jnp.tanh(logits / cap) * cap
+    return logits
 
 
 def rope_tables(cfg: ModelConfig, positions: jnp.ndarray):
@@ -187,7 +243,7 @@ def apply_rope(x: jnp.ndarray, cos: jnp.ndarray, sin: jnp.ndarray) -> jnp.ndarra
 
 
 def _attention(q, k, v, mesh, block_sizes=None, segment_ids=None,
-               window=None, logit_softcap=None, alibi=False):
+               window=None, logit_softcap=None, alibi=False, scale=None):
     """Fused attention; shard_map island under a mesh: batch over 'data',
     heads over 'model', and — when the mesh carries an 'sp' axis — sequence
     over 'sp' with ring-attention K/V rotation (context parallelism, the
@@ -205,9 +261,9 @@ def _attention(q, k, v, mesh, block_sizes=None, segment_ids=None,
 
             return flash_attention_varlen(
                 q, k, v, segment_ids=segment_ids, is_causal=True,
-                block_sizes=block_sizes, window=window,
+                block_sizes=block_sizes, window=window, scale=scale,
                 logit_softcap=logit_softcap, alibi=alibi)
-        return flash_attention(q, k, v, is_causal=True,
+        return flash_attention(q, k, v, is_causal=True, scale=scale,
                                block_sizes=block_sizes, window=window,
                                logit_softcap=logit_softcap, alibi=alibi)
     da = "data" if "data" in mesh.axis_names else None
@@ -226,7 +282,7 @@ def _attention(q, k, v, mesh, block_sizes=None, segment_ids=None,
 
         inner = functools.partial(
             ring_flash_attention, axis_name="sp", is_causal=True,
-            block_sizes=block_sizes, window=window,
+            block_sizes=block_sizes, window=window, scale=scale,
             logit_softcap=logit_softcap, alibi=alibi,
         )
         spec = P(da, ma, "sp", None)
@@ -235,6 +291,7 @@ def _attention(q, k, v, mesh, block_sizes=None, segment_ids=None,
         inner = functools.partial(
             flash_attention, is_causal=True, block_sizes=block_sizes,
             window=window, logit_softcap=logit_softcap, alibi=alibi,
+            scale=scale,
         )
         spec = P(da, ma, None, None)
         sspec = P(da, None)
@@ -248,7 +305,7 @@ def _attention(q, k, v, mesh, block_sizes=None, segment_ids=None,
 
         seg = segment_ids.astype(jnp.int32)
         fn = (lambda q, k, v, sq, sk, sl=None: flash_attention_varlen(
-            q, k, v, segment_ids=(sq, sk), is_causal=True,
+            q, k, v, segment_ids=(sq, sk), is_causal=True, scale=scale,
             block_sizes=block_sizes, window=window,
             logit_softcap=logit_softcap, alibi=alibi, alibi_slopes=sl))
     else:
@@ -296,7 +353,7 @@ def forward(
     projections/MLP and only the cheap elementwise work replays — faster
     when the saved activations still fit HBM."""
     b, s = tokens.shape
-    x = jnp.take(params["embed"], tokens, axis=0)  # [B, S, H]
+    x = embed_tokens(params, tokens, cfg)  # [B, S, H]
     if segment_ids is not None:
         # Per-document positions: index since the segment's first token.
         pos = jnp.broadcast_to(jnp.arange(s)[None], (b, s))
@@ -309,32 +366,40 @@ def forward(
         positions = jnp.arange(s)
     cos, sin = rope_tables(cfg, positions)
 
-    def layer_fn(x, layer):
-        x = x + _attn_block(layer, x, cos, sin, cfg, mesh, block_sizes,
-                            segment_ids)
-        return x + _mlp_block(layer, x, cfg, mesh)
+    def layer_fn(x, layer, window):
+        a = _attn_block(layer, x, cos, sin, cfg, mesh, block_sizes,
+                        segment_ids, window=window, _default_window=False)
+        if cfg.use_post_norms:
+            a = rms_norm(a, layer["post_attn_norm"], cfg.norm_eps,
+                         cfg.norm_offset)
+        x = x + a
+        m = _mlp_block(layer, x, cfg, mesh)
+        if cfg.use_post_norms:
+            m = rms_norm(m, layer["post_mlp_norm"], cfg.norm_eps,
+                         cfg.norm_offset)
+        return x + m
 
     if remat:
         policy = (jax.checkpoint_policies.dots_with_no_batch_dims_saveable
                   if remat == "dots" else None)
-        layer_fn = jax.checkpoint(layer_fn, policy=policy)
-    for layer in params["layers"]:
-        x = layer_fn(x, layer)
+        layer_fn = jax.checkpoint(layer_fn, policy=policy,
+                                  static_argnums=(2,))
+    for i, layer in enumerate(params["layers"]):
+        x = layer_fn(x, layer, layer_window(cfg, i))
 
-    x = rms_norm(x, params["final_norm"], cfg.norm_eps)
-    head = (
-        params["embed"].T if cfg.tie_embeddings else params["lm_head"]
-    )
-    return proj(x, head, out_dtype=jnp.float32)
+    return lm_logits(x, params, cfg)
 
 
 def _attn_block(layer, x, cos, sin, cfg, mesh, block_sizes,
-                segment_ids=None):
+                segment_ids=None, window=None, _default_window=True):
     b, s, h = x.shape
-    xn = rms_norm(x, layer["attn_norm"], cfg.norm_eps)
+    if _default_window:
+        window = cfg.attn_window
+    xn = rms_norm(x, layer["attn_norm"], cfg.norm_eps, cfg.norm_offset)
     q = qkv_proj(xn, layer, cfg, "q").reshape(b, s, cfg.num_heads, cfg.head_dim)
     k = qkv_proj(xn, layer, cfg, "k").reshape(b, s, cfg.num_kv_heads, cfg.head_dim)
     v = qkv_proj(xn, layer, cfg, "v").reshape(b, s, cfg.num_kv_heads, cfg.head_dim)
+    q, k = apply_qk_norm(q, k, layer, cfg)
     # [B, H, S, D] layout for the kernel
     q = q.transpose(0, 2, 1, 3)
     k = k.transpose(0, 2, 1, 3)
@@ -343,14 +408,14 @@ def _attn_block(layer, x, cos, sin, cfg, mesh, block_sizes,
         q = apply_rope(q, cos, sin)
         k = apply_rope(k, cos, sin)
     o = _attention(q, k, v, mesh, block_sizes, segment_ids,
-                   cfg.attn_window, cfg.logit_softcap,
-                   cfg.use_alibi)  # [B, H, S, D]
+                   window, cfg.logit_softcap,
+                   cfg.use_alibi, cfg.attn_scale)  # [B, H, S, D]
     o = o.transpose(0, 2, 1, 3).reshape(b, s, cfg.num_heads * cfg.head_dim)
     return proj(o, layer["wo"])
 
 
 def _mlp_block(layer, x, cfg, mesh=None):
-    xn = rms_norm(x, layer["mlp_norm"], cfg.norm_eps)
+    xn = rms_norm(x, layer["mlp_norm"], cfg.norm_eps, cfg.norm_offset)
     if "moe" in layer:  # Mixture-of-Experts FFN (cfg.num_experts > 0)
         from flashattn_tpu.parallel.moe import (
             moe_ffn, moe_ffn_a2a, moe_ffn_dense_reference)
@@ -384,8 +449,10 @@ def _mlp_block(layer, x, cfg, mesh=None):
         return out.reshape(xn.shape)
     gate = proj(xn, layer["w_gate"])
     up = proj(xn, layer["w_up"])
-    return proj(jax.nn.silu(gate.astype(jnp.float32)).astype(x.dtype) * up,
-                layer["w_down"])
+    gf = gate.astype(jnp.float32)
+    act = (jax.nn.gelu(gf, approximate=True)
+           if cfg.mlp_activation == "gelu_tanh" else jax.nn.silu(gf))
+    return proj(act.astype(x.dtype) * up, layer["w_down"])
 
 
 # ---------------- training ----------------
@@ -450,8 +517,11 @@ def pipeline_forward(
 
     b, s = tokens.shape
     assert b % num_microbatches == 0, (b, num_microbatches)
+    assert cfg.window_pattern is None, (
+        "per-layer window patterns need global layer indices; the pipeline "
+        "stage_fn only sees stage-local ones — not wired")
     mb = b // num_microbatches
-    x = jnp.take(params["embed"], tokens, axis=0)  # [B, S, H]
+    x = embed_tokens(params, tokens, cfg)  # [B, S, H]
     cos, sin = rope_tables(cfg, jnp.arange(s))
 
     def stage_fn(stage_layers, x_mb):
@@ -459,9 +529,16 @@ def pipeline_forward(
         n_local = jax.tree_util.tree_leaves(stage_layers)[0].shape[0]
         for i in range(n_local):
             layer = jax.tree_util.tree_map(lambda l: l[i], stage_layers)
-            x_mb = x_mb + _attn_block(layer, x_mb, cos, sin, cfg, None,
-                                      block_sizes)
-            x_mb = x_mb + _mlp_block(layer, x_mb, cfg)
+            a = _attn_block(layer, x_mb, cos, sin, cfg, None, block_sizes)
+            if cfg.use_post_norms:
+                a = rms_norm(a, layer["post_attn_norm"], cfg.norm_eps,
+                             cfg.norm_offset)
+            x_mb = x_mb + a
+            m = _mlp_block(layer, x_mb, cfg)
+            if cfg.use_post_norms:
+                m = rms_norm(m, layer["post_mlp_norm"], cfg.norm_eps,
+                             cfg.norm_offset)
+            x_mb = x_mb + m
         return x_mb
 
     def body(stage_stacked, x_mbs):
@@ -481,10 +558,7 @@ def pipeline_forward(
         check_vma=False,
     )(params["stages"], x_mbs)
     x = y.reshape(b, s, -1)
-
-    x = rms_norm(x, params["final_norm"], cfg.norm_eps)
-    head = params["embed"].T if cfg.tie_embeddings else params["lm_head"]
-    return proj(x, head, out_dtype=jnp.float32)
+    return lm_logits(x, params, cfg)
 
 
 def stack_pipeline_params(params: Params, n_stages: int) -> Params:

@@ -171,3 +171,96 @@ def test_phi3_fused_projection_parity():
     ours = llama.forward(params, jnp.asarray(tokens, jnp.int32), cfg)
     np.testing.assert_allclose(np.asarray(ours), hf_logits,
                                rtol=2e-4, atol=2e-4)
+
+
+def test_gemma2_parity():
+    """transformers Gemma2ForCausalLM: validates in one shot the alternating
+    local/global window pattern, (1+w) RMSNorm, sandwich (post) norms,
+    GeGLU, attention + final logit soft-caps, scaled embeddings, the
+    query_pre_attn_scalar softmax scale, explicit head_dim, and tied
+    embeddings."""
+    hf_cfg = transformers.Gemma2Config(
+        vocab_size=256,
+        hidden_size=128,
+        intermediate_size=256,
+        num_hidden_layers=4,
+        num_attention_heads=4,
+        num_key_value_heads=2,
+        head_dim=48,  # != hidden/heads on purpose
+        query_pre_attn_scalar=48,
+        max_position_embeddings=256,
+        rms_norm_eps=1e-6,
+        sliding_window=16,  # < seq so local/global layers really differ
+        attn_logit_softcapping=50.0,
+        final_logit_softcapping=30.0,
+        attn_implementation="eager",
+    )
+    torch.manual_seed(7)
+    model = transformers.Gemma2ForCausalLM(hf_cfg).eval()
+    cfg = config_from_hf(hf_cfg, dtype=jnp.float32)
+    assert cfg.window_pattern == "alternate" and cfg.use_post_norms
+    assert cfg.norm_offset == 1.0 and cfg.tie_embeddings
+    params = params_from_hf(model.state_dict(), cfg)
+
+    rng = np.random.default_rng(1)
+    tokens = rng.integers(0, hf_cfg.vocab_size, size=(2, 48))
+    with torch.no_grad():
+        hf_logits = model(torch.from_numpy(tokens)).logits.numpy()
+    ours = np.asarray(llama.forward(params, jnp.asarray(tokens, jnp.int32),
+                                    cfg))
+    np.testing.assert_allclose(ours, hf_logits, rtol=2e-3, atol=2e-3)
+
+    prompt = np.asarray([[7, 3, 99, 21, 5]])
+    with torch.no_grad():
+        # eos_token_id=-1: Gemma2Config defaults eos to token 1, which this
+        # tiny random model emits immediately — disable early stopping so
+        # the comparison runs past the sliding-window boundary (window=16,
+        # 5 + 24 = 29 positions).
+        hf_out = model.generate(
+            torch.from_numpy(prompt), max_new_tokens=24, do_sample=False,
+            pad_token_id=0, eos_token_id=-1)
+    hf_new = hf_out[0, prompt.shape[1]:].numpy().tolist()
+    ours = generate.generate(params, jnp.asarray(prompt, jnp.int32), cfg,
+                             max_new_tokens=24, max_len=256)
+    assert [int(t) for t in ours[0]] == hf_new
+
+
+def test_qwen3_parity():
+    """transformers Qwen3ForCausalLM: per-head q/k RMSNorm (pre-RoPE) and
+    explicit head_dim != hidden/heads."""
+    hf_cfg = transformers.Qwen3Config(
+        vocab_size=256,
+        hidden_size=128,
+        intermediate_size=256,
+        num_hidden_layers=2,
+        num_attention_heads=4,
+        num_key_value_heads=2,
+        head_dim=48,
+        max_position_embeddings=256,
+        rms_norm_eps=1e-6,
+        tie_word_embeddings=False,
+        attn_implementation="eager",
+    )
+    torch.manual_seed(11)
+    model = transformers.Qwen3ForCausalLM(hf_cfg).eval()
+    cfg = config_from_hf(hf_cfg, dtype=jnp.float32)
+    assert cfg.qk_norm and cfg.head_dim == 48
+    params = params_from_hf(model.state_dict(), cfg)
+
+    rng = np.random.default_rng(2)
+    tokens = rng.integers(0, hf_cfg.vocab_size, size=(2, 48))
+    with torch.no_grad():
+        hf_logits = model(torch.from_numpy(tokens)).logits.numpy()
+    ours = np.asarray(llama.forward(params, jnp.asarray(tokens, jnp.int32),
+                                    cfg))
+    np.testing.assert_allclose(ours, hf_logits, rtol=2e-3, atol=2e-3)
+
+    prompt = np.asarray([[7, 3, 99, 21, 5]])
+    with torch.no_grad():
+        hf_out = model.generate(
+            torch.from_numpy(prompt), max_new_tokens=8, do_sample=False,
+            pad_token_id=0)
+    hf_new = hf_out[0, prompt.shape[1]:].numpy().tolist()
+    ours = generate.generate(params, jnp.asarray(prompt, jnp.int32), cfg,
+                             max_new_tokens=8, max_len=256)
+    assert [int(t) for t in ours[0]] == hf_new
