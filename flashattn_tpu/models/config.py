@@ -100,6 +100,46 @@ LLAMA_8B = ModelConfig(
     max_seq_len=8192,
 )
 
+# Gemma-2-9B geometry: alternating 4096-token local / global attention,
+# sandwich norms, GeGLU, attn+final soft-caps, scaled tied embeddings.
+GEMMA2_9B = ModelConfig(
+    vocab_size=256128,
+    hidden_size=3584,
+    intermediate_size=14336,
+    num_layers=42,
+    num_heads=16,
+    num_kv_heads=8,
+    head_dim=256,
+    rope_theta=10000.0,
+    norm_eps=1e-6,
+    max_seq_len=8192,
+    tie_embeddings=True,
+    attn_window=4096,
+    window_pattern="alternate",
+    logit_softcap=50.0,
+    final_logit_softcap=30.0,
+    mlp_activation="gelu_tanh",
+    use_post_norms=True,
+    scale_embeddings=True,
+    attn_scale=256**-0.5,  # query_pre_attn_scalar = head_dim
+    norm_offset=1.0,
+)
+
+# Qwen3-8B geometry: per-head q/k RMSNorm, explicit head_dim.
+QWEN3_8B = ModelConfig(
+    vocab_size=151936,
+    hidden_size=4096,
+    intermediate_size=12288,
+    num_layers=36,
+    num_heads=32,
+    num_kv_heads=8,
+    head_dim=128,
+    rope_theta=1000000.0,
+    norm_eps=1e-6,
+    max_seq_len=32768,
+    qk_norm=True,
+)
+
 # Tiny config for tests / dryruns (heads divisible by small mesh axes).
 TINY = ModelConfig(
     vocab_size=512,

@@ -264,3 +264,30 @@ def test_qwen3_parity():
     ours = generate.generate(params, jnp.asarray(prompt, jnp.int32), cfg,
                              max_new_tokens=8, max_len=256)
     assert [int(t) for t in ours[0]] == hf_new
+
+
+def test_convert_cli_roundtrip(tmp_path, hf_model):
+    """tools/convert_hf.py: HF save_pretrained dir -> Orbax checkpoint +
+    config JSON -> load_converted reproduces the live conversion exactly."""
+    import sys
+
+    sys.path.insert(0, str(__import__("pathlib").Path(__file__).parent.parent))
+    from tools.convert_hf import convert, load_converted
+
+    model, hf_cfg = hf_model
+    src = tmp_path / "hf"
+    model.save_pretrained(src)
+    dst = tmp_path / "converted"
+    convert(str(src), str(dst), "f32")
+    params, cfg = load_converted(str(dst))
+    assert cfg.num_layers == hf_cfg.num_hidden_layers
+    live = params_from_hf(model.state_dict(), cfg)
+    for a, b in zip(jax.tree_util.tree_leaves(live),
+                    jax.tree_util.tree_leaves(params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    tokens = np.asarray([[5, 9, 42, 7, 13]])
+    out = np.asarray(llama.forward(params, jnp.asarray(tokens, jnp.int32),
+                                   cfg))
+    with torch.no_grad():
+        hf_logits = model(torch.from_numpy(tokens)).logits.numpy()
+    np.testing.assert_allclose(out, hf_logits, rtol=2e-3, atol=2e-3)
