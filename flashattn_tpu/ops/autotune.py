@@ -26,7 +26,11 @@ from flashattn_tpu.ops.common import BlockSizes, round_up
 # Candidate tiles. VMEM bound: bq*bkv*4B (S tile) + operands must stay under
 # ~100MB; 4096x2048 is the practical ceiling at D=128.
 FWD_CONFIGS = [(1024, 1024), (2048, 2048), (4096, 1024), (4096, 2048),
-               (1024, 2048), (2048, 1024), (512, 1024)]
+               (1024, 2048), (2048, 1024), (512, 1024),
+               # Narrow-q / wide-kv candidates: causal rows cross the
+               # diagonal in fewer steps (less per-row boundary VPU work —
+               # the VERDICT r1 causal-overhead lead).
+               (512, 2048), (512, 4096), (256, 2048)]
 BWD_CONFIGS = [(1024, 1024), (2048, 2048), (2048, 1024), (1024, 2048),
                (4096, 2048), (512, 1024)]
 # Fused one-kernel backward: resident dK/dV accumulators dominate VMEM, so
