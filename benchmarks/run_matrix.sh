@@ -11,8 +11,6 @@ cd "$(dirname "$0")/.."
 R=benchmarks/results
 mkdir -p "$R"
 
-FILTER='grep -v -E "INFO |WARN |WARNING|E0000|Source Location|learning/"'
-
 for D in 128 64; do
   for C in 1 0; do
     NAME=v5e_d${D}_$( [ "$C" = 1 ] && echo causal || echo noncausal )

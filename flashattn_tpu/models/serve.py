@@ -117,8 +117,8 @@ class InferenceServer:
         # Phase timing (stats()): wall seconds per step phase, so scheduler
         # overhead (admission + host sampling/readback) is measurable
         # against the decode dispatch instead of hiding in tok/s.
-        self._timing = {"steps": 0, "decode_s": 0.0, "admit_s": 0.0,
-                        "host_s": 0.0, "decoded_tokens": 0}
+        self._timing = {"steps": 0, "decode_steps": 0, "decode_s": 0.0,
+                        "admit_s": 0.0, "host_s": 0.0, "decoded_tokens": 0}
         self._device_step_s: float | None = None
         self.return_logprobs = return_logprobs
         self.finished_logprobs: dict[int, list[float]] = {}
@@ -462,8 +462,9 @@ class InferenceServer:
                   for i, s in enumerate(self.slots)]
         t1 = time.perf_counter()
         self._timing["admit_s"] += t1 - t0
+        self._timing["steps"] += 1
         if not any(active):
-            return
+            return  # admit-only step (counted; no decode phase)
         positions = jnp.asarray([s.position for s in self.slots], jnp.int32)
         logits, self.caches = generate.decode_step(
             self.params, self.tokens, positions, self.caches, self.cfg,
@@ -521,7 +522,7 @@ class InferenceServer:
                                        and tok == slot.eos):
                 self._finish(s)
         self._timing["host_s"] += time.perf_counter() - t2
-        self._timing["steps"] += 1
+        self._timing["decode_steps"] += 1
         self._timing["decoded_tokens"] += len(live)
 
     def calibrate_device_step(self, iters: int = 100) -> float:
@@ -611,11 +612,13 @@ class InferenceServer:
         t = self._timing
         if t["steps"]:
             wall = t["decode_s"] + t["admit_s"] + t["host_s"]
+            dsteps = max(t["decode_steps"], 1)
             st.update(
                 steps=t["steps"],
-                decode_ms_avg=round(1e3 * t["decode_s"] / t["steps"], 3),
+                decode_steps=t["decode_steps"],
+                decode_ms_avg=round(1e3 * t["decode_s"] / dsteps, 3),
                 admit_ms_avg=round(1e3 * t["admit_s"] / t["steps"], 3),
-                host_ms_avg=round(1e3 * t["host_s"] / t["steps"], 3),
+                host_ms_avg=round(1e3 * t["host_s"] / dsteps, 3),
                 # Fraction of step wall NOT spent in the decode dispatch —
                 # the scheduler/host overhead the device-side bound exposes.
                 sched_overhead_frac=round(

@@ -234,6 +234,18 @@ def autotune(
     return _to_block_sizes(result)
 
 
+def cached_bwd_impl(b, hq, hkv, s_q, s_k, d, is_causal, dtype) -> str | None:
+    """The measured fused-vs-split backward winner for this shape, if the
+    autotuner ran on it (consumed by flash_attention_backward's 'auto'
+    dispatch at trace time)."""
+    try:
+        return _load_cache().get(
+            _key(b, hq, hkv, s_q, s_k, d, is_causal, dtype), {}
+        ).get("bwd_impl")
+    except Exception:
+        return None
+
+
 def _to_block_sizes(entry: dict) -> BlockSizes:
     fields = {f.name for f in dataclasses.fields(BlockSizes)}
     return BlockSizes(**{**dataclasses.asdict(BlockSizes()),

@@ -501,6 +501,7 @@ def flash_attention_backward(
 
     assert impl in ("auto", "fused", "split"), impl
     if impl != "split":
+        from flashattn_tpu.ops.autotune import cached_bwd_impl
         from flashattn_tpu.ops.flash_bwd_fused import (
             flash_attention_backward_fused,
             fused_backward_vmem_bytes,
@@ -510,7 +511,11 @@ def flash_attention_backward(
         fits = fused_backward_vmem_bytes(
             s_q, s_k, d, bqf, bkvf
         ) <= 100 * 1024 * 1024
-        if impl == "fused" or fits:
+        # 'auto' honors a measured winner from the autotune cache (this
+        # code runs at trace time; the choice bakes into the executable).
+        measured = (cached_bwd_impl(b, hq, hkv, s_q, s_k, d, is_causal,
+                                    q.dtype) if impl == "auto" else None)
+        if impl == "fused" or (fits and measured != "split"):
             return flash_attention_backward_fused(
                 q, k, v, o, do, lse, is_causal=is_causal, scale=scale,
                 block_q=bqf, block_kv=bkvf, interpret=interpret, debug=debug,
@@ -560,7 +565,7 @@ def flash_attention_backward(
         seed_prefetch.append(jnp.asarray(dyn_pos_offset, jnp.int32).reshape(1))
     if dropout_rate > 0.0:
         assert dropout_seed is not None, "dropout needs dropout_seed"
-        seed_prefetch = [jnp.asarray(dropout_seed, jnp.int32).reshape(1)]
+        seed_prefetch.append(jnp.asarray(dropout_seed, jnp.int32).reshape(1))
     if alibi:
         from flashattn_tpu.ops.flash_fwd import default_alibi_slopes
 

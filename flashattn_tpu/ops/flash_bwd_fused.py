@@ -346,7 +346,7 @@ def flash_attention_backward_fused(
         seed_prefetch.append(jnp.asarray(dyn_pos_offset, jnp.int32).reshape(1))
     if dropout_rate > 0.0:
         assert dropout_seed is not None, "dropout needs dropout_seed"
-        seed_prefetch = [jnp.asarray(dropout_seed, jnp.int32).reshape(1)]
+        seed_prefetch.append(jnp.asarray(dropout_seed, jnp.int32).reshape(1))
     if alibi:
         from flashattn_tpu.ops.flash_fwd import default_alibi_slopes
 

@@ -89,10 +89,6 @@ def moe_ffn(
     return lax.psum(acc, axis_name).astype(x.dtype)
 
 
-def _round_up(x: int, m: int) -> int:
-    return -(-x // m) * m
-
-
 def moe_ffn_a2a(
     x: jnp.ndarray,  # [T_local, H] tokens SHARDED over the ep axis
     params,  # router replicated; expert leaves are the LOCAL [E/n, ...] shard
@@ -116,7 +112,9 @@ def moe_ffn_a2a(
     assert e_local * n == e, (e_local, n, e)
     t_l, h = x.shape
     if capacity is None:
-        capacity = _round_up(
+        from flashattn_tpu.ops.common import round_up
+
+        capacity = round_up(
             max(1, int(-(-capacity_factor * top_k * t_l // e))), 8)
 
     expert_ids, gates = router_gates(x, params["router"], top_k)  # [T, k]

@@ -152,6 +152,7 @@ def resilient_train(
     ckpt_every: int = 100,
     max_recoveries: int = 3,
     step_timer: StepTimer | None = None,
+    check_every: int = 1,
 ) -> tuple[dict, list[RecoveryEvent]]:
     """Checkpointed training loop with detect-restore-skip recovery.
 
@@ -180,7 +181,12 @@ def resilient_train(
                 step_timer.start()
             new_state, metrics = step_fn(state, batch)
             step = int(new_state["step"])
-            check_finite(metrics, step)
+            if step % check_every == 0:
+                # check_finite syncs the host on the step's metrics — raise
+                # check_every on TPU if the sync shows in the profile (a
+                # blowup is then detected within check_every steps, still
+                # before the next checkpoint when check_every <= ckpt_every).
+                check_finite(metrics, step)
             if step_timer is not None:
                 step_timer.stop(step)
         except (TrainingFailure, jax.errors.JaxRuntimeError) as e:

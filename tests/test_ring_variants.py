@@ -317,3 +317,18 @@ def test_ulysses_segments_and_dropout():
     for t in jax.grad(lambda q, k, v: jnp.sum(f(q, k, v) * do),
                       (0, 1, 2))(q, k, v):
         assert bool(jnp.all(jnp.isfinite(t)))
+
+
+def test_zigzag_window_alibi_dropout_backward_runs():
+    # Regression: the backward launchers once OVERWROTE the dyn_pos_offset
+    # scalar-prefetch with the dropout seed (seed_prefetch = [...] instead
+    # of append), so zigzag window/alibi + dropout could not trace through
+    # jax.grad. No oracle under dropout — pin that grads trace and are
+    # finite with BOTH prefetch scalars live.
+    mesh = make_mesh({"sp": 2})
+    q, k, v, do = make_inputs(1, 2, 2, 512, 64)
+    f = zz_fn(mesh, window=200, alibi=True, dropout_rate=0.2, dropout_seed=5)
+    g = jax.grad(lambda q, k, v: jnp.sum(f(q, k, v) * do), (0, 1, 2))(
+        q, k, v)
+    for t in g:
+        assert bool(jnp.all(jnp.isfinite(t)))
