@@ -30,7 +30,7 @@ from flashattn_tpu.ops.common import (
     LOG2E,
     MASK_VALUE,
     cdiv,
-    fp8e4m3_to_bf16_fast,
+    fp8_decode_convert,
     interpret_default,
 )
 from flashattn_tpu.ops.kvcache import KVCache
@@ -99,7 +99,7 @@ def _decode_kernel(
                 s = jnp.tanh(s * (1.0 / softcap)) * (softcap * LOG2E)
         else:
             if quantized:
-                k = (fp8e4m3_to_bf16_fast(k) if k.dtype == jnp.float8_e4m3fn
+                k = (fp8_decode_convert(k) if k.dtype == jnp.float8_e4m3fn
                      else k.astype(jnp.bfloat16))
             s = jax.lax.dot_general(
                 q, k,
@@ -189,7 +189,7 @@ def _decode_kernel(
             ).astype(jnp.float32) * (rmax / 127.0)
         else:
             if quantized:
-                v = (fp8e4m3_to_bf16_fast(v) if v.dtype == jnp.float8_e4m3fn
+                v = (fp8_decode_convert(v) if v.dtype == jnp.float8_e4m3fn
                      else v.astype(jnp.bfloat16))
                 # v dequant folded into P (per-token scale = P columns).
                 p = p * v_scale_ref[0, 0]

@@ -171,17 +171,20 @@ def _dq_kernel(
         (q_ref, k_ref, v_ref, o_ref, do_ref, lse_ref,
          dq_ref, delta_ref, dq_acc, delta_scratch) = refs
     step = pl.program_id(2)
+    row_first = meta_ref[META_FIRST, step] == 1
 
-    @pl.when(meta_ref[META_FIRST, step] == 1)
+    @pl.when(row_first)
     def _init():
         # delta = row_sum(dO ⊙ O), computed once per q tile and persisted to
-        # HBM for the dKV kernel (reference :209-211, :258).
+        # HBM for the dKV kernel (reference :209-211, :258). Only the live
+        # (bq, 1) scratch column is written, and dq_acc needs no init — the
+        # row's first step writes it through (predicated below); a full
+        # zeros pass is pure per-q-row boundary overhead.
         do = do_ref[0, 0].astype(jnp.float32)
         o = o_ref[0, 0].astype(jnp.float32)
         delta = jnp.sum(do * o, axis=1, keepdims=True)  # (bq, 1)
-        delta_scratch[...] = jnp.broadcast_to(delta, delta_scratch.shape)
+        delta_scratch[:, :1] = delta
         delta_ref[0, 0] = delta
-        dq_acc[...] = jnp.zeros_like(dq_acc)
 
     q = q_ref[0, 0]
     k = k_ref[0, 0]
@@ -260,11 +263,19 @@ def _dq_kernel(
     ds = p * (dp - delta_scratch[:, :1])  # (bq, bkv) f32
     if softcap > 0.0:
         ds = ds * (1.0 - t_cap * t_cap)  # d(cap·tanh(x/cap))/dx
-    dq_acc[...] += jax.lax.dot_general(
+    dq_contrib = jax.lax.dot_general(
         ds.astype(q.dtype), k,
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
+
+    @pl.when(row_first)
+    def _dq_write_through():
+        dq_acc[...] = dq_contrib
+
+    @pl.when(jnp.logical_not(row_first))
+    def _dq_rmw():
+        dq_acc[...] += dq_contrib
 
     @pl.when(meta_ref[META_LAST, step] == 1)
     def _finalize():
@@ -318,11 +329,9 @@ def _dkv_kernel(
         (q_ref, do_ref, lse_ref, delta_ref, k_ref, v_ref,
          dk_ref, dv_ref, dk_acc, dv_acc) = refs
     step = pl.program_id(2)
-
-    @pl.when(meta_ref[DKV_FIRST, step] == 1)
-    def _init():
-        dk_acc[...] = jnp.zeros_like(dk_acc)
-        dv_acc[...] = jnp.zeros_like(dv_acc)
+    # No accumulator init: the kv tile's first step writes dk_acc/dv_acc
+    # through (predicated below) instead of zeroing them first.
+    col_first = meta_ref[DKV_FIRST, step] == 1
 
     q = q_ref[0, 0]
     do = do_ref[0, 0]
@@ -402,11 +411,19 @@ def _dkv_kernel(
         p_v = p
 
     # dV += Pᵀ · dO — (bkv, bq) x (bq, D): natural orientation.
-    dv_acc[...] += jax.lax.dot_general(
+    dv_contrib = jax.lax.dot_general(
         p_v.astype(do.dtype), do,
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
+
+    @pl.when(col_first)
+    def _dv_write_through():
+        dv_acc[...] = dv_contrib
+
+    @pl.when(jnp.logical_not(col_first))
+    def _dv_rmw():
+        dv_acc[...] += dv_contrib
 
     # dPᵀ = V · dOᵀ (bkv, bq).
     dp = jax.lax.dot_general(
@@ -420,11 +437,19 @@ def _dkv_kernel(
     if softcap > 0.0:
         ds = ds * (1.0 - t_cap * t_cap)
     # dK += dSᵀ · Q — (bkv, bq) x (bq, D): natural orientation.
-    dk_acc[...] += jax.lax.dot_general(
+    dk_contrib = jax.lax.dot_general(
         ds.astype(q.dtype), q,
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
+
+    @pl.when(col_first)
+    def _dk_write_through():
+        dk_acc[...] = dk_contrib
+
+    @pl.when(jnp.logical_not(col_first))
+    def _dk_rmw():
+        dk_acc[...] += dk_contrib
 
     @pl.when(meta_ref[DKV_LAST, step] == 1)
     def _finalize():

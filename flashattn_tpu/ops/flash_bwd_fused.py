@@ -65,9 +65,13 @@ from flashattn_tpu.ops.flash_fwd import (
 )
 
 # Fused meta layout: the forward wavefront's 7 columns plus the GQA group
-# index (q-head within the KV group) appended as column 7.
+# index (q-head within the KV group, column 7) and a first-touch flag for
+# the kv tile (column 8: 1 on the step that first accumulates into
+# dk_acc[kj]/dv_acc[kj], so the kernel writes through instead of zeroing
+# the full resident accumulators — up to 16 MB of VMEM writes — at step 0).
 FUSED_G = META_COLS
-FUSED_COLS = META_COLS + 1
+FUSED_KJ_FIRST = META_COLS + 1
+FUSED_COLS = META_COLS + 2
 
 
 def build_fused_wavefront(
@@ -91,7 +95,16 @@ def build_fused_wavefront(
     for g in range(q_per_kv):
         gcol = np.full((base.shape[0], 1), g, dtype=np.int32)
         tiles.append(np.concatenate([base, gcol], axis=1))
-    return np.concatenate(tiles, axis=0)
+    meta = np.concatenate(tiles, axis=0)
+    # First-touch flag per kv tile (over the WHOLE g-repeated sequence):
+    # lets the kernel write dk_acc/dv_acc through instead of zero-initing.
+    kj_first = np.zeros((meta.shape[0], 1), dtype=np.int32)
+    seen: set[int] = set()
+    for i, kj in enumerate(meta[:, META_KJ]):
+        if int(kj) not in seen:
+            seen.add(int(kj))
+            kj_first[i, 0] = 1
+    return np.concatenate([meta, kj_first], axis=1)
 
 
 def _fused_bwd_kernel(
@@ -114,6 +127,7 @@ def _fused_bwd_kernel(
     scale: float,
     dynamic_offset: bool = False,
     window_size: int = 0,
+    zero_init_kv: bool = False,
 ):
     # q (1,1,bq,D) pre-scaled by scale[·log2e]; o/do (1,1,bq,D);
     # lse (1,1,bq,1); k/v (1,1,bkv,D) RAW; seg_q (1,bq,1) / seg_k (1,1,bkv);
@@ -135,21 +149,26 @@ def _fused_bwd_kernel(
          dq_acc, delta_scratch, dk_acc, dv_acc) = refs
     step = pl.program_id(2)
     kj = meta_ref[META_KJ, step]
+    row_first = meta_ref[META_FIRST, step] == 1
 
-    @pl.when(step == 0)
-    def _init_kv_accumulators():
-        dk_acc[...] = jnp.zeros_like(dk_acc)
-        dv_acc[...] = jnp.zeros_like(dv_acc)
+    if zero_init_kv:
+        # Some kv tile is never enumerated (windowed / offset geometries):
+        # it still must output zeros, so keep the step-0 full init.
+        @pl.when(step == 0)
+        def _init_kv_accumulators():
+            dk_acc[...] = jnp.zeros_like(dk_acc)
+            dv_acc[...] = jnp.zeros_like(dv_acc)
 
-    @pl.when(meta_ref[META_FIRST, step] == 1)
+    @pl.when(row_first)
     def _init_row():
         # delta = row_sum(dO ⊙ O) — computed once per q tile; unlike the
         # two-kernel path (reference :258 → :376) it never round-trips HBM.
+        # Only the live (bq, 1) column is written (a full-scratch broadcast
+        # is ~0.5 MB of boundary overhead per q row); dq_acc needs no init —
+        # the first step of the row writes it through (predicated below).
         do = do_ref[0, 0].astype(jnp.float32)
         o = o_ref[0, 0].astype(jnp.float32)
-        delta = jnp.sum(do * o, axis=1, keepdims=True)  # (bq, 1)
-        delta_scratch[...] = jnp.broadcast_to(delta, delta_scratch.shape)
-        dq_acc[...] = jnp.zeros_like(dq_acc)
+        delta_scratch[:, :1] = jnp.sum(do * o, axis=1, keepdims=True)
 
     q = q_ref[0, 0]
     k = k_ref[0, 0]
@@ -234,23 +253,49 @@ def _fused_bwd_kernel(
     ds_b = ds.astype(q.dtype)
 
     # dQ[qi] += dS · K — K raw, so the finalize factor is just `scale`.
-    dq_acc[...] += jax.lax.dot_general(
+    dq_contrib = jax.lax.dot_general(
         ds_b, k,
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
+
+    @pl.when(row_first)
+    def _dq_write_through():
+        dq_acc[...] = dq_contrib
+
+    @pl.when(jnp.logical_not(row_first))
+    def _dq_rmw():
+        dq_acc[...] += dq_contrib
+
     # dV[kj] += Pᵀ · dO and dK[kj] += dSᵀ · Q̃: sublane-axis contractions
-    # into the RESIDENT accumulators (dynamic leading-dim index).
-    dv_acc[kj] += jax.lax.dot_general(
+    # into the RESIDENT accumulators (dynamic leading-dim index). On the
+    # tile's first touch (meta flag) write through instead of RMW, so the
+    # accumulators never need a zeros pass.
+    dv_contrib = jax.lax.dot_general(
         p_v.astype(do.dtype), do,
         dimension_numbers=(((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
-    dk_acc[kj] += jax.lax.dot_general(
+    dk_contrib = jax.lax.dot_general(
         ds_b, q,
         dimension_numbers=(((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
+    if zero_init_kv:
+        dv_acc[kj] += dv_contrib
+        dk_acc[kj] += dk_contrib
+    else:
+        kj_first = meta_ref[FUSED_KJ_FIRST, step] == 1
+
+        @pl.when(kj_first)
+        def _dkv_write_through():
+            dv_acc[kj] = dv_contrib
+            dk_acc[kj] = dk_contrib
+
+        @pl.when(jnp.logical_not(kj_first))
+        def _dkv_rmw():
+            dv_acc[kj] += dv_contrib
+            dk_acc[kj] += dk_contrib
 
     @pl.when(meta_ref[META_LAST, step] == 1)
     def _finalize_row():
@@ -338,6 +383,10 @@ def flash_attention_backward_fused(
     windowed = window is not None
     needs_mask = windowed or bool((meta[:, META_RTHRESH] != _BIG).any()
                                   or (meta[:, META_CTHRESH] != _BIG).any())
+    # If some kv tile is never enumerated (windowed / negative-offset
+    # geometries) it still must emit zero grads, so fall back to the step-0
+    # full accumulator init instead of first-touch write-through.
+    zero_init_kv = len(set(meta[:, META_KJ].tolist())) != num_kv_blocks
     segmented = segment_ids is not None
     assert 0.0 <= dropout_rate < 1.0, dropout_rate
 
@@ -382,6 +431,7 @@ def flash_attention_backward_fused(
         scale=scale,
         dynamic_offset=dynamic_offset,
         window_size=int(window or 0),
+        zero_init_kv=zero_init_kv,
     )
     in_specs = [
         pl.BlockSpec((1, 1, bq, d), q_index),

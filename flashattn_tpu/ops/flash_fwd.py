@@ -176,11 +176,18 @@ def _fwd_kernel(
          m_scratch, l_scratch, acc_scratch) = refs
     step = pl.program_id(2)
 
-    @pl.when(meta_ref[META_FIRST, step] == 1)
+    first = meta_ref[META_FIRST, step] == 1
+
+    @pl.when(first)
     def _init():
-        m_scratch[...] = jnp.full_like(m_scratch, MASK_VALUE)
-        l_scratch[...] = jnp.zeros_like(l_scratch)
-        acc_scratch[...] = jnp.zeros_like(acc_scratch)
+        # Init only the live (bq, 1) stat column. A full-scratch zeros pass
+        # (m, l, acc = ~1.5 MB VMEM writes at bq=1024, D=128) is pure
+        # per-q-row boundary overhead — the measured causal-fwd gap, since
+        # causal rows average half the steps of non-causal ones. acc needs
+        # no init at all: the first step writes it through (predicated
+        # below), which also skips that step's acc read + alpha multiply.
+        m_scratch[:, :1] = jnp.full((block_q, 1), MASK_VALUE, jnp.float32)
+        l_scratch[:, :1] = jnp.zeros((block_q, 1), jnp.float32)
 
     q = q_ref[0, 0]  # (block_q, D)
     k = k_ref[0, 0]  # (block_kv, D)
@@ -281,7 +288,14 @@ def _fwd_kernel(
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
-    acc_scratch[...] = acc_scratch[...] * alpha + pv
+
+    @pl.when(first)
+    def _acc_write_through():
+        acc_scratch[...] = pv
+
+    @pl.when(jnp.logical_not(first))
+    def _acc_rmw():
+        acc_scratch[...] = acc_scratch[...] * alpha + pv
 
     @pl.when(meta_ref[META_LAST, step] == 1)
     def _finalize():

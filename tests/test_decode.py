@@ -223,6 +223,22 @@ def test_fp8e4m3_to_bf16_fast_bound():
     assert np.abs(got[finite & sub] - want[finite & sub]).max() <= 2.0**-7
 
 
+def test_fp8e4m3_to_bf16_pair_bit_identical():
+    """The two-bytes-per-i32-lane converter must match the per-byte fast
+    path bit-for-bit on every e4m3 code (it is a pure lowering experiment,
+    not a numerics change)."""
+    import numpy as np
+    from flashattn_tpu.ops.common import (fp8e4m3_to_bf16_fast,
+                                          fp8e4m3_to_bf16_pair)
+
+    codes = np.arange(256, dtype=np.uint8).reshape(2, 128)
+    x = jax.lax.bitcast_convert_type(jnp.asarray(codes), jnp.float8_e4m3fn)
+    a = np.asarray(fp8e4m3_to_bf16_fast(x), dtype=np.float32)
+    b = np.asarray(fp8e4m3_to_bf16_pair(x), dtype=np.float32)
+    same = (a == b) | (np.isnan(a) & np.isnan(b))
+    assert same.all()
+
+
 @pytest.mark.parametrize("t_chunk", [1, 8])
 def test_dead_cache_garbage_cannot_poison(t_chunk):
     """NaN/Inf in DEAD cache positions (beyond `length`) must not reach the
