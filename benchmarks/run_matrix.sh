@@ -11,6 +11,9 @@ cd "$(dirname "$0")/.."
 R=benchmarks/results
 mkdir -p "$R"
 
+# Winners measured under older kernel revisions are stale — resweep.
+rm -f ~/.cache/flashattn_tpu/autotune.json
+
 for D in 128 64; do
   for C in 1 0; do
     NAME=v5e_d${D}_$( [ "$C" = 1 ] && echo causal || echo noncausal )
@@ -24,6 +27,10 @@ done
 python benchmarks/decode_bench.py --tune-block-kv \
   > "$R/v5e_decode_kernel.jsonl.tmp" 2> "$R/decode_tune.log" \
   && mv "$R/v5e_decode_kernel.jsonl.tmp" "$R/v5e_decode_kernel.jsonl"
+
+# Ship the measured winners with the package: default (block_sizes=None)
+# calls resolve through this table on any machine (ops/autotune.py).
+cp ~/.cache/flashattn_tpu/autotune.json flashattn_tpu/ops/tuned_autotune.json
 
 python bench.py | tail -1
 python benchmarks/plot.py 2>/dev/null || true

@@ -519,9 +519,10 @@ def flash_attention_backward(
     if interpret is None:
         interpret = interpret_default()
     if block_sizes is None:
-        from flashattn_tpu.ops.autotune import default_block_sizes
+        from flashattn_tpu.ops.autotune import lookup_block_sizes
 
-        block_sizes = default_block_sizes(s_q, s_k, d, is_causal)
+        block_sizes = lookup_block_sizes(b, hq, hkv, s_q, s_k, d, is_causal,
+                                         q.dtype)
     block_sizes = block_sizes.clamp(s_q, s_k)
 
     assert impl in ("auto", "fused", "split"), impl

@@ -78,6 +78,17 @@ def test_autotune_key_separates_shapes_and_causality(tmp_cache):
     assert len(json.loads(tmp_cache.read_text())) == 3
 
 
+def test_lookup_block_sizes_resolves_cache_then_defaults(tmp_cache):
+    q, k, v = small_qkv()
+    # No cache entry: falls back to the measured-defaults table.
+    miss = at.lookup_block_sizes(1, 2, 2, 128, 128, 64, True, q.dtype)
+    assert miss == at.default_block_sizes(128, 128, 64, True)
+    # After a sweep, the default (block_sizes=None) path returns the winner.
+    won = at.autotune(q, k, v, is_causal=True)
+    hit = at.lookup_block_sizes(1, 2, 2, 128, 128, 64, True, q.dtype)
+    assert hit == won
+
+
 def test_to_block_sizes_ignores_extra_keys():
     bs = at._to_block_sizes({"block_q": 512, "bwd_impl": "fused",
                              "some_future_field": 1})
