@@ -64,6 +64,11 @@ class ModelConfig:
     norm_offset: float = 0.0
     # Qwen3-style per-head RMSNorm on q and k (over head_dim, pre-RoPE).
     qk_norm: bool = False
+    # Llama-3.1-style RoPE frequency scaling:
+    # (factor, low_freq_factor, high_freq_factor, original_max_position).
+    # None = plain RoPE. Wavelengths above original/low stretch by `factor`,
+    # below original/high stay put, in between interpolate smoothly.
+    rope_scaling: tuple[float, float, float, int] | None = None
 
     @property
     def q_per_kv(self) -> int:
@@ -98,6 +103,13 @@ LLAMA_8B = ModelConfig(
     head_dim=128,
     rope_theta=500000.0,
     max_seq_len=8192,
+)
+
+# Llama-3.1-8B: same geometry, llama3 RoPE scaling unlocks 128k context.
+LLAMA31_8B = dataclasses.replace(
+    LLAMA_8B,
+    rope_scaling=(8.0, 1.0, 4.0, 8192),
+    max_seq_len=131072,
 )
 
 # Gemma-2-9B geometry: alternating 4096-token local / global attention,

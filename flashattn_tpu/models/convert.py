@@ -139,6 +139,18 @@ def config_from_hf(hf_config, dtype=jnp.bfloat16) -> ModelConfig:
         )
     if mt == "qwen3":
         extra = dict(qk_norm=True)
+    rs = getattr(hf_config, "rope_scaling", None)
+    if rs and rs.get("rope_type", rs.get("type")) == "llama3":
+        # Llama-3.1+ frequency remap (transformers _compute_llama3_parameters).
+        extra["rope_scaling"] = (
+            float(rs["factor"]),
+            float(rs["low_freq_factor"]),
+            float(rs["high_freq_factor"]),
+            int(rs["original_max_position_embeddings"]),
+        )
+    elif rs and rs.get("rope_type", rs.get("type")) not in (None, "default"):
+        raise NotImplementedError(
+            f"rope_scaling type {rs!r} not supported (llama3 only)")
     return ModelConfig(
         **extra,
         vocab_size=hf_config.vocab_size,

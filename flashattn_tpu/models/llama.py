@@ -221,6 +221,16 @@ def rope_tables(cfg: ModelConfig, positions: jnp.ndarray):
     """positions [.., S] -> (cos, sin) [.., S, head_dim/2] f32."""
     half = cfg.head_dim // 2
     freqs = cfg.rope_theta ** (-jnp.arange(0, half, dtype=jnp.float32) / half)
+    if cfg.rope_scaling is not None:
+        # Llama-3.1 frequency remap: long wavelengths (past the original
+        # training context / low_freq_factor) stretch by `factor`, short
+        # ones stay, the band in between interpolates smoothly (matches
+        # transformers' _compute_llama3_parameters).
+        factor, low_f, high_f, orig_max = cfg.rope_scaling
+        wavelen = 2.0 * jnp.pi / freqs
+        smooth = (orig_max / wavelen - low_f) / (high_f - low_f)
+        smooth = jnp.clip(smooth, 0.0, 1.0)
+        freqs = (1.0 - smooth) * freqs / factor + smooth * freqs
     angles = positions[..., None].astype(jnp.float32) * freqs
     return jnp.cos(angles), jnp.sin(angles)
 

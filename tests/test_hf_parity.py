@@ -266,6 +266,57 @@ def test_qwen3_parity():
     assert [int(t) for t in ours[0]] == hf_new
 
 
+def test_llama3_rope_scaling_parity():
+    """transformers LlamaForCausalLM with rope_scaling rope_type='llama3'
+    (Llama-3.1+ checkpoints): the frequency remap must match HF's
+    _compute_llama3_parameters — exercised past the original context so the
+    stretched low-frequency band actually matters."""
+    hf_cfg = transformers.LlamaConfig(
+        vocab_size=256,
+        hidden_size=128,
+        intermediate_size=256,
+        num_hidden_layers=2,
+        num_attention_heads=4,
+        num_key_value_heads=2,
+        max_position_embeddings=256,
+        rms_norm_eps=1e-5,
+        rope_theta=10000.0,
+        rope_scaling={
+            "rope_type": "llama3",
+            "factor": 8.0,
+            "low_freq_factor": 1.0,
+            "high_freq_factor": 4.0,
+            "original_max_position_embeddings": 32,
+        },
+        tie_word_embeddings=False,
+        attn_implementation="eager",
+    )
+    torch.manual_seed(17)
+    model = transformers.LlamaForCausalLM(hf_cfg).eval()
+    cfg = config_from_hf(hf_cfg, dtype=jnp.float32)
+    assert cfg.rope_scaling == (8.0, 1.0, 4.0, 32)
+    params = params_from_hf(model.state_dict(), cfg)
+
+    rng = np.random.default_rng(5)
+    tokens = rng.integers(0, hf_cfg.vocab_size, size=(1, 96))  # > orig 32
+    with torch.no_grad():
+        hf_logits = model(torch.from_numpy(tokens)).logits.numpy()
+    ours = np.asarray(llama.forward(params, jnp.asarray(tokens, jnp.int32),
+                                    cfg))
+    np.testing.assert_allclose(ours, hf_logits, rtol=2e-3, atol=2e-3)
+
+    # Decode path shares rope_tables; greedy generation must match too.
+    prompt = tokens[:, :40]
+    with torch.no_grad():
+        hf_out = model.generate(
+            torch.from_numpy(prompt), max_new_tokens=8, do_sample=False,
+            pad_token_id=0)
+    hf_new = hf_out[0, prompt.shape[1]:].numpy().tolist()
+    out = generate.generate(params, jnp.asarray(prompt, jnp.int32), cfg,
+                            max_new_tokens=8, max_len=256)
+    assert [int(t) for t in out[0]] == hf_new
+
+
 def test_convert_cli_roundtrip(tmp_path, hf_model):
     """tools/convert_hf.py: HF save_pretrained dir -> Orbax checkpoint +
     config JSON -> load_converted reproduces the live conversion exactly."""
