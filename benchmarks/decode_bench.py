@@ -63,6 +63,11 @@ def kernel_sweep(args):
                     if sec_c < best_sec:
                         best_bkv, best_sec = bk, sec_c
                 sec = best_sec
+                # Persist the winner: decode's block_kv=None default resolves
+                # through the autotune cache (shipped by run_matrix.sh).
+                from flashattn_tpu.ops.autotune import save_decode_block_kv
+
+                save_decode_block_kv(b, hkv, s, d, cache.k.dtype, best_bkv)
             else:
                 # Sub-millisecond kernels: chain on device (one dispatch) so
                 # the relay's per-dispatch overlap can't under-measure.

@@ -255,6 +255,33 @@ def autotune(
     return _to_block_sizes(result)
 
 
+def _decode_key(b, hkv, s_max, d, dtype) -> str:
+    kind = jax.devices()[0].device_kind.replace(" ", "")
+    return f"{kind}|decode|b{b}h{hkv}|s{s_max}d{d}|{dtype}"
+
+
+def cached_decode_block_kv(b, hkv, s_max, d, dtype) -> int | None:
+    """Swept decode block_kv for this exact (batch, heads, cache, dtype)
+    shape, if decode_bench --tune-block-kv ran it on this device; consumed
+    by the decode launchers' block_kv=None default."""
+    try:
+        entry = _load_cache().get(_decode_key(b, hkv, s_max, d, dtype))
+        return int(entry["block_kv"]) if entry else None
+    except Exception:
+        return None
+
+
+def save_decode_block_kv(b, hkv, s_max, d, dtype, block_kv: int) -> None:
+    """Persist a measured decode block_kv winner (decode_bench writes these;
+    run_matrix.sh ships the cache with the package)."""
+    cache = _load_cache()
+    cache[_decode_key(b, hkv, s_max, d, dtype)] = {"block_kv": int(block_kv)}
+    try:
+        _save_cache()
+    except Exception:
+        pass
+
+
 def cached_bwd_impl(b, hq, hkv, s_q, s_k, d, is_causal, dtype) -> str | None:
     """The measured fused-vs-split backward winner for this shape, if the
     autotuner ran on it (consumed by flash_attention_backward's 'auto'

@@ -335,6 +335,10 @@ def _decode_attention(
         interpret = interpret_default()
     assert s_max % 128 == 0, f"cache max_len must be a multiple of 128, got {s_max}"
     if block_kv is None:
+        from flashattn_tpu.ops.autotune import cached_decode_block_kv
+
+        block_kv = cached_decode_block_kv(b, hkv, s_max, d, cache.k.dtype)
+    if block_kv is None:
         # Quantized tiles are 1-2x smaller in bytes, so larger blocks restore
         # the DMA:fixed-overhead ratio (v5e sweep: int8 4096, fp8 8192).
         if cache.k.dtype == jnp.int8:

@@ -89,6 +89,15 @@ def test_lookup_block_sizes_resolves_cache_then_defaults(tmp_cache):
     assert hit == won
 
 
+def test_decode_block_kv_cache_roundtrip(tmp_cache):
+    assert at.cached_decode_block_kv(8, 8, 32768, 128, "int8") is None
+    at.save_decode_block_kv(8, 8, 32768, 128, "int8", 4096)
+    assert at.cached_decode_block_kv(8, 8, 32768, 128, "int8") == 4096
+    # Winners are shape- and dtype-keyed.
+    assert at.cached_decode_block_kv(8, 8, 32768, 128, "fp8") is None
+    assert at.cached_decode_block_kv(8, 8, 8192, 128, "int8") is None
+
+
 def test_to_block_sizes_ignores_extra_keys():
     bs = at._to_block_sizes({"block_q": 512, "bwd_impl": "fused",
                              "some_future_field": 1})
