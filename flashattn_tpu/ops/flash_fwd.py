@@ -152,6 +152,7 @@ def _fwd_kernel(
     causal_offset: int,
     dynamic_offset: bool = False,
     window_size: int = 0,
+    mxu_l: bool = False,
 ):
     # dynoff (1,) SMEM int32 (dynamic_offset only): TRACED q/k alignment —
     # zigzag ring hops have device-dependent shard offsets, so the window's
@@ -170,10 +171,16 @@ def _fwd_kernel(
         slopes_ref, *refs = refs  # SMEM (Hq,) f32 per-head ALiBi slopes
     if segmented:
         (q_ref, k_ref, v_ref, segq_ref, segk_ref, o_ref, lse_ref,
-         m_scratch, l_scratch, acc_scratch) = refs
+         *scratch) = refs
     else:
-        (q_ref, k_ref, v_ref, o_ref, lse_ref,
-         m_scratch, l_scratch, acc_scratch) = refs
+        (q_ref, k_ref, v_ref, o_ref, lse_ref, *scratch) = refs
+    if mxu_l:
+        # l rides in the PV dot's spare output lanes (ones-column in V) and
+        # accumulates inside acc — no l scratch, no VPU sum pass.
+        m_scratch, acc_scratch = scratch
+        l_scratch = None
+    else:
+        m_scratch, l_scratch, acc_scratch = scratch
     step = pl.program_id(2)
 
     first = meta_ref[META_FIRST, step] == 1
@@ -187,7 +194,8 @@ def _fwd_kernel(
         # no init at all: the first step writes it through (predicated
         # below), which also skips that step's acc read + alpha multiply.
         m_scratch[:, :1] = jnp.full((block_q, 1), MASK_VALUE, jnp.float32)
-        l_scratch[:, :1] = jnp.zeros((block_q, 1), jnp.float32)
+        if not mxu_l:
+            l_scratch[:, :1] = jnp.zeros((block_q, 1), jnp.float32)
 
     q = q_ref[0, 0]  # (block_q, D)
     k = k_ref[0, 0]  # (block_kv, D)
@@ -245,7 +253,6 @@ def _fwd_kernel(
         s = jnp.where(mask, s, MASK_VALUE)
 
     m_prev = m_scratch[:, :1]  # (block_q, 1)
-    l_prev = l_scratch[:, :1]
     m_cur = jnp.max(s, axis=1, keepdims=True)
     m_new = jnp.maximum(m_prev, m_cur)
     alpha = jnp.exp2(m_prev - m_new)
@@ -261,10 +268,11 @@ def _fwd_kernel(
         riota = jax.lax.broadcasted_iota(jnp.int32, (block_q, 1), 0)
         valid = riota + (meta_ref[META_QI, step] * block_q + causal_offset) >= 0
         p = jnp.where(valid, p, 0.0)
-    l_new = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
+    if not mxu_l:
+        l_new = alpha * l_scratch[:, :1] + jnp.sum(p, axis=1, keepdims=True)
+        l_scratch[:, :1] = l_new
 
     m_scratch[:, :1] = m_new
-    l_scratch[:, :1] = l_new
 
     if dropout_rate > 0.0:
         # Dropout on the UNnormalized P feeding the PV dot only: l keeps the
@@ -300,9 +308,17 @@ def _fwd_kernel(
     @pl.when(meta_ref[META_LAST, step] == 1)
     def _finalize():
         m = m_scratch[:, :1]
-        l = l_scratch[:, :1]
+        d_out = o_ref.shape[-1]
+        if mxu_l:
+            # l accumulated in the ones-column lane of the PV dot (it obeys
+            # the exact same alpha recurrence as the numerator).
+            l = acc_scratch[:, d_out:d_out + 1]
+            acc = acc_scratch[:, :d_out]
+        else:
+            l = l_scratch[:, :1]
+            acc = acc_scratch[...]
         l_safe = jnp.where(l == 0.0, 1.0, l)
-        o_ref[0, 0] = (acc_scratch[...] / l_safe).astype(o_ref.dtype)
+        o_ref[0, 0] = (acc / l_safe).astype(o_ref.dtype)
         # LSE in natural-log units: ln Σ exp(s·scale) = (m + log2 l)·ln2.
         # Stored [.., S, 1] so row stats stay sublane-aligned in VMEM.
         lse = (m + jnp.log2(l_safe)) * LN2
@@ -397,6 +413,21 @@ def flash_attention_forward(
     k_p = pad_to_block(k, 2, bkv)
     v_p = pad_to_block(v, 2, bkv)
     s_q_p, s_k_p = q_p.shape[2], k_p.shape[2]
+
+    # Sub-128 head dims waste MXU output lanes on the PV dot anyway — spend
+    # one of them on the softmax row-sum: append a ones-column to V at lane
+    # d (zero-fill to the lane boundary) and let l accumulate inside acc,
+    # deleting the full-tile VPU sum pass and the l recurrence per step.
+    # Disabled under dropout (PV sees the dropped P; l must stay clean).
+    mxu_l = (d % 128 != 0) and dropout_rate == 0.0
+    d_ext = d
+    if mxu_l:
+        from flashattn_tpu.ops.common import round_up
+
+        d_ext = round_up(d + 1, 128)
+        ones = jnp.ones(v_p.shape[:3] + (1,), v_p.dtype)
+        zeros = jnp.zeros(v_p.shape[:3] + (d_ext - d - 1,), v_p.dtype)
+        v_p = jnp.concatenate([v_p, ones, zeros], axis=-1)
     num_q_blocks = s_q_p // bq
     num_kv_blocks = s_k_p // bkv
 
@@ -439,6 +470,7 @@ def flash_attention_forward(
         causal_offset=causal_offset,
         dynamic_offset=dynamic_offset,
         window_size=int(window or 0),
+        mxu_l=mxu_l,
     )
     assert not (alibi and logit_softcap), "alibi + softcap: pick one"
 
@@ -469,7 +501,7 @@ def flash_attention_forward(
     in_specs = [
         pl.BlockSpec((1, 1, bq, d), q_index),
         pl.BlockSpec((1, 1, bkv, d), kv_index),
-        pl.BlockSpec((1, 1, bkv, d), kv_index),
+        pl.BlockSpec((1, 1, bkv, d_ext), kv_index),
     ]
     inputs = [q_p, k_p, v_p]
     if segmented:
@@ -498,11 +530,14 @@ def flash_attention_forward(
             pl.BlockSpec((1, 1, bq, d), q_index),
             pl.BlockSpec((1, 1, bq, 1), lse_index),
         ],
-        scratch_shapes=[
-            pltpu.VMEM((bq, 128), jnp.float32),
-            pltpu.VMEM((bq, 128), jnp.float32),
-            pltpu.VMEM((bq, d), jnp.float32),
-        ],
+        scratch_shapes=(
+            [pltpu.VMEM((bq, 128), jnp.float32),
+             pltpu.VMEM((bq, d_ext), jnp.float32)]
+            if mxu_l else
+            [pltpu.VMEM((bq, 128), jnp.float32),
+             pltpu.VMEM((bq, 128), jnp.float32),
+             pltpu.VMEM((bq, d), jnp.float32)]
+        ),
     )
     o, lse = pl.pallas_call(
         kernel,
