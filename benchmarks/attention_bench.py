@@ -51,6 +51,17 @@ def _provider_fn(provider: str, is_causal: bool, block_sizes=None):
         return xla_fn
     if provider == "naive":
         return functools.partial(reference_attention, is_causal=is_causal)
+    if provider == "jax_flash":
+        # jax's own Pallas TPU flash attention — the apples-to-apples
+        # competitor row (same chip, same grid abstraction). TPU-only:
+        # it exposes no interpret flag, so it cannot run on the CPU backend.
+        from jax.experimental.pallas.ops.tpu import flash_attention as jfa
+
+        def jax_flash_fn(q, k, v):
+            return jfa.flash_attention(
+                q, k, v, causal=is_causal,
+                sm_scale=1.0 / q.shape[-1] ** 0.5)
+        return jax_flash_fn
     raise ValueError(provider)
 
 

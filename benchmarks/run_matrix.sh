@@ -18,7 +18,7 @@ for D in 128 64; do
   for C in 1 0; do
     NAME=v5e_d${D}_$( [ "$C" = 1 ] && echo causal || echo noncausal )
     python benchmarks/attention_bench.py --d "$D" --causal "$C" \
-      --modes fwd,bwd,fwd_bwd --autotune \
+      --modes fwd,bwd,fwd_bwd --autotune --providers flash,xla,jax_flash \
       > "$R/${NAME}.jsonl.tmp" 2> "$R/${NAME}.log" \
       && mv "$R/${NAME}.jsonl.tmp" "$R/${NAME}.jsonl"
   done
