@@ -50,6 +50,8 @@ _SMOKE = [
     "test_serve.py::test_single_request_matches_generate",
     "test_model.py::test_forward_shapes",
     "test_paged.py::test_paged_matches_dense_single[int8]",
+    "test_decode.py::test_fp8e4m3_to_bf16_pair_bit_identical",
+    "test_autotune.py::test_lookup_block_sizes_resolves_cache_then_defaults",
 ]
 
 
