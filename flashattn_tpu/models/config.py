@@ -69,6 +69,13 @@ class ModelConfig:
     # None = plain RoPE. Wavelengths above original/low stretch by `factor`,
     # below original/high stay put, in between interpolate smoothly.
     rope_scaling: tuple[float, float, float, int] | None = None
+    # Phi-3-style longrope scaling:
+    # (short_factors tuple[D/2], long_factors tuple[D/2],
+    #  original_max_position, attention_factor). Per-call the factor set is
+    # chosen by max position (long once past the original context) — the
+    # same insert-time switching transformers applies with a KV cache —
+    # and cos/sin are scaled by attention_factor.
+    rope_longrope: tuple | None = None
 
     @property
     def q_per_kv(self) -> int:

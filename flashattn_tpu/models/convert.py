@@ -140,7 +140,8 @@ def config_from_hf(hf_config, dtype=jnp.bfloat16) -> ModelConfig:
     if mt == "qwen3":
         extra = dict(qk_norm=True)
     rs = getattr(hf_config, "rope_scaling", None)
-    if rs and rs.get("rope_type", rs.get("type")) == "llama3":
+    rs_type = rs.get("rope_type", rs.get("type")) if rs else None
+    if rs_type == "llama3":
         # Llama-3.1+ frequency remap (transformers _compute_llama3_parameters).
         extra["rope_scaling"] = (
             float(rs["factor"]),
@@ -148,9 +149,28 @@ def config_from_hf(hf_config, dtype=jnp.bfloat16) -> ModelConfig:
             float(rs["high_freq_factor"]),
             int(rs["original_max_position_embeddings"]),
         )
-    elif rs and rs.get("rope_type", rs.get("type")) not in (None, "default"):
+    elif rs_type in ("longrope", "su"):
+        # Phi-3 longrope (transformers _compute_longrope_parameters): the
+        # default attention factor is sqrt(1 + ln(factor)/ln(original)).
+        import math
+
+        orig = int(getattr(hf_config, "original_max_position_embeddings",
+                           hf_config.max_position_embeddings))
+        factor = hf_config.max_position_embeddings / orig
+        attn_factor = rs.get("attention_factor")
+        if attn_factor is None:
+            attn_factor = (1.0 if factor <= 1.0
+                           else math.sqrt(1.0 + math.log(factor)
+                                          / math.log(orig)))
+        extra["rope_longrope"] = (
+            tuple(float(f) for f in rs["short_factor"]),
+            tuple(float(f) for f in rs["long_factor"]),
+            orig,
+            float(attn_factor),
+        )
+    elif rs_type not in (None, "default"):
         raise NotImplementedError(
-            f"rope_scaling type {rs!r} not supported (llama3 only)")
+            f"rope_scaling type {rs!r} not supported (llama3/longrope only)")
     return ModelConfig(
         **extra,
         vocab_size=hf_config.vocab_size,

@@ -221,6 +221,17 @@ def rope_tables(cfg: ModelConfig, positions: jnp.ndarray):
     """positions [.., S] -> (cos, sin) [.., S, head_dim/2] f32."""
     half = cfg.head_dim // 2
     freqs = cfg.rope_theta ** (-jnp.arange(0, half, dtype=jnp.float32) / half)
+    if cfg.rope_longrope is not None:
+        # Phi-3 longrope: per-dim inverse factors, the long set once the
+        # call's max position passes the original context (matches
+        # transformers' per-call switch — with a KV cache both stacks
+        # rotate K at insert time with the then-active set).
+        short_f, long_f, orig_max, attn_factor = cfg.rope_longrope
+        short = freqs / jnp.asarray(short_f, jnp.float32)
+        long = freqs / jnp.asarray(long_f, jnp.float32)
+        freqs = jnp.where(jnp.max(positions) + 1 > orig_max, long, short)
+        angles = positions[..., None].astype(jnp.float32) * freqs
+        return (jnp.cos(angles) * attn_factor, jnp.sin(angles) * attn_factor)
     if cfg.rope_scaling is not None:
         # Llama-3.1 frequency remap: long wavelengths (past the original
         # training context / low_freq_factor) stretch by `factor`, short

@@ -317,6 +317,49 @@ def test_llama3_rope_scaling_parity():
     assert [int(t) for t in out[0]] == hf_new
 
 
+def test_phi3_longrope_parity():
+    """transformers Phi3ForCausalLM with rope_scaling type 'longrope'
+    (Phi-3-mini-128k / Phi-3.5): per-dim short/long factor sets switch at
+    the original context length and cos/sin carry the attention factor —
+    teacher-forced logits must match BOTH below and above the boundary."""
+    half = 16  # head_dim 32 -> 16 factors per set
+    hf_cfg = transformers.Phi3Config(
+        vocab_size=256,
+        hidden_size=128,
+        intermediate_size=256,
+        num_hidden_layers=2,
+        num_attention_heads=4,
+        num_key_value_heads=2,
+        max_position_embeddings=256,
+        original_max_position_embeddings=64,
+        rms_norm_eps=1e-5,
+        rope_theta=10000.0,
+        rope_scaling={
+            "type": "longrope",
+            "short_factor": [1.0 + 0.02 * i for i in range(half)],
+            "long_factor": [2.0 + 0.25 * i for i in range(half)],
+        },
+        tie_word_embeddings=False,
+        sliding_window=None,
+        pad_token_id=0,
+        attn_implementation="eager",
+    )
+    torch.manual_seed(23)
+    model = transformers.Phi3ForCausalLM(hf_cfg).eval()
+    cfg = config_from_hf(hf_cfg, dtype=jnp.float32)
+    assert cfg.rope_longrope is not None and cfg.rope_longrope[2] == 64
+    params = params_from_hf(model.state_dict(), cfg)
+
+    rng = np.random.default_rng(7)
+    for s in (48, 96):  # short side and long side of the 64 boundary
+        tokens = rng.integers(0, hf_cfg.vocab_size, size=(1, s))
+        with torch.no_grad():
+            hf_logits = model(torch.from_numpy(tokens)).logits.numpy()
+        ours = llama.forward(params, jnp.asarray(tokens, jnp.int32), cfg)
+        np.testing.assert_allclose(np.asarray(ours), hf_logits,
+                                   rtol=2e-3, atol=2e-3)
+
+
 def test_convert_cli_roundtrip(tmp_path, hf_model):
     """tools/convert_hf.py: HF save_pretrained dir -> Orbax checkpoint +
     config JSON -> load_converted reproduces the live conversion exactly."""
