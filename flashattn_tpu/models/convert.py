@@ -97,15 +97,39 @@ def params_from_hf(state_dict: Mapping[str, Any], cfg: ModelConfig) -> Params:
                 "k_norm": jnp.asarray(
                     take(p + "self_attn.k_norm.weight"), cfg.dtype),
             } if cfg.qk_norm else {}),
-            **(_split_gate_up(take(p + "mlp.gate_up_proj.weight"),
-                              cfg.dtype)
-               if p + "mlp.gate_up_proj.weight" in sd else {
-                   "w_gate": linear(p + "mlp.gate_proj.weight"),
-                   "w_up": linear(p + "mlp.up_proj.weight"),
-               }),
-            "w_down": linear(p + "mlp.down_proj.weight"),
+            **_ffn_params(sd, p, cfg, take, linear),
         })
     return params
+
+
+def _ffn_params(sd, p, cfg, take, linear) -> dict:
+    """Dense SwiGLU (plain / Phi-3 fused) or Mixtral block-sparse MoE."""
+    if p + "block_sparse_moe.gate.weight" in sd:
+        # Mixtral: experts stacked on axis 0 to our (E, H, F)/(E, F, H)
+        # layout (w1 = gate, w3 = up, w2 = down; each HF [out, in]).
+        def experts(name):
+            return jnp.stack([
+                jnp.asarray(
+                    _np(sd[f"{p}block_sparse_moe.experts.{j}.{name}.weight"]).T,
+                    cfg.dtype)
+                for j in range(cfg.num_experts)
+            ])
+
+        return {"moe": {
+            "router": linear(p + "block_sparse_moe.gate.weight"),
+            "w_gate": experts("w1"),
+            "w_up": experts("w3"),
+            "w_down": experts("w2"),
+        }}
+    gup = {}
+    if p + "mlp.gate_up_proj.weight" in sd:
+        gup = _split_gate_up(take(p + "mlp.gate_up_proj.weight"), cfg.dtype)
+    else:
+        gup = {
+            "w_gate": linear(p + "mlp.gate_proj.weight"),
+            "w_up": linear(p + "mlp.up_proj.weight"),
+        }
+    return {**gup, "w_down": linear(p + "mlp.down_proj.weight")}
 
 
 def _split_gate_up(gate_up: np.ndarray, dtype) -> dict:
@@ -124,6 +148,14 @@ def config_from_hf(hf_config, dtype=jnp.bfloat16) -> ModelConfig:
     mt = getattr(hf_config, "model_type", "")
     gemma2 = mt == "gemma2"
     extra = {}
+    if mt == "gemma":
+        # Gemma-1: Gemma conventions minus the Gemma-2 additions (no
+        # soft-caps, no sandwich norms, no alternating window).
+        extra = dict(
+            mlp_activation="gelu_tanh",
+            scale_embeddings=True,
+            norm_offset=1.0,
+        )
     if gemma2:
         extra = dict(
             window_pattern="alternate",  # HF layer_types: even layers slide
@@ -139,6 +171,11 @@ def config_from_hf(hf_config, dtype=jnp.bfloat16) -> ModelConfig:
         )
     if mt == "qwen3":
         extra = dict(qk_norm=True)
+    if mt == "mixtral":
+        extra = dict(
+            num_experts=hf_config.num_local_experts,
+            top_k_experts=hf_config.num_experts_per_tok,
+        )
     rs = getattr(hf_config, "rope_scaling", None)
     rs_type = rs.get("rope_type", rs.get("type")) if rs else None
     if rs_type == "llama3":

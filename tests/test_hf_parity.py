@@ -225,6 +225,48 @@ def test_gemma2_parity():
     assert [int(t) for t in ours[0]] == hf_new
 
 
+def test_gemma1_parity():
+    """transformers GemmaForCausalLM (Gemma-1): (1+w) RMSNorm, GeGLU,
+    scaled tied embeddings, explicit head_dim — but none of Gemma-2's
+    soft-caps / sandwich norms / alternating window."""
+    hf_cfg = transformers.GemmaConfig(
+        vocab_size=256,
+        hidden_size=128,
+        intermediate_size=256,
+        num_hidden_layers=2,
+        num_attention_heads=4,
+        num_key_value_heads=2,
+        head_dim=48,
+        max_position_embeddings=256,
+        rms_norm_eps=1e-6,
+        attn_implementation="eager",
+    )
+    torch.manual_seed(29)
+    model = transformers.GemmaForCausalLM(hf_cfg).eval()
+    cfg = config_from_hf(hf_cfg, dtype=jnp.float32)
+    assert cfg.norm_offset == 1.0 and cfg.scale_embeddings
+    assert cfg.logit_softcap is None and not cfg.use_post_norms
+    params = params_from_hf(model.state_dict(), cfg)
+
+    rng = np.random.default_rng(9)
+    tokens = rng.integers(0, hf_cfg.vocab_size, size=(2, 48))
+    with torch.no_grad():
+        hf_logits = model(torch.from_numpy(tokens)).logits.numpy()
+    ours = np.asarray(llama.forward(params, jnp.asarray(tokens, jnp.int32),
+                                    cfg))
+    np.testing.assert_allclose(ours, hf_logits, rtol=2e-3, atol=2e-3)
+
+    prompt = np.asarray([[7, 3, 99, 21, 5]])
+    with torch.no_grad():
+        hf_out = model.generate(
+            torch.from_numpy(prompt), max_new_tokens=8, do_sample=False,
+            pad_token_id=0, eos_token_id=-1)
+    hf_new = hf_out[0, prompt.shape[1]:].numpy().tolist()
+    ours = generate.generate(params, jnp.asarray(prompt, jnp.int32), cfg,
+                             max_new_tokens=8, max_len=256)
+    assert [int(t) for t in ours[0]] == hf_new
+
+
 def test_qwen3_parity():
     """transformers Qwen3ForCausalLM: per-head q/k RMSNorm (pre-RoPE) and
     explicit head_dim != hidden/heads."""
@@ -358,6 +400,52 @@ def test_phi3_longrope_parity():
         ours = llama.forward(params, jnp.asarray(tokens, jnp.int32), cfg)
         np.testing.assert_allclose(np.asarray(ours), hf_logits,
                                    rtol=2e-3, atol=2e-3)
+
+
+def test_mixtral_moe_parity():
+    """transformers MixtralForCausalLM: block-sparse MoE experts stack into
+    our (E, H, F) layout, and HF's softmax->topk->renormalize routing equals
+    our topk->softmax-over-selected (identical math). Teacher-forced logits
+    + greedy decode must match."""
+    hf_cfg = transformers.MixtralConfig(
+        vocab_size=256,
+        hidden_size=128,
+        intermediate_size=256,
+        num_hidden_layers=2,
+        num_attention_heads=4,
+        num_key_value_heads=2,
+        num_local_experts=4,
+        num_experts_per_tok=2,
+        max_position_embeddings=256,
+        rms_norm_eps=1e-5,
+        rope_theta=10000.0,
+        sliding_window=None,
+        tie_word_embeddings=False,
+        attn_implementation="eager",
+    )
+    torch.manual_seed(31)
+    model = transformers.MixtralForCausalLM(hf_cfg).eval()
+    cfg = config_from_hf(hf_cfg, dtype=jnp.float32)
+    assert cfg.num_experts == 4 and cfg.top_k_experts == 2
+    params = params_from_hf(model.state_dict(), cfg)
+
+    rng = np.random.default_rng(11)
+    tokens = rng.integers(0, hf_cfg.vocab_size, size=(2, 48))
+    with torch.no_grad():
+        hf_logits = model(torch.from_numpy(tokens)).logits.numpy()
+    ours = np.asarray(llama.forward(params, jnp.asarray(tokens, jnp.int32),
+                                    cfg))
+    np.testing.assert_allclose(ours, hf_logits, rtol=2e-3, atol=2e-3)
+
+    prompt = np.asarray([[7, 3, 99, 21, 5]])
+    with torch.no_grad():
+        hf_out = model.generate(
+            torch.from_numpy(prompt), max_new_tokens=8, do_sample=False,
+            pad_token_id=0)
+    hf_new = hf_out[0, prompt.shape[1]:].numpy().tolist()
+    ours = generate.generate(params, jnp.asarray(prompt, jnp.int32), cfg,
+                             max_new_tokens=8, max_len=256)
+    assert [int(t) for t in ours[0]] == hf_new
 
 
 def test_convert_cli_roundtrip(tmp_path, hf_model):
