@@ -67,11 +67,12 @@ def train_step(
     cfg: ModelConfig,
     tc: TrainConfig,
     mesh=None,
+    segment_ids: jnp.ndarray | None = None,  # [B, S+1] packed-document ids
 ) -> tuple[dict, dict]:
     """One optimizer step -> (new_state, metrics). Sharding comes from the
     state/tokens placements (GSPMD); the attention island reads `mesh`."""
     loss, grads = jax.value_and_grad(llama.loss_fn)(
-        state["params"], tokens, cfg, mesh
+        state["params"], tokens, cfg, mesh, None, segment_ids
     )
     updates, new_opt = make_optimizer(tc).update(
         grads, state["opt_state"], state["params"]
@@ -156,7 +157,16 @@ def train(
     history = []
     for _ in range(steps):
         batch = next(data)
-        state, metrics = train_step(state, batch, cfg, tc, mesh)
+        # Batches are either a [B, S+1] token array or a dict with packed
+        # segment ids (models/data.PackedDataset emits the latter).
+        if isinstance(batch, dict):
+            tokens = jnp.asarray(batch["tokens"])
+            segs = batch.get("segment_ids")
+            segs = jnp.asarray(segs) if segs is not None else None
+        else:
+            tokens, segs = batch, None
+        state, metrics = train_step(state, tokens, cfg, tc, mesh,
+                                    segment_ids=segs)
         step = int(state["step"])
         if step % log_every == 0 or step == 1:
             history.append({"step": step,
