@@ -116,13 +116,16 @@ def prefetch(it: Iterator, size: int = 2) -> Iterator:
     def worker():
         try:
             for item in it:
-                q.put(item)
-        finally:
-            q.put(_END)
+                q.put((None, item))
+            q.put((None, _END))
+        except BaseException as e:  # re-raised in the consumer, not lost
+            q.put((e, None))
 
     threading.Thread(target=worker, daemon=True).start()
     while True:
-        item = q.get()
+        exc, item = q.get()
+        if exc is not None:
+            raise exc
         if item is _END:
             return
         yield item

@@ -70,9 +70,12 @@ def prefill(
         if not cfg.use_alibi:
             q = llama.apply_rope(q, cos, sin)
             k = llama.apply_rope(k, cos, sin)
-        upd = (append_paged if isinstance(cache, PagedKVCache)
-               else update_cache)
-        new_caches.append(upd(cache, k, v))
+        if isinstance(cache, PagedKVCache):
+            new_caches.append(append_paged(cache, k, v))
+        else:
+            # Prefill fills a fresh cache and admission bounds the prompt,
+            # so the drop guard's read-back is skipped (write-only path).
+            new_caches.append(update_cache(cache, k, v, assume_fits=True))
         from flashattn_tpu.ops.attention import flash_attention
 
         o = flash_attention(q, k, v, is_causal=True,

@@ -453,20 +453,23 @@ def _mlp_block(layer, x, cfg, mesh=None):
                     functools.partial(
                         moe_ffn_a2a, axis_name="ep",
                         top_k=cfg.top_k_experts,
-                        capacity_factor=cfg.moe_capacity_factor),
+                        capacity_factor=cfg.moe_capacity_factor,
+                        activation=cfg.mlp_activation),
                     mesh=mesh, in_specs=(P("ep"), specs), out_specs=P("ep"),
                     check_vma=False,
                 )(flat, layer["moe"])
             else:
                 out = jax.shard_map(
                     functools.partial(moe_ffn, axis_name="ep",
-                                      top_k=cfg.top_k_experts),
+                                      top_k=cfg.top_k_experts,
+                                      activation=cfg.mlp_activation),
                     mesh=mesh, in_specs=(P(), specs), out_specs=P(),
                     check_vma=False,
                 )(flat, layer["moe"])
         else:
             out = moe_ffn_dense_reference(flat, layer["moe"],
-                                          top_k=cfg.top_k_experts)
+                                          top_k=cfg.top_k_experts,
+                                          activation=cfg.mlp_activation)
         return out.reshape(xn.shape)
     gate = proj(xn, layer["w_gate"])
     up = proj(xn, layer["w_up"])

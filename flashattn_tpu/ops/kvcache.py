@@ -100,6 +100,7 @@ def update_cache(
     k_new: jnp.ndarray,
     v_new: jnp.ndarray,
     active: jnp.ndarray | None = None,
+    assume_fits: bool = False,
 ) -> KVCache:
     """Append T new tokens per sequence at the current length.
 
@@ -114,11 +115,17 @@ def update_cache(
     Appends past capacity are DROPPED (the row's buffer and length are
     preserved), mirroring append_paged's semantics — the clamped
     dynamic_update_slice would otherwise silently overwrite the row's last
-    T live tokens.
+    T live tokens. The drop guard needs the same read-back masking as
+    `active`; callers that guarantee capacity (prefill into a fresh cache,
+    admission-checked appends) pass `assume_fits=True` to keep the
+    write-only fast path — the read-back would double a prefill's cache
+    HBM traffic.
     """
     b, hkv, t, d = k_new.shape
-    fits = cache.length + t <= cache.k.shape[2]
-    active = fits if active is None else (active & fits)
+    assert t <= cache.k.shape[2], (t, cache.k.shape)
+    if not assume_fits:
+        fits = cache.length + t <= cache.k.shape[2]
+        active = fits if active is None else (active & fits)
     if cache.quantized:
         k_q, k_s = quantize_tokens(k_new, cache.k.dtype)
         v_q, v_s = quantize_tokens(v_new, cache.v.dtype)

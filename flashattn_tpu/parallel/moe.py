@@ -57,10 +57,16 @@ def router_gates(x: jnp.ndarray, router_w: jnp.ndarray, top_k: int):
     return top_idx.astype(jnp.int32), gates
 
 
-def _swiglu(x, wg, wu, wd):
+def _act(g, activation: str):
+    gf = g.astype(jnp.float32)
+    return (jax.nn.gelu(gf, approximate=True) if activation == "gelu_tanh"
+            else jax.nn.silu(gf))
+
+
+def _swiglu(x, wg, wu, wd, activation: str = "silu"):
     g = jnp.dot(x, wg)
     u = jnp.dot(x, wu)
-    return jnp.dot(jax.nn.silu(g.astype(jnp.float32)).astype(x.dtype) * u, wd)
+    return jnp.dot(_act(g, activation).astype(x.dtype) * u, wd)
 
 
 def moe_ffn(
@@ -68,6 +74,7 @@ def moe_ffn(
     params,  # router replicated; expert leaves are the LOCAL [E/n, ...] shard
     axis_name: str,
     top_k: int = 2,
+    activation: str = "silu",
 ) -> jnp.ndarray:
     """Expert-parallel MoE FFN; call INSIDE shard_map with expert weights
     sharded over `axis_name` (router replicated). Returns [T, H]."""
@@ -84,7 +91,7 @@ def moe_ffn(
             jnp.where(expert_ids == base + j, gates, 0.0), axis=-1
         )  # [T] — this local expert's gate (0 for unrouted tokens)
         y = _swiglu(x, params["w_gate"][j], params["w_up"][j],
-                    params["w_down"][j])
+                    params["w_down"][j], activation)
         acc = acc + y.astype(jnp.float32) * weight[:, None]
     return lax.psum(acc, axis_name).astype(x.dtype)
 
@@ -96,6 +103,7 @@ def moe_ffn_a2a(
     top_k: int = 2,
     capacity_factor: float = 2.0,
     capacity: int | None = None,
+    activation: str = "silu",
 ) -> jnp.ndarray:
     """GShard-style all_to_all expert dispatch; call INSIDE shard_map with
     tokens sharded over `axis_name` (see module docstring).
@@ -105,6 +113,11 @@ def moe_ffn_a2a(
     routed past an expert's capacity are dropped (their gate weight simply
     contributes nothing), prioritized by router choice rank — the classic
     capacity/exactness trade the masked-dense path avoids.
+
+    Dispatch and combine are scatter/gather on a flat [E·C, H] queue (VJPs:
+    gather/scatter) — O(kT·H + E·C·H) memory. The dense one-hot dispatch
+    tensors of the textbook einsum formulation ([kT, E, C] — hundreds of MB
+    per layer at training shapes, all saved for backward) never exist.
     """
     n = lax.axis_size(axis_name)
     e = params["router"].shape[1]
@@ -120,34 +133,35 @@ def moe_ffn_a2a(
     expert_ids, gates = router_gates(x, params["router"], top_k)  # [T, k]
 
     # Queue slot assignment, choice-major priority (all rank-0 choices claim
-    # slots before any rank-1 choice, GShard-style).
-    m = jax.nn.one_hot(expert_ids, e, dtype=jnp.int32)  # [T, k, E]
-    m_cm = m.transpose(1, 0, 2).reshape(top_k * t_l, e)  # choice-major
+    # slots before any rank-1 choice, GShard-style). Choice-major row
+    # ordering: row c*T + t is token t's c-th choice.
+    ids_cm = expert_ids.T.reshape(top_k * t_l)  # [kT]
+    m_cm = jax.nn.one_hot(ids_cm, e, dtype=jnp.int32)  # [kT, E]
     pos_all = jnp.cumsum(m_cm, axis=0) - m_cm  # [kT, E]
-    pos = jnp.sum(pos_all * m_cm, axis=1)  # [kT] slot within chosen expert
+    pos = jnp.take_along_axis(pos_all, ids_cm[:, None], axis=1)[:, 0]
     keep = pos < capacity
-    slot_oh = jax.nn.one_hot(pos, capacity, dtype=jnp.float32)
-    slot_oh = slot_oh * keep[:, None].astype(jnp.float32)  # [kT, C]
-    disp = m_cm.astype(jnp.float32)[:, :, None] * slot_oh[:, None, :]
-    gates_cm = gates.T.reshape(top_k * t_l)
-    disp_t = disp.reshape(top_k, t_l, e, capacity).sum(0)  # [T, E, C] 0/1
-    comb_t = (disp * gates_cm[:, None, None]).reshape(
-        top_k, t_l, e, capacity).sum(0)  # [T, E, C] gate weights
+    # Flat queue index; dropped entries point past the end and fall out of
+    # the scatter (mode="drop") / gather (mode="fill").
+    dest = jnp.where(keep, ids_cm * capacity + pos, e * capacity)
 
-    # Pack per-expert queues and ship each expert its global queue.
-    expert_in = jnp.einsum(
-        "tec,th->ech", disp_t.astype(x.dtype), x)  # [E, C, H]
+    x_cm = jnp.tile(x, (top_k, 1))  # [kT, H] row c*T+t = x[t]
+    expert_in = jnp.zeros((e * capacity, h), x.dtype).at[dest].add(
+        x_cm, mode="drop").reshape(e, capacity, h)
     ein = lax.all_to_all(expert_in, axis_name, split_axis=0, concat_axis=1,
                          tiled=True)  # [e_local, n*C, H]
 
     g = jnp.einsum("ech,ehf->ecf", ein, params["w_gate"])
     u = jnp.einsum("ech,ehf->ecf", ein, params["w_up"])
-    act = jax.nn.silu(g.astype(jnp.float32)).astype(x.dtype) * u
+    act = _act(g, activation).astype(x.dtype) * u
     y = jnp.einsum("ecf,efh->ech", act, params["w_down"])
 
     yout = lax.all_to_all(y, axis_name, split_axis=1, concat_axis=0,
                           tiled=True)  # [E, C, H] back at the token owner
-    out = jnp.einsum("tec,ech->th", comb_t, yout.astype(jnp.float32))
+    y_tok = jnp.take(yout.reshape(e * capacity, h), dest, axis=0,
+                     mode="fill", fill_value=0)  # [kT, H]
+    w = gates.T.reshape(top_k * t_l) * keep.astype(jnp.float32)
+    out = (y_tok.astype(jnp.float32) * w[:, None]).reshape(
+        top_k, t_l, h).sum(0)
     return out.astype(x.dtype)
 
 
@@ -167,13 +181,14 @@ def router_aux_loss(x: jnp.ndarray, router_w: jnp.ndarray,
     return e * jnp.sum(f * p)
 
 
-def moe_ffn_dense_reference(x, params, top_k: int = 2):
+def moe_ffn_dense_reference(x, params, top_k: int = 2,
+                            activation: str = "silu"):
     """Unsharded oracle: all experts on one device."""
     expert_ids, gates = router_gates(x, params["router"], top_k)
     acc = jnp.zeros(x.shape, jnp.float32)
     for j in range(params["w_gate"].shape[0]):
         weight = jnp.sum(jnp.where(expert_ids == j, gates, 0.0), axis=-1)
         y = _swiglu(x, params["w_gate"][j], params["w_up"][j],
-                    params["w_down"][j])
+                    params["w_down"][j], activation)
         acc = acc + y.astype(jnp.float32) * weight[:, None]
     return acc.astype(x.dtype)

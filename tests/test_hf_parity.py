@@ -473,3 +473,26 @@ def test_convert_cli_roundtrip(tmp_path, hf_model):
     with torch.no_grad():
         hf_logits = model(torch.from_numpy(tokens)).logits.numpy()
     np.testing.assert_allclose(out, hf_logits, rtol=2e-3, atol=2e-3)
+
+
+def test_load_config_restores_hashable_tuples(tmp_path):
+    """config.json round-trip must yield a HASHABLE ModelConfig (cfg is a
+    static jit argument) — JSON lists for rope_scaling/rope_longrope must
+    come back as (nested) tuples."""
+    import dataclasses as dc
+    import json as js
+
+    from flashattn_tpu.models.config import ModelConfig
+    from tools.convert_hf import load_config
+
+    cfg = ModelConfig(
+        rope_scaling=(8.0, 1.0, 4.0, 8192),
+        rope_longrope=((1.0, 1.1), (2.0, 2.5), 64, 1.19),
+    )
+    fields = dc.asdict(cfg)
+    fields["dtype"] = "bf16"
+    (tmp_path / "config.json").write_text(js.dumps(fields))
+    loaded = load_config(str(tmp_path))
+    hash(loaded)  # would raise TypeError on lists
+    assert loaded.rope_scaling == cfg.rope_scaling
+    assert loaded.rope_longrope == cfg.rope_longrope

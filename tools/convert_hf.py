@@ -55,20 +55,32 @@ def params_leaves(params):
     return jax.tree_util.tree_leaves(params)
 
 
-def load_converted(dst: str):
-    """Load a converted checkpoint -> (params, ModelConfig)."""
+def load_config(dst: str):
+    """Load the saved config.json -> hashable ModelConfig."""
     import jax.numpy as jnp
-    import orbax.checkpoint as ocp
 
     from flashattn_tpu.models.config import ModelConfig
 
-    out = Path(dst)
-    fields = json.loads((out / "config.json").read_text())
+    fields = json.loads((Path(dst) / "config.json").read_text())
     fields["dtype"] = {"bf16": jnp.bfloat16, "f32": jnp.float32}[
         fields["dtype"]]
-    cfg = ModelConfig(**fields)
+
+    # JSON turns tuples into lists; ModelConfig must stay hashable (it is a
+    # static argument of every jitted entry point), so restore tuples —
+    # recursively, for nested fields like rope_longrope's factor sets.
+    def tuplify(x):
+        return tuple(tuplify(e) for e in x) if isinstance(x, list) else x
+
+    return ModelConfig(**{k: tuplify(v) for k, v in fields.items()})
+
+
+def load_converted(dst: str):
+    """Load a converted checkpoint -> (params, ModelConfig)."""
+    import orbax.checkpoint as ocp
+
+    cfg = load_config(dst)
     ckptr = ocp.StandardCheckpointer()
-    params = ckptr.restore((out / "params").absolute())
+    params = ckptr.restore((Path(dst) / "params").absolute())
     return params, cfg
 
 
