@@ -105,6 +105,31 @@ def test_moe_a2a_matches_dense(top_k, n_ep):
                                rtol=1e-5, atol=1e-5)
 
 
+def test_moe_activation_threading():
+    """mlp_activation must reach the MoE paths: gelu_tanh differs from silu,
+    and the a2a dispatch matches the dense oracle under gelu_tanh too."""
+    from flashattn_tpu.parallel.moe import moe_ffn_a2a
+
+    mesh = make_mesh({"ep": 2})
+    params = init_moe_params(jax.random.PRNGKey(0), hidden=64,
+                             intermediate=128, num_experts=4)
+    x = jax.random.normal(jax.random.PRNGKey(1), (32, 64))
+    silu = moe_ffn_dense_reference(x, params, 2)
+    gelu = moe_ffn_dense_reference(x, params, 2, activation="gelu_tanh")
+    assert not np.allclose(np.asarray(silu), np.asarray(gelu))
+
+    specs = {"router": P(), "w_gate": P("ep"), "w_up": P("ep"),
+             "w_down": P("ep")}
+    y = jax.shard_map(
+        functools.partial(moe_ffn_a2a, axis_name="ep", top_k=2,
+                          capacity_factor=8.0, activation="gelu_tanh"),
+        mesh=mesh, in_specs=(P("ep"), specs), out_specs=P("ep"),
+        check_vma=False,
+    )(x, params)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(gelu),
+                               rtol=1e-5, atol=1e-5)
+
+
 def test_moe_a2a_grads_match_dense():
     mesh = make_mesh({"ep": 4})
     params = init_moe_params(jax.random.PRNGKey(0), hidden=64,
