@@ -19,7 +19,8 @@ import matplotlib.pyplot as plt  # noqa: E402
 
 # Fixed categorical assignment (identity, never cycled): flash=blue, xla=orange,
 # naive=aqua — CVD-validated default palette.
-SERIES_COLORS = {"flash": "#2a78d6", "xla": "#eb6834", "naive": "#1baf7a"}
+SERIES_COLORS = {"flash": "#2a78d6", "xla": "#eb6834", "naive": "#1baf7a",
+                 "jax_flash": "#8a5cd6"}
 TEXT = "#0b0b0b"
 MUTED = "#52514e"
 
