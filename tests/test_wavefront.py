@@ -103,6 +103,62 @@ def test_wavefront_row_flags(s_q, s_k, bq, bkv, off, window):
 
 @pytest.mark.parametrize("q_per_kv", [1, 2])
 @pytest.mark.parametrize("s_q,s_k,bq,bkv,off,window", GEOMETRIES)
+def test_dkv_wavefront_matches_brute_force(s_q, s_k, bq, bkv, off, window,
+                                           q_per_kv):
+    """The dKV wavefront's (kj, qi) tiles + thresholds must imply the same
+    visibility as the forward mask (transposed layout: q rows are LANES),
+    with padded q rows masked via DKV_ROWTHRESH, and each kv tile must get
+    exactly one FIRST (write-through init) and one LAST (finalize)."""
+    import math
+
+    from flashattn_tpu.ops.flash_bwd import (
+        DKV_FIRST,
+        DKV_KJ,
+        DKV_LAST,
+        DKV_LTHRESH,
+        DKV_QI,
+        DKV_ROWTHRESH,
+        DKV_RTHRESH,
+        build_dkv_wavefront,
+    )
+
+    if window is not None and off is None:
+        pytest.skip("window requires causal")
+    nq = math.ceil(s_q / bq)
+    nk = math.ceil(s_k / bkv)
+    meta = build_dkv_wavefront(nq, nk, bq, bkv, s_q, q_per_kv, off,
+                               window=window)
+    got = np.zeros((nq * bq, nk * bkv), bool)
+    for row in meta[meta[:, 1] == 0]:  # group 0 only (groups repeat)
+        kj, qi = row[DKV_KJ], row[DKV_QI]
+        rth, rowth, lth = (row[DKV_RTHRESH], row[DKV_ROWTHRESH],
+                           row[DKV_LTHRESH])
+        for rr in range(bq):
+            if rr > rowth:
+                continue  # padded q row
+            for cc in range(bkv):
+                # Thresholds are in block-local coords: visible iff
+                # lth <= (cc - rr) <= rth.
+                if lth <= cc - rr <= rth:
+                    col = kj * bkv + cc
+                    got[qi * bq + rr, col] = True
+    want_full = brute_mask(nq * bq, nk * bkv, off, window)
+    # Rows beyond s_q are masked by ROWTHRESH; cols beyond s_k do not exist
+    # in the dKV output we compare (dead kv rows produce ~0 grads via p=0,
+    # so the builder may legally enumerate them).
+    np.testing.assert_array_equal(got[:s_q, :s_k], want_full[:s_q, :s_k])
+    assert not got[s_q:].any()
+    for kj in range(nk):
+        steps = np.flatnonzero(meta[:, DKV_KJ] == kj)
+        assert len(steps) >= 1
+        assert meta[steps, DKV_FIRST].sum() == 1
+        assert meta[steps, DKV_LAST].sum() == 1
+        assert meta[steps[0], DKV_FIRST] == 1
+        assert meta[steps[-1], DKV_LAST] == 1
+
+
+@pytest.mark.parametrize("q_per_kv", [1, 2])
+@pytest.mark.parametrize("s_q,s_k,bq,bkv,off,window", GEOMETRIES)
 def test_fused_wavefront_kj_first(s_q, s_k, bq, bkv, off, window, q_per_kv):
     import math
 
