@@ -52,6 +52,8 @@ _SMOKE = [
     "test_paged.py::test_paged_matches_dense_single[int8]",
     "test_decode.py::test_fp8e4m3_to_bf16_pair_bit_identical",
     "test_autotune.py::test_lookup_block_sizes_resolves_cache_then_defaults",
+    "test_wavefront.py",
+    "test_data.py::test_batches_deterministic_resume",
 ]
 
 
