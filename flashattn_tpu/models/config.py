@@ -35,6 +35,9 @@ class ModelConfig:
     # "dense" = masked-dense (exact, E/k more compute). parallel/moe.py.
     moe_dispatch: str = "a2a"
     moe_capacity_factor: float = 2.0
+    # Renormalize the top-k router gates (Mixtral convention). Qwen3-MoE
+    # checkpoints with norm_topk_prob=False keep full-softmax probabilities.
+    moe_norm_topk: bool = True
     # Gemma-style attention logit soft-capping; None = off.
     logit_softcap: float | None = None
     # ALiBi position bias (BLOOM/MPT-style) — disables RoPE when True.

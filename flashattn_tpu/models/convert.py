@@ -103,23 +103,31 @@ def params_from_hf(state_dict: Mapping[str, Any], cfg: ModelConfig) -> Params:
 
 
 def _ffn_params(sd, p, cfg, take, linear) -> dict:
-    """Dense SwiGLU (plain / Phi-3 fused) or Mixtral block-sparse MoE."""
-    if p + "block_sparse_moe.gate.weight" in sd:
-        # Mixtral: experts stacked on axis 0 to our (E, H, F)/(E, F, H)
-        # layout (w1 = gate, w3 = up, w2 = down; each HF [out, in]).
-        def experts(name):
-            return jnp.stack([
-                jnp.asarray(
-                    _np(sd[f"{p}block_sparse_moe.experts.{j}.{name}.weight"]).T,
-                    cfg.dtype)
-                for j in range(cfg.num_experts)
-            ])
+    """Dense SwiGLU (plain / Phi-3 fused) or sparse MoE (Mixtral's
+    block_sparse_moe.w1/w3/w2 naming, Qwen3-MoE's mlp.experts gate/up/down
+    naming) — experts stacked on axis 0 to our (E, H, F)/(E, F, H) layout
+    (each HF weight is [out, in])."""
 
+    def experts(prefix, name):
+        return jnp.stack([
+            jnp.asarray(_np(sd[f"{p}{prefix}.{j}.{name}.weight"]).T,
+                        cfg.dtype)
+            for j in range(cfg.num_experts)
+        ])
+
+    if p + "block_sparse_moe.gate.weight" in sd:  # Mixtral
         return {"moe": {
             "router": linear(p + "block_sparse_moe.gate.weight"),
-            "w_gate": experts("w1"),
-            "w_up": experts("w3"),
-            "w_down": experts("w2"),
+            "w_gate": experts("block_sparse_moe.experts", "w1"),
+            "w_up": experts("block_sparse_moe.experts", "w3"),
+            "w_down": experts("block_sparse_moe.experts", "w2"),
+        }}
+    if p + "mlp.gate.weight" in sd:  # Qwen3-MoE
+        return {"moe": {
+            "router": linear(p + "mlp.gate.weight"),
+            "w_gate": experts("mlp.experts", "gate_proj"),
+            "w_up": experts("mlp.experts", "up_proj"),
+            "w_down": experts("mlp.experts", "down_proj"),
         }}
     gup = {}
     if p + "mlp.gate_up_proj.weight" in sd:
@@ -175,6 +183,17 @@ def config_from_hf(hf_config, dtype=jnp.bfloat16) -> ModelConfig:
         extra = dict(
             num_experts=hf_config.num_local_experts,
             top_k_experts=hf_config.num_experts_per_tok,
+        )
+    if mt == "qwen3_moe":
+        # Qwen3 attention (per-head q/k RMSNorm) + sparse MoE layers.
+        assert getattr(hf_config, "decoder_sparse_step", 1) == 1 and not (
+            getattr(hf_config, "mlp_only_layers", None)), (
+            "mixed dense/MoE layer patterns not supported")
+        extra = dict(
+            qk_norm=True,
+            num_experts=hf_config.num_experts,
+            top_k_experts=hf_config.num_experts_per_tok,
+            moe_norm_topk=bool(hf_config.norm_topk_prob),
         )
     rs = getattr(hf_config, "rope_scaling", None)
     rs_type = rs.get("rope_type", rs.get("type")) if rs else None

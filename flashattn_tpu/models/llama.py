@@ -454,7 +454,8 @@ def _mlp_block(layer, x, cfg, mesh=None):
                         moe_ffn_a2a, axis_name="ep",
                         top_k=cfg.top_k_experts,
                         capacity_factor=cfg.moe_capacity_factor,
-                        activation=cfg.mlp_activation),
+                        activation=cfg.mlp_activation,
+                        norm_topk=cfg.moe_norm_topk),
                     mesh=mesh, in_specs=(P("ep"), specs), out_specs=P("ep"),
                     check_vma=False,
                 )(flat, layer["moe"])
@@ -462,14 +463,16 @@ def _mlp_block(layer, x, cfg, mesh=None):
                 out = jax.shard_map(
                     functools.partial(moe_ffn, axis_name="ep",
                                       top_k=cfg.top_k_experts,
-                                      activation=cfg.mlp_activation),
+                                      activation=cfg.mlp_activation,
+                                      norm_topk=cfg.moe_norm_topk),
                     mesh=mesh, in_specs=(P(), specs), out_specs=P(),
                     check_vma=False,
                 )(flat, layer["moe"])
         else:
             out = moe_ffn_dense_reference(flat, layer["moe"],
                                           top_k=cfg.top_k_experts,
-                                          activation=cfg.mlp_activation)
+                                          activation=cfg.mlp_activation,
+                                          norm_topk=cfg.moe_norm_topk)
         return out.reshape(xn.shape)
     gate = proj(xn, layer["w_gate"])
     up = proj(xn, layer["w_up"])

@@ -48,12 +48,21 @@ def init_moe_params(key, hidden: int, intermediate: int, num_experts: int,
     }
 
 
-def router_gates(x: jnp.ndarray, router_w: jnp.ndarray, top_k: int):
-    """x [T, H] -> (expert ids [T, k] int32, gates [T, k] f32, renormalized
-    softmax over the selected experts)."""
+def router_gates(x: jnp.ndarray, router_w: jnp.ndarray, top_k: int,
+                 norm_topk: bool = True):
+    """x [T, H] -> (expert ids [T, k] int32, gates [T, k] f32).
+
+    norm_topk=True (Mixtral convention): softmax renormalized over the
+    selected experts — identical to HF's softmax -> topk -> renormalize.
+    norm_topk=False (Qwen3-MoE `norm_topk_prob=False`): the selected
+    experts keep their FULL-softmax probabilities (gates sum to < 1)."""
     logits = jnp.dot(x.astype(jnp.float32), router_w.astype(jnp.float32))
     top_vals, top_idx = lax.top_k(logits, top_k)  # [T, k]
-    gates = jax.nn.softmax(top_vals, axis=-1)
+    if norm_topk:
+        gates = jax.nn.softmax(top_vals, axis=-1)
+    else:
+        logz = jax.scipy.special.logsumexp(logits, axis=-1, keepdims=True)
+        gates = jnp.exp(top_vals - logz)
     return top_idx.astype(jnp.int32), gates
 
 
@@ -75,6 +84,7 @@ def moe_ffn(
     axis_name: str,
     top_k: int = 2,
     activation: str = "silu",
+    norm_topk: bool = True,
 ) -> jnp.ndarray:
     """Expert-parallel MoE FFN; call INSIDE shard_map with expert weights
     sharded over `axis_name` (router replicated). Returns [T, H]."""
@@ -83,7 +93,7 @@ def moe_ffn(
     e_local = params["w_gate"].shape[0]
     base = idx * e_local
 
-    expert_ids, gates = router_gates(x, params["router"], top_k)  # [T, k]
+    expert_ids, gates = router_gates(x, params["router"], top_k, norm_topk)
 
     acc = jnp.zeros(x.shape, jnp.float32)
     for j in range(e_local):
@@ -104,6 +114,7 @@ def moe_ffn_a2a(
     capacity_factor: float = 2.0,
     capacity: int | None = None,
     activation: str = "silu",
+    norm_topk: bool = True,
 ) -> jnp.ndarray:
     """GShard-style all_to_all expert dispatch; call INSIDE shard_map with
     tokens sharded over `axis_name` (see module docstring).
@@ -130,7 +141,7 @@ def moe_ffn_a2a(
         capacity = round_up(
             max(1, int(-(-capacity_factor * top_k * t_l // e))), 8)
 
-    expert_ids, gates = router_gates(x, params["router"], top_k)  # [T, k]
+    expert_ids, gates = router_gates(x, params["router"], top_k, norm_topk)
 
     # Queue slot assignment, choice-major priority (all rank-0 choices claim
     # slots before any rank-1 choice, GShard-style). Choice-major row
@@ -182,9 +193,10 @@ def router_aux_loss(x: jnp.ndarray, router_w: jnp.ndarray,
 
 
 def moe_ffn_dense_reference(x, params, top_k: int = 2,
-                            activation: str = "silu"):
+                            activation: str = "silu",
+                            norm_topk: bool = True):
     """Unsharded oracle: all experts on one device."""
-    expert_ids, gates = router_gates(x, params["router"], top_k)
+    expert_ids, gates = router_gates(x, params["router"], top_k, norm_topk)
     acc = jnp.zeros(x.shape, jnp.float32)
     for j in range(params["w_gate"].shape[0]):
         weight = jnp.sum(jnp.where(expert_ids == j, gates, 0.0), axis=-1)

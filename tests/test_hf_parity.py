@@ -448,6 +448,45 @@ def test_mixtral_moe_parity():
     assert [int(t) for t in ours[0]] == hf_new
 
 
+@pytest.mark.parametrize("norm_topk", [True, False])
+def test_qwen3_moe_parity(norm_topk):
+    """transformers Qwen3MoeForCausalLM: Qwen3 attention (per-head q/k
+    RMSNorm) + sparse MoE with the mlp.experts naming and BOTH routing
+    conventions (norm_topk_prob True = renormalized, False = full-softmax
+    probabilities)."""
+    hf_cfg = transformers.Qwen3MoeConfig(
+        vocab_size=256,
+        hidden_size=128,
+        intermediate_size=256,
+        moe_intermediate_size=192,
+        num_hidden_layers=2,
+        num_attention_heads=4,
+        num_key_value_heads=2,
+        head_dim=48,
+        num_experts=4,
+        num_experts_per_tok=2,
+        norm_topk_prob=norm_topk,
+        max_position_embeddings=256,
+        rms_norm_eps=1e-6,
+        tie_word_embeddings=False,
+        attn_implementation="eager",
+    )
+    torch.manual_seed(37)
+    model = transformers.Qwen3MoeForCausalLM(hf_cfg).eval()
+    cfg = config_from_hf(hf_cfg, dtype=jnp.float32)
+    assert cfg.qk_norm and cfg.num_experts == 4
+    assert cfg.moe_norm_topk == norm_topk
+    params = params_from_hf(model.state_dict(), cfg)
+
+    rng = np.random.default_rng(13)
+    tokens = rng.integers(0, hf_cfg.vocab_size, size=(2, 48))
+    with torch.no_grad():
+        hf_logits = model(torch.from_numpy(tokens)).logits.numpy()
+    ours = np.asarray(llama.forward(params, jnp.asarray(tokens, jnp.int32),
+                                    cfg))
+    np.testing.assert_allclose(ours, hf_logits, rtol=2e-3, atol=2e-3)
+
+
 def test_convert_cli_roundtrip(tmp_path, hf_model):
     """tools/convert_hf.py: HF save_pretrained dir -> Orbax checkpoint +
     config JSON -> load_converted reproduces the live conversion exactly."""
