@@ -38,6 +38,10 @@ class ModelConfig:
     # Renormalize the top-k router gates (Mixtral convention). Qwen3-MoE
     # checkpoints with norm_topk_prob=False keep full-softmax probabilities.
     moe_norm_topk: bool = True
+    # Qwen2-MoE/DeepSeek-style always-on shared expert (0 = none): a dense
+    # SwiGLU of this intermediate size added to the routed output, scaled by
+    # a learned sigmoid gate.
+    moe_shared_intermediate: int = 0
     # Gemma-style attention logit soft-capping; None = off.
     logit_softcap: float | None = None
     # ALiBi position bias (BLOOM/MPT-style) — disables RoPE when True.

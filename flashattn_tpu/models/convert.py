@@ -122,13 +122,21 @@ def _ffn_params(sd, p, cfg, take, linear) -> dict:
             "w_up": experts("block_sparse_moe.experts", "w3"),
             "w_down": experts("block_sparse_moe.experts", "w2"),
         }}
-    if p + "mlp.gate.weight" in sd:  # Qwen3-MoE
-        return {"moe": {
+    if p + "mlp.gate.weight" in sd:  # Qwen3-MoE / Qwen2-MoE
+        moe = {
             "router": linear(p + "mlp.gate.weight"),
             "w_gate": experts("mlp.experts", "gate_proj"),
             "w_up": experts("mlp.experts", "up_proj"),
             "w_down": experts("mlp.experts", "down_proj"),
-        }}
+        }
+        if p + "mlp.shared_expert.gate_proj.weight" in sd:  # Qwen2-MoE
+            moe["shared"] = {
+                "w_gate": linear(p + "mlp.shared_expert.gate_proj.weight"),
+                "w_up": linear(p + "mlp.shared_expert.up_proj.weight"),
+                "w_down": linear(p + "mlp.shared_expert.down_proj.weight"),
+            }
+            moe["shared_gate"] = linear(p + "mlp.shared_expert_gate.weight")
+        return {"moe": moe}
     gup = {}
     if p + "mlp.gate_up_proj.weight" in sd:
         gup = _split_gate_up(take(p + "mlp.gate_up_proj.weight"), cfg.dtype)
@@ -184,17 +192,22 @@ def config_from_hf(hf_config, dtype=jnp.bfloat16) -> ModelConfig:
             num_experts=hf_config.num_local_experts,
             top_k_experts=hf_config.num_experts_per_tok,
         )
-    if mt == "qwen3_moe":
-        # Qwen3 attention (per-head q/k RMSNorm) + sparse MoE layers.
+    if mt in ("qwen3_moe", "qwen2_moe"):
+        # Qwen sparse-MoE families: Qwen3-MoE adds per-head q/k RMSNorm;
+        # Qwen2-MoE adds the always-on shared expert (sigmoid-gated).
         assert getattr(hf_config, "decoder_sparse_step", 1) == 1 and not (
             getattr(hf_config, "mlp_only_layers", None)), (
             "mixed dense/MoE layer patterns not supported")
         extra = dict(
-            qk_norm=True,
             num_experts=hf_config.num_experts,
             top_k_experts=hf_config.num_experts_per_tok,
             moe_norm_topk=bool(hf_config.norm_topk_prob),
         )
+        if mt == "qwen3_moe":
+            extra["qk_norm"] = True
+        else:
+            extra["moe_shared_intermediate"] = int(
+                hf_config.shared_expert_intermediate_size)
     rs = getattr(hf_config, "rope_scaling", None)
     rs_type = rs.get("rope_type", rs.get("type")) if rs else None
     if rs_type == "llama3":
@@ -249,7 +262,7 @@ def config_from_hf(hf_config, dtype=jnp.bfloat16) -> ModelConfig:
         attn_window=(getattr(hf_config, "sliding_window", None)
                      if getattr(hf_config, "use_sliding_window", True)
                      else None),
-        # Llama exposes attention_bias; Qwen2 has q/k/v biases always.
+        # Llama exposes attention_bias; the Qwen2 family has q/k/v biases.
         attn_bias=bool(getattr(hf_config, "attention_bias", False)
-                       or getattr(hf_config, "model_type", "") == "qwen2"),
+                       or mt in ("qwen2", "qwen2_moe")),
     )

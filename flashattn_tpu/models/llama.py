@@ -114,6 +114,15 @@ def init_params(cfg: ModelConfig, key: jax.Array) -> Params:
             layer["moe"] = init_moe_params(
                 lk[4], h, cfg.intermediate_size, cfg.num_experts,
                 dtype=cfg.dtype)
+            if cfg.moe_shared_intermediate:
+                fs = cfg.moe_shared_intermediate
+                sk = jax.random.split(lk[5], 4)
+                layer["moe"]["shared"] = {
+                    "w_gate": dense(sk[0], (h, fs), h**-0.5),
+                    "w_up": dense(sk[1], (h, fs), h**-0.5),
+                    "w_down": dense(sk[2], (fs, h), fs**-0.5),
+                }
+                layer["moe"]["shared_gate"] = dense(sk[3], (h, 1), h**-0.5)
         else:
             layer.update(
                 w_gate=dense(lk[4], (h, cfg.intermediate_size), h**-0.5),
@@ -150,6 +159,10 @@ def param_shardings(cfg: ModelConfig) -> Params:
             "router": P(),
             "w_gate": P("ep"), "w_up": P("ep"), "w_down": P("ep"),
         }
+        if cfg.moe_shared_intermediate:
+            layer["moe"]["shared"] = {
+                "w_gate": P(), "w_up": P(), "w_down": P()}
+            layer["moe"]["shared_gate"] = P()
     else:
         layer.update(w_gate=P(None, "model"), w_up=P(None, "model"),
                      w_down=P("model", None))
@@ -442,6 +455,11 @@ def _mlp_block(layer, x, cfg, mesh=None):
             moe_ffn, moe_ffn_a2a, moe_ffn_dense_reference)
 
         flat = xn.reshape(-1, xn.shape[-1])
+        # The routed experts go through the (possibly sharded) dispatchers;
+        # a Qwen2-MoE/DeepSeek-style shared expert is dense/replicated math
+        # handled below, outside the shard_map island.
+        moe_p = {k: layer["moe"][k]
+                 for k in ("router", "w_gate", "w_up", "w_down")}
         if mesh is not None and "ep" in mesh.axis_names and (
                 mesh.shape["ep"] > 1):
             specs = {"router": P(), "w_gate": P("ep"), "w_up": P("ep"),
@@ -458,7 +476,7 @@ def _mlp_block(layer, x, cfg, mesh=None):
                         norm_topk=cfg.moe_norm_topk),
                     mesh=mesh, in_specs=(P("ep"), specs), out_specs=P("ep"),
                     check_vma=False,
-                )(flat, layer["moe"])
+                )(flat, moe_p)
             else:
                 out = jax.shard_map(
                     functools.partial(moe_ffn, axis_name="ep",
@@ -467,12 +485,26 @@ def _mlp_block(layer, x, cfg, mesh=None):
                                       norm_topk=cfg.moe_norm_topk),
                     mesh=mesh, in_specs=(P(), specs), out_specs=P(),
                     check_vma=False,
-                )(flat, layer["moe"])
+                )(flat, moe_p)
         else:
-            out = moe_ffn_dense_reference(flat, layer["moe"],
+            out = moe_ffn_dense_reference(flat, moe_p,
                                           top_k=cfg.top_k_experts,
                                           activation=cfg.mlp_activation,
                                           norm_topk=cfg.moe_norm_topk)
+        if "shared" in layer["moe"]:
+            # Always-on shared expert, scaled by a learned sigmoid gate
+            # (Qwen2-MoE convention: final = routed + sig(gate(x))*shared(x)).
+            sh = layer["moe"]["shared"]
+            gf = jnp.dot(flat, sh["w_gate"]).astype(jnp.float32)
+            actv = (jax.nn.gelu(gf, approximate=True)
+                    if cfg.mlp_activation == "gelu_tanh"
+                    else jax.nn.silu(gf))
+            shared_y = jnp.dot(actv.astype(flat.dtype) * jnp.dot(
+                flat, sh["w_up"]), sh["w_down"]).astype(jnp.float32)
+            coef = jax.nn.sigmoid(jnp.dot(
+                flat.astype(jnp.float32),
+                layer["moe"]["shared_gate"].astype(jnp.float32)))  # [T, 1]
+            out = (out.astype(jnp.float32) + coef * shared_y).astype(x.dtype)
         return out.reshape(xn.shape)
     gate = proj(xn, layer["w_gate"])
     up = proj(xn, layer["w_up"])

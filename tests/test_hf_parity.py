@@ -487,6 +487,45 @@ def test_qwen3_moe_parity(norm_topk):
     np.testing.assert_allclose(ours, hf_logits, rtol=2e-3, atol=2e-3)
 
 
+def test_qwen2_moe_shared_expert_parity():
+    """transformers Qwen2MoeForCausalLM: sparse experts PLUS the always-on
+    sigmoid-gated shared expert and qwen2-style q/k/v biases."""
+    hf_cfg = transformers.Qwen2MoeConfig(
+        vocab_size=256,
+        hidden_size=128,
+        intermediate_size=256,
+        moe_intermediate_size=192,
+        shared_expert_intermediate_size=224,
+        num_hidden_layers=2,
+        num_attention_heads=4,
+        num_key_value_heads=2,
+        num_experts=4,
+        num_experts_per_tok=2,
+        norm_topk_prob=False,
+        decoder_sparse_step=1,
+        mlp_only_layers=[],
+        max_position_embeddings=256,
+        rms_norm_eps=1e-6,
+        tie_word_embeddings=False,
+        use_sliding_window=False,
+        attn_implementation="eager",
+    )
+    torch.manual_seed(41)
+    model = transformers.Qwen2MoeForCausalLM(hf_cfg).eval()
+    cfg = config_from_hf(hf_cfg, dtype=jnp.float32)
+    assert cfg.moe_shared_intermediate == 224 and cfg.attn_bias
+    params = params_from_hf(model.state_dict(), cfg)
+    assert "shared" in params["layers"][0]["moe"]
+
+    rng = np.random.default_rng(17)
+    tokens = rng.integers(0, hf_cfg.vocab_size, size=(2, 48))
+    with torch.no_grad():
+        hf_logits = model(torch.from_numpy(tokens)).logits.numpy()
+    ours = np.asarray(llama.forward(params, jnp.asarray(tokens, jnp.int32),
+                                    cfg))
+    np.testing.assert_allclose(ours, hf_logits, rtol=2e-3, atol=2e-3)
+
+
 def test_convert_cli_roundtrip(tmp_path, hf_model):
     """tools/convert_hf.py: HF save_pretrained dir -> Orbax checkpoint +
     config JSON -> load_converted reproduces the live conversion exactly."""
