@@ -109,23 +109,38 @@ class PackedDataset:
 
 def prefetch(it: Iterator, size: int = 2) -> Iterator:
     """Run `it` in a daemon thread, keeping up to `size` items ready, so
-    host-side batch assembly overlaps the device step."""
+    host-side batch assembly overlaps the device step.
+
+    Producer exceptions re-raise in the consumer. When the consumer stops
+    early (training streams are infinite), the worker notices via the stop
+    event and exits instead of blocking on a full queue forever."""
     q: queue.Queue = queue.Queue(maxsize=size)
+    stop = threading.Event()
     _END = object()
 
     def worker():
         try:
             for item in it:
-                q.put((None, item))
+                while not stop.is_set():
+                    try:
+                        q.put((None, item), timeout=0.2)
+                        break
+                    except queue.Full:
+                        continue
+                if stop.is_set():
+                    return
             q.put((None, _END))
         except BaseException as e:  # re-raised in the consumer, not lost
             q.put((e, None))
 
     threading.Thread(target=worker, daemon=True).start()
-    while True:
-        exc, item = q.get()
-        if exc is not None:
-            raise exc
-        if item is _END:
-            return
-        yield item
+    try:
+        while True:
+            exc, item = q.get()
+            if exc is not None:
+                raise exc
+            if item is _END:
+                return
+            yield item
+    finally:
+        stop.set()
