@@ -27,6 +27,25 @@ def _check_cpu_devices():
     assert jax.device_count() == 8, jax.devices()
 
 
+# The full suite compiles thousands of unique-shape XLA CPU executables in
+# one process; the accumulated JIT code mappings eventually segfault LLVM
+# mid-compile (reproduced twice at the same test, vanishes for any subset
+# of the suite). Dropping the compiled-executable references periodically
+# keeps the process well under the mapping ceiling; per-file granularity
+# keeps the recompile cost negligible (tests rarely share shapes across
+# files anyway).
+_last_file = [None]
+
+
+@pytest.fixture(autouse=True)
+def _clear_jax_caches_per_file(request):
+    fname = getattr(request.node, "fspath", None)
+    if _last_file[0] is not None and fname != _last_file[0]:
+        jax.clear_caches()
+    _last_file[0] = fname
+    yield
+
+
 # Smoke tier: one or two fast tests per subsystem so `pytest -m smoke`
 # gives a cross-cutting sanity pass in minutes on the CPU backend (the full
 # suite runs ~35 min+ and cannot fit a short iteration loop). Curated here
