@@ -34,3 +34,4 @@ cp ~/.cache/flashattn_tpu/autotune.json flashattn_tpu/ops/tuned_autotune.json
 
 python bench.py | tail -1
 python benchmarks/plot.py 2>/dev/null || true
+python benchmarks/summarize.py
