@@ -118,6 +118,8 @@ def main():
     ap.add_argument("--providers", default="flash,xla")
     ap.add_argument("--modes", default="fwd,fwd_bwd")
     ap.add_argument("--causal", type=int, default=1)
+    ap.add_argument("--seqs", default=None,
+                    help="comma-separated S values (default: full sweep)")
     ap.add_argument("--autotune", action="store_true",
                     help="sweep tile configs per shape before measuring "
                          "(winners persist in the autotune cache)")
@@ -128,6 +130,8 @@ def main():
           f"{chip.hbm_gbps} GB/s HBM", file=sys.stderr)
 
     seqs = [2048, 4096] if args.quick else [512, 1024, 2048, 4096, 8192, 16384]
+    if args.seqs:
+        seqs = [int(x) for x in args.seqs.split(",")]
     b, h, d = 4, 8, args.d
     causal = bool(args.causal)
     results = []
@@ -143,14 +147,28 @@ def main():
             tuned = autotune(qa, ka, va, is_causal=causal, verbose=True)
             print(f"# tuned S={s}: {tuned}", file=sys.stderr)
         for provider in args.providers.split(","):
-            for mode in args.modes.split(","):
-                ms, tf = benchmark_attention(
-                    provider, mode, b=b, h=h, s_q=s, s_k=s, d=d,
-                    is_causal=causal,
-                    warmup=3 if args.quick else 10,
-                    repeat=10 if args.quick else 30,
-                    block_sizes=tuned if provider == "flash" else None,
-                )
+            measured: dict[str, float] = {}
+            # bwd last so it can reuse this sweep's fwd/fwd_bwd timings.
+            modes = sorted(args.modes.split(","), key=lambda m: m == "bwd")
+            for mode in modes:
+                if mode == "bwd" and {"fwd", "fwd_bwd"} <= measured.keys():
+                    # Derive bwd from THIS sweep's fwd/fwd_bwd measurements
+                    # (reference convention, :92-95) instead of re-measuring
+                    # both — re-measurement noise at sub-ms scales can flip
+                    # the subtraction negative.
+                    ms = measured["fwd_bwd"] - measured["fwd"]
+                    fl = attention_flops(b, h, s, s, d, mode="bwd",
+                                         is_causal=causal)
+                    tf = tflops(fl, ms / 1e3)
+                else:
+                    ms, tf = benchmark_attention(
+                        provider, mode, b=b, h=h, s_q=s, s_k=s, d=d,
+                        is_causal=causal,
+                        warmup=3 if args.quick else 10,
+                        repeat=10 if args.quick else 30,
+                        block_sizes=tuned if provider == "flash" else None,
+                    )
+                    measured[mode] = ms
                 roof = (attention_fwd_roofline if mode == "fwd"
                         else attention_bwd_roofline)(
                     b, h, h, s, s, d, causal, 512, 512, chip=chip

@@ -38,6 +38,7 @@ and packed-sequence segment masking (varlen).
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -153,6 +154,7 @@ def _fwd_kernel(
     dynamic_offset: bool = False,
     window_size: int = 0,
     mxu_l: bool = False,
+    acc_writethrough: bool = True,
 ):
     # dynoff (1,) SMEM int32 (dynamic_offset only): TRACED q/k alignment —
     # zigzag ring hops have device-dependent shard offsets, so the window's
@@ -196,6 +198,14 @@ def _fwd_kernel(
         m_scratch[:, :1] = jnp.full((block_q, 1), MASK_VALUE, jnp.float32)
         if not mxu_l:
             l_scratch[:, :1] = jnp.zeros((block_q, 1), jnp.float32)
+        if not acc_writethrough:
+            # Long-row mode: zero acc once per row so the step body's acc
+            # update is a single UNCONDITIONAL read-modify-write — Mosaic
+            # pipelines it across steps. (Measured: the per-step
+            # first/rest branch pair costs ~11 % fwd at S=16k/1024²
+            # (~8.5 steps/row) while winning +25 % at S=2k (~1.5); the
+            # host picks per shape below.)
+            acc_scratch[...] = jnp.zeros(acc_scratch.shape, jnp.float32)
 
     q = q_ref[0, 0]  # (block_q, D)
     k = k_ref[0, 0]  # (block_kv, D)
@@ -297,12 +307,17 @@ def _fwd_kernel(
         preferred_element_type=jnp.float32,
     )
 
-    @pl.when(first)
-    def _acc_write_through():
-        acc_scratch[...] = pv
+    if acc_writethrough:
+        # Short-row mode: first step writes through (skips that step's acc
+        # read + alpha multiply AND the per-row zeros pass).
+        @pl.when(first)
+        def _acc_write_through():
+            acc_scratch[...] = pv
 
-    @pl.when(jnp.logical_not(first))
-    def _acc_rmw():
+        @pl.when(jnp.logical_not(first))
+        def _acc_rmw():
+            acc_scratch[...] = acc_scratch[...] * alpha + pv
+    else:
         acc_scratch[...] = acc_scratch[...] * alpha + pv
 
     @pl.when(meta_ref[META_LAST, step] == 1)
@@ -471,6 +486,16 @@ def flash_attention_forward(
         dynamic_offset=dynamic_offset,
         window_size=int(window or 0),
         mxu_l=mxu_l,
+        # Accumulator strategy, picked per shape from the wavefront: rows
+        # averaging ≤ 2 kv steps are boundary-dominated (predicated
+        # write-through wins +25 % @S=2k causal); longer rows want the
+        # unconditional RMW Mosaic can pipeline (zeroing once per row costs
+        # ~11 % less than the branch pair @S=16k). FLASHATTN_ACC_WRITETHROUGH
+        # ∈ {0,1} overrides for A/B.
+        acc_writethrough=(
+            num_steps <= 2 * num_q_blocks
+            if os.environ.get("FLASHATTN_ACC_WRITETHROUGH") is None
+            else os.environ["FLASHATTN_ACC_WRITETHROUGH"] == "1"),
     )
     assert not (alibi and logit_softcap), "alibi + softcap: pick one"
 
