@@ -151,15 +151,25 @@ def main():
             # bwd last so it can reuse this sweep's fwd/fwd_bwd timings.
             modes = sorted(args.modes.split(","), key=lambda m: m == "bwd")
             for mode in modes:
+                note = None
                 if mode == "bwd" and {"fwd", "fwd_bwd"} <= measured.keys():
                     # Derive bwd from THIS sweep's fwd/fwd_bwd measurements
                     # (reference convention, :92-95) instead of re-measuring
                     # both — re-measurement noise at sub-ms scales can flip
                     # the subtraction negative.
                     ms = measured["fwd_bwd"] - measured["fwd"]
-                    fl = attention_flops(b, h, s, s, d, mode="bwd",
-                                         is_causal=causal)
-                    tf = tflops(fl, ms / 1e3)
+                    if ms <= 0:
+                        # Physically impossible: fwd_bwd <= fwd is timing
+                        # noise at sub-ms scales. Null the row rather than
+                        # record negative throughput (ADVICE r2).
+                        note = (f"fwd_bwd ({measured['fwd_bwd']:.3f} ms) <= "
+                                f"fwd ({measured['fwd']:.3f} ms): subtraction "
+                                "non-positive, row nulled")
+                        tf = None
+                    else:
+                        fl = attention_flops(b, h, s, s, d, mode="bwd",
+                                             is_causal=causal)
+                        tf = tflops(fl, ms / 1e3)
                 else:
                     ms, tf = benchmark_attention(
                         provider, mode, b=b, h=h, s_q=s, s_k=s, d=d,
@@ -173,16 +183,20 @@ def main():
                         else attention_bwd_roofline)(
                     b, h, h, s, s, d, causal, 512, 512, chip=chip
                 )
+                bad = tf is None
                 rec = {
                     "provider": provider, "mode": mode, "S": s, "D": d,
-                    "causal": causal, "ms": round(ms, 3),
-                    "tflops": round(tf, 2),
+                    "causal": causal,
+                    "ms": None if bad else round(ms, 3),
+                    "tflops": None if bad else round(tf, 2),
                     "sol_frac": round(roof.sol_seconds / (ms / 1e3), 3)
-                    if mode != "fwd_bwd" else None,
+                    if (mode != "fwd_bwd" and not bad) else None,
                     # Effective MXU peak fraction (D-depth penalty) the
                     # sol_frac ceiling already accounts for.
                     "mxu_frac": roof.mxu_frac,
                 }
+                if note:
+                    rec["note"] = note
                 results.append(rec)
                 print(json.dumps(rec))
     return results

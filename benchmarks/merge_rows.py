@@ -1,9 +1,12 @@
 """Splice refreshed provider rows into an existing results JSONL.
 
-Round-2 kernel changes only touch OUR provider ("flash"); competitor rows
-(xla, jax_flash, naive) measured in the same round-1 sweeps are still valid.
-This keeps them and replaces every row whose provider matches, preserving
-the (S, provider, mode) sort order of the original file.
+Kernel changes only touch OUR provider ("flash"); competitor rows
+(xla, jax_flash, naive) measured in earlier sweeps are still valid.
+Replacement is keyed on (provider, S, mode, D, causal): only target rows
+whose exact key reappears in the fresh file are replaced, so a partial
+rerun (e.g. attention_bench --seqs 16384) does not delete the provider's
+rows for unmeasured shapes. D/causal consistency between fresh rows and
+the target file is asserted.
 
 Usage: python benchmarks/merge_rows.py TARGET.jsonl NEW_ROWS.jsonl [provider]
 """
@@ -12,6 +15,10 @@ from __future__ import annotations
 
 import json
 import sys
+
+
+def _key(r: dict) -> tuple:
+    return (r["provider"], r["S"], r["mode"], r.get("D"), r.get("causal"))
 
 
 def main() -> None:
@@ -23,16 +30,26 @@ def main() -> None:
     assert all(r["provider"] == provider for r in new_rows), "provider mismatch"
 
     with open(target) as f:
-        kept = [json.loads(line) for line in f
-                if line.strip() and json.loads(line)["provider"] != provider]
+        old_rows = [json.loads(line) for line in f if line.strip()]
+
+    # Fresh rows must describe the same experiment (D, causal) as the target.
+    tgt_dims = {(r.get("D"), r.get("causal")) for r in old_rows}
+    for r in new_rows:
+        dim = (r.get("D"), r.get("causal"))
+        assert dim in tgt_dims, (
+            f"fresh row {dim} (D, causal) not present in {target}: {tgt_dims}")
+
+    fresh_keys = {_key(r) for r in new_rows}
+    kept = [r for r in old_rows if _key(r) not in fresh_keys]
+    replaced = len(old_rows) - len(kept)
 
     merged = kept + new_rows
     merged.sort(key=lambda r: (r["S"], r["provider"], r["mode"]))
     with open(target, "w") as f:
         for r in merged:
             f.write(json.dumps(r) + "\n")
-    print(f"{target}: kept {len(kept)} rows, spliced {len(new_rows)} "
-          f"{provider} rows")
+    print(f"{target}: kept {len(kept)} rows, replaced {replaced}, "
+          f"spliced {len(new_rows)} {provider} rows")
 
 
 if __name__ == "__main__":

@@ -192,9 +192,10 @@ def _fwd_kernel(
         # Init only the live (bq, 1) stat column. A full-scratch zeros pass
         # (m, l, acc = ~1.5 MB VMEM writes at bq=1024, D=128) is pure
         # per-q-row boundary overhead — the measured causal-fwd gap, since
-        # causal rows average half the steps of non-causal ones. acc needs
-        # no init at all: the first step writes it through (predicated
-        # below), which also skips that step's acc read + alpha multiply.
+        # causal rows average half the steps of non-causal ones. acc init
+        # is skipped only in write-through mode (the first step writes it
+        # through, predicated below, which also skips that step's acc read
+        # + alpha multiply); long-row mode zeros it here instead.
         m_scratch[:, :1] = jnp.full((block_q, 1), MASK_VALUE, jnp.float32)
         if not mxu_l:
             l_scratch[:, :1] = jnp.zeros((block_q, 1), jnp.float32)
