@@ -539,9 +539,15 @@ def flash_attention_backward(
         ) <= 100 * 1024 * 1024
         # 'auto' honors a measured winner from the autotune cache (this
         # code runs at trace time; the choice bakes into the executable).
+        # A measured "fused" beats the VMEM estimate: the autotune trial
+        # compiled and RAN at these exact blocks, which is ground truth —
+        # the estimate's score-tile term is pessimistic at 2048^2 tiles
+        # (Mosaic fuses the s/p/dp/ds temporaries; the estimate once
+        # silently demoted the tuned S=16k config to the 40% slower split).
         measured = (cached_bwd_impl(b, hq, hkv, s_q, s_k, d, is_causal,
                                     q.dtype) if impl == "auto" else None)
-        if impl == "fused" or (fits and measured != "split"):
+        if impl == "fused" or measured == "fused" or (
+                fits and measured != "split"):
             return flash_attention_backward_fused(
                 q, k, v, o, do, lse, is_causal=is_causal, scale=scale,
                 block_q=bqf, block_kv=bkvf, interpret=interpret, debug=debug,

@@ -51,8 +51,16 @@ def test_autotune_returns_valid_blocks_and_caches(tmp_cache):
     assert len(data) == 1
     entry = next(iter(data.values()))
     assert {"block_q", "block_kv", "block_q_dq", "block_kv_dq",
-            "block_q_dkv", "block_kv_dkv", "bwd_impl"} <= set(entry)
+            "block_q_dkv", "block_kv_dkv", "block_q_fused",
+            "block_kv_fused", "bwd_impl"} <= set(entry)
     assert entry["bwd_impl"] in ("fused", "split")
+    # The default (block_sizes=None) resolution path carries the fused
+    # winners too (VERDICT r2 #10).
+    q, k, v = small_qkv()
+    hit = at.lookup_block_sizes(1, 2, 2, q.shape[2], k.shape[2],
+                                q.shape[3], True, q.dtype)
+    assert hit.block_q_fused == entry["block_q_fused"]
+    assert hit.block_kv_fused == entry["block_kv_fused"]
 
 
 def test_autotune_cache_hit_skips_measurement(tmp_cache, monkeypatch):

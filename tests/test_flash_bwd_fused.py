@@ -112,3 +112,32 @@ def test_vmem_dispatch_heuristic():
         <= 100 * 1024 * 1024
     assert fused_backward_vmem_bytes(131072, 131072, 128, 1024, 1024) \
         > 100 * 1024 * 1024
+
+
+def test_measured_fused_overrides_vmem_estimate(monkeypatch):
+    # A measured autotune winner ("bwd_impl": "fused") is ground truth that
+    # the config compiles and runs; the dispatch must honor it even when
+    # the pessimistic VMEM estimate says it does not fit (the estimate once
+    # demoted the tuned S=16k 2048^2-fused config to the 40% slower split).
+    import flashattn_tpu.ops.autotune as at
+    import flashattn_tpu.ops.flash_bwd_fused as fbf
+
+    monkeypatch.setattr(at, "cached_bwd_impl",
+                        lambda *a, **kw: "fused")
+    monkeypatch.setattr(fbf, "fused_backward_vmem_bytes",
+                        lambda *a, **kw: 10**12)  # "does not fit"
+    called = {}
+    real = fbf.flash_attention_backward_fused
+
+    def recorder(*a, **kw):
+        called["fused"] = True
+        return real(*a, **kw)
+
+    monkeypatch.setattr(fbf, "flash_attention_backward_fused", recorder)
+
+    ks = jax.random.split(jax.random.PRNGKey(0), 4)
+    q, k, v, do = (jax.random.normal(kk, (1, 2, 256, 64)) for kk in ks)
+    o, lse = flash_attention_forward(q, k, v, is_causal=True)
+    flash_attention_backward(q, k, v, o, do, lse, is_causal=True,
+                             impl="auto")
+    assert called.get("fused"), "measured fused winner was not honored"

@@ -48,8 +48,12 @@ def ring_fn(mesh, **kw):
                          out_specs=spec, check_vma=False)
 
 
-def check_fwd_bwd(mesh, ring_kw, ref_kw, s=1024, hq=2, hkv=2, d=64,
+def check_fwd_bwd(mesh, ring_kw, ref_kw, s=512, hq=2, hkv=2, d=64,
                   atol=1e-5):
+    # s=512 over 4 shards (s_local=128 = one kernel block) catches the same
+    # shard-merge algebra as larger geometries at ~1/16 the interpret-mode
+    # cost (VERDICT r2 Weak #9); test_ring_full_geometry keeps one
+    # slow-marked multi-block-per-shard case.
     q, k, v, do = make_inputs(1, hq, hkv, s, d)
     ours = ring_fn(mesh, **ring_kw)
     ref = lambda q, k, v: reference_attention(q, k, v, is_causal=True,
@@ -63,12 +67,12 @@ def check_fwd_bwd(mesh, ring_kw, ref_kw, s=1024, hq=2, hkv=2, d=64,
         assert r.passed, f"{name}: {r}"
 
 
-@pytest.mark.parametrize("window", [100, 300, 700])
+@pytest.mark.parametrize("window", [100, 200, 300])
 def test_ring_window(window):
-    # 4 shards of 256: window=100 needs 2 hops, 300 needs 3, 700 all 4 —
+    # 4 shards of 128: window=100 needs 2 hops, 200 needs 3, 300 all 4 —
     # exercising the static per-hop pruning at every depth.
     mesh = make_mesh({"sp": 4})
-    assert _ring_steps(4, True, window, 256) == {100: 2, 300: 3, 700: 4}[window]
+    assert _ring_steps(4, True, window, 128) == {100: 2, 200: 3, 300: 4}[window]
     check_fwd_bwd(mesh, dict(window=window), dict(window=window))
 
 
@@ -84,16 +88,26 @@ def test_ring_alibi():
 
 def test_ring_window_alibi_gqa():
     mesh = make_mesh({"sp": 4})
+    check_fwd_bwd(mesh, dict(window=200, alibi=True),
+                  dict(window=200, alibi=True), hq=4, hkv=2)
+
+
+@pytest.mark.slow
+def test_ring_full_geometry():
+    # One full-size case (multiple kernel blocks per shard, window + ALiBi
+    # + GQA together) kept at the original geometry; everything else runs
+    # at s_local = one block.
+    mesh = make_mesh({"sp": 4})
     check_fwd_bwd(mesh, dict(window=300, alibi=True),
-                  dict(window=300, alibi=True), hq=4, hkv=2)
+                  dict(window=300, alibi=True), s=1024, hq=4, hkv=2)
 
 
 def test_ring_segments():
     # Packed documents crossing shard boundaries; seg_k travels the ring.
     mesh = make_mesh({"sp": 4})
-    s = 1024
+    s = 512
     q, k, v, do = make_inputs(1, 2, 2, s, 64)
-    bounds = [0, 200, 640, 1024]  # doc edges NOT aligned to the 256 shards
+    bounds = [0, 100, 320, 512]  # doc edges NOT aligned to the 128 shards
     seg = np.zeros((1, s), np.int32)
     for i, (lo, hi) in enumerate(zip(bounds[:-1], bounds[1:])):
         seg[:, lo:hi] = i
@@ -138,10 +152,10 @@ def test_zigzag_variants(feat):
     # The (q_hi, k_lo) pair's global alignment is device-dependent: this
     # exercises the kernels' TRACED pos-offset path (dyn_pos_offset).
     mesh = make_mesh({"sp": 4})
-    kw = {"window": dict(window=300), "alibi": dict(alibi=True),
+    kw = {"window": dict(window=200), "alibi": dict(alibi=True),
           "softcap": dict(logit_softcap=30.0),
-          "window+alibi": dict(window=300, alibi=True)}[feat]
-    q, k, v, do = make_inputs(1, 2, 2, 1024, 64)
+          "window+alibi": dict(window=200, alibi=True)}[feat]
+    q, k, v, do = make_inputs(1, 2, 2, 512, 64)
     ours = zz_fn(mesh, **kw)
     ref = lambda q, k, v: reference_attention(q, k, v, is_causal=True, **kw)
     r = verify_results(ref(q, k, v), ours(q, k, v), atol=1e-5, rtol=1e-4)
@@ -155,9 +169,9 @@ def test_zigzag_variants(feat):
 
 def test_zigzag_segments():
     mesh = make_mesh({"sp": 4})
-    s = 1024
+    s = 512
     q, k, v, do = make_inputs(1, 2, 2, s, 64)
-    bounds = [0, 200, 640, 1024]
+    bounds = [0, 100, 320, 512]
     seg = np.zeros((1, s), np.int32)
     for i, (lo, hi) in enumerate(zip(bounds[:-1], bounds[1:])):
         seg[:, lo:hi] = i
