@@ -25,12 +25,16 @@ def main() -> None:
     target, fresh = sys.argv[1], sys.argv[2]
     provider = sys.argv[3] if len(sys.argv) > 3 else "flash"
 
-    with open(fresh) as f:
-        new_rows = [json.loads(line) for line in f if line.strip()]
+    def _rows(path: str) -> list[dict]:
+        # Sweeps may interleave non-JSON progress lines; keep records only.
+        with open(path) as f:
+            return [json.loads(line) for line in f
+                    if line.strip().startswith("{")]
+
+    new_rows = _rows(fresh)
     assert all(r["provider"] == provider for r in new_rows), "provider mismatch"
 
-    with open(target) as f:
-        old_rows = [json.loads(line) for line in f if line.strip()]
+    old_rows = _rows(target)
 
     # Fresh rows must describe the same experiment (D, causal) as the target.
     tgt_dims = {(r.get("D"), r.get("causal")) for r in old_rows}

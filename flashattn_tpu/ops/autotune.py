@@ -17,6 +17,7 @@ import dataclasses
 import json
 import os
 import pathlib
+import sys
 
 import jax
 import jax.numpy as jnp
@@ -164,7 +165,8 @@ def autotune(
         except Exception:
             continue
         if verbose:
-            print(f"[autotune fwd] bq={bq} bkv={bkv}: {t*1e3:.3f} ms")
+            print(f"[autotune fwd] bq={bq} bkv={bkv}: {t*1e3:.3f} ms",
+                  file=sys.stderr)
         if t < best_fwd_t:
             best_fwd, best_fwd_t = (bq, bkv), t
     assert best_fwd is not None, "no forward config compiled"
@@ -199,7 +201,7 @@ def autotune(
                     continue
                 if verbose:
                     print(f"[autotune {label}] bq={bq} bkv={bkv}: "
-                          f"{t*1e3:.3f} ms")
+                          f"{t*1e3:.3f} ms", file=sys.stderr)
                 if t < best_t:
                     best, best_t = (bq, bkv), t
             return best, best_t
@@ -245,7 +247,7 @@ def autotune(
             print(f"[autotune] split {split_t*1e3:.3f} ms "
                   f"(dq={best_dq}, dkv={best_dkv}) vs fused "
                   f"{(fused_t*1e3 if best_fused else float('nan')):.3f} ms "
-                  f"-> {result['bwd_impl']}")
+                  f"-> {result['bwd_impl']}", file=sys.stderr)
 
     cache[key] = result
     try:
