@@ -171,14 +171,23 @@ def main():
                                              is_causal=causal)
                         tf = tflops(fl, ms / 1e3)
                 else:
-                    ms, tf = benchmark_attention(
-                        provider, mode, b=b, h=h, s_q=s, s_k=s, d=d,
-                        is_causal=causal,
-                        warmup=3 if args.quick else 10,
-                        repeat=10 if args.quick else 30,
-                        block_sizes=tuned if provider == "flash" else None,
-                    )
-                    measured[mode] = ms
+                    try:
+                        ms, tf = benchmark_attention(
+                            provider, mode, b=b, h=h, s_q=s, s_k=s, d=d,
+                            is_causal=causal,
+                            warmup=3 if args.quick else 10,
+                            repeat=10 if args.quick else 30,
+                            block_sizes=tuned if provider == "flash" else None,
+                        )
+                        measured[mode] = ms
+                    except Exception as e:
+                        # A provider that cannot run a shape (XLA's unfused
+                        # attention OOMs HBM at S>=8192 f32 logits — the
+                        # same story as the reference's naive provider,
+                        # Performance_Comparison.py floor) must not kill the
+                        # sweep: record the failure and move on.
+                        note = f"{type(e).__name__}: {e}"[:200]
+                        ms, tf = None, None
                 roof = (attention_fwd_roofline if mode == "fwd"
                         else attention_bwd_roofline)(
                     b, h, h, s, s, d, causal, 512, 512, chip=chip
