@@ -44,6 +44,10 @@ def main():
     ap.add_argument("--model", default="1b", choices=["1b", "tiny"])
     ap.add_argument("--batch", type=int, default=4)
     ap.add_argument("--seq", type=int, default=2048)
+    ap.add_argument("--sweep", action="store_true",
+                    help="measure remat in {none,dots,full} x backward impl "
+                         "in {auto,split} (VERDICT r2 item #5), one JSON "
+                         "row each; rows that OOM are nulled with a note")
     args = ap.parse_args()
 
     cfg = LLAMA_1B if args.model == "1b" else TINY
@@ -60,6 +64,42 @@ def main():
             return llama.sgd_train_step(params, tokens, cfg, remat=remat)
         return step
 
+    toks = args.batch * args.seq
+    flops = model_flops_per_token(cfg, args.seq) * toks
+
+    def row(remat, sec, bwd_impl, note=None):
+        rec = {
+            "bench": "train_step", "model": args.model, "B": args.batch,
+            "S": args.seq, "remat": remat, "bwd_impl": bwd_impl,
+            "ms_per_step": round(sec * 1e3, 1) if sec else None,
+            "tokens_per_s": round(toks / sec, 1) if sec else None,
+            "model_tflops": round(flops / sec / 1e12, 1) if sec else None,
+            "mfu": round(flops / sec / (chip.bf16_tflops * 1e12), 3)
+            if sec else None,
+        }
+        if note:
+            rec["note"] = note
+        print(json.dumps(rec), flush=True)
+        return rec
+
+    if args.sweep:
+        import os
+
+        # remat=False saves every activation (1B @ B4/S2048 OOMs 16 GiB);
+        # "dots" keeps matmul outputs only; True recomputes everything.
+        for remat, label in ((False, "none"), ("dots", "dots"),
+                             (True, "full")):
+            for impl in ("auto", "split"):
+                os.environ["FLASHATTN_BWD_IMPL"] = impl
+                try:
+                    sec = measure(make_step(remat), params, tokens,
+                                  warmup=3, n1=2, n2=6)
+                    row(label, sec, impl)
+                except Exception as e:
+                    row(label, None, impl, f"{type(e).__name__}: {e}"[:200])
+        os.environ.pop("FLASHATTN_BWD_IMPL", None)
+        return
+
     try:
         # "dots" keeps matmul outputs across the remat boundary: +13% step
         # time at 1B/B4/S2048 on v5e. Falls back to full remat when the
@@ -69,17 +109,7 @@ def main():
     except jax.errors.JaxRuntimeError:
         remat = "full"
         sec = measure(make_step(True), params, tokens, warmup=3, n1=2, n2=6)
-    toks = args.batch * args.seq
-    flops = model_flops_per_token(cfg, args.seq) * toks
-    rec = {
-        "bench": "train_step", "model": args.model, "B": args.batch,
-        "S": args.seq, "remat": remat,
-        "ms_per_step": round(sec * 1e3, 1),
-        "tokens_per_s": round(toks / sec, 1),
-        "model_tflops": round(flops / sec / 1e12, 1),
-        "mfu": round(flops / sec / (chip.bf16_tflops * 1e12), 3),
-    }
-    print(json.dumps(rec))
+    row(remat, sec, "auto")
 
 
 if __name__ == "__main__":

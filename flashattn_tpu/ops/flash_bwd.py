@@ -35,6 +35,7 @@ TPU idiom notes (not a port) — see flash_fwd.py for the shared machinery:
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -526,6 +527,12 @@ def flash_attention_backward(
     block_sizes = block_sizes.clamp(s_q, s_k)
 
     assert impl in ("auto", "fused", "split"), impl
+    if impl == "auto":
+        # Benchmarking override (train_bench --bwd-impl sweeps remat x impl
+        # without threading a knob through the model layer): forces the
+        # dispatch for every 'auto' call in the process. Read at trace time.
+        impl = os.environ.get("FLASHATTN_BWD_IMPL", "auto")
+        assert impl in ("auto", "fused", "split"), impl
     if impl != "split":
         from flashattn_tpu.ops.autotune import cached_bwd_impl
         from flashattn_tpu.ops.flash_bwd_fused import (
