@@ -155,6 +155,7 @@ def _fwd_kernel(
     window_size: int = 0,
     mxu_l: bool = False,
     acc_writethrough: bool = True,
+    pred_mask: bool = False,
 ):
     # dynoff (1,) SMEM int32 (dynamic_offset only): TRACED q/k alignment —
     # zigzag ring hops have device-dependent shard offsets, so the window's
@@ -176,6 +177,11 @@ def _fwd_kernel(
          *scratch) = refs
     else:
         (q_ref, k_ref, v_ref, o_ref, lse_ref, *scratch) = refs
+    if pred_mask:
+        # Dedicated S-tile scratch: the dot lands here so the causal mask
+        # can be a PREDICATED in-place pass over the ~1-in-8 diagonal/tail
+        # steps instead of a select every step (see launcher comment).
+        *scratch, s_scratch = scratch
     if mxu_l:
         # l rides in the PV dot's spare output lanes (ones-column in V) and
         # accumulates inside acc — no l scratch, no VPU sum pass.
@@ -235,7 +241,25 @@ def _fwd_kernel(
         s = s + (slope * LOG2E) * dist
 
     mask = None
-    if needs_mask:
+    if pred_mask:
+        # Pure causal: the S tile takes its one required VMEM materialization
+        # in s_scratch, and the compare+select runs ONLY on the diagonal /
+        # ragged-tail steps (predicated on the prefetched thresholds) —
+        # interior steps skip the two full-tile VPU passes entirely.
+        s_scratch[...] = s
+
+        @pl.when(jnp.logical_or(meta_ref[META_RTHRESH, step] < _BIG,
+                                meta_ref[META_CTHRESH, step] < _BIG))
+        def _mask_step():
+            rows1 = jax.lax.broadcasted_iota(jnp.int32, (block_q, 1), 0)
+            limit = jnp.minimum(rows1 + meta_ref[META_RTHRESH, step],
+                                meta_ref[META_CTHRESH, step])  # (bq, 1)
+            cols1 = jax.lax.broadcasted_iota(jnp.int32, (1, block_kv), 1)
+            s_scratch[...] = jnp.where(cols1 <= limit, s_scratch[...],
+                                       MASK_VALUE)
+
+        s = s_scratch[...]
+    elif needs_mask:
         # (cols - rows) <= rthresh AND cols <= cthresh collapses to a single
         # per-row column limit: cols <= min(rows + rthresh, cthresh). One
         # broadcasted (bq,bkv) compare instead of two full-tile iotas + two
@@ -471,8 +495,16 @@ def flash_attention_forward(
     segmented = segment_ids is not None
     assert 0.0 <= dropout_rate < 1.0, dropout_rate
 
+    # Predicated masking (pure causal only): the mask select runs only on
+    # diagonal/ragged-tail steps via pl.when over a dedicated S scratch tile
+    # instead of every step. Trace-time A/B switch; see _fwd_kernel.
+    pred_mask = (
+        needs_mask and not (windowed or segmented or dynamic_offset)
+        and os.environ.get("FLASHATTN_PRED_MASK", "0") == "1")
+
     kernel = functools.partial(
         _fwd_kernel,
+        pred_mask=pred_mask,
         needs_mask=needs_mask or windowed,
         guard_zero_rows=guard_zero_rows,
         segmented=segmented,
@@ -563,7 +595,7 @@ def flash_attention_forward(
             [pltpu.VMEM((bq, 128), jnp.float32),
              pltpu.VMEM((bq, 128), jnp.float32),
              pltpu.VMEM((bq, d), jnp.float32)]
-        ),
+        ) + ([pltpu.VMEM((bq, bkv), jnp.float32)] if pred_mask else []),
     )
     o, lse = pl.pallas_call(
         kernel,
