@@ -55,12 +55,29 @@ def _provider_fn(provider: str, is_causal: bool, block_sizes=None):
         # jax's own Pallas TPU flash attention — the apples-to-apples
         # competitor row (same chip, same grid abstraction). TPU-only:
         # it exposes no interpret flag, so it cannot run on the CPU backend.
+        # Its stock defaults (512-blocks, block_b=2) measure pathologically
+        # on this rig (6-13 TF), so give it the same MXU-shaped tiles our
+        # kernel tunes to — the fair comparison is kernel-vs-kernel, not
+        # kernel-vs-default-config.
         from jax.experimental.pallas.ops.tpu import flash_attention as jfa
 
+        bq = block_sizes.block_q if block_sizes else 1024
+        bkv = block_sizes.block_kv if block_sizes else 1024
+
         def jax_flash_fn(q, k, v):
+            s_q, s_k = q.shape[2], k.shape[2]
+            bs = jfa.BlockSizes(
+                block_q=min(bq, s_q), block_k_major=min(bkv, s_k),
+                block_k=min(bkv, s_k), block_b=1,
+                block_q_major_dkv=min(bq, s_q),
+                block_k_major_dkv=min(bkv, s_k),
+                block_k_dkv=min(bkv, s_k), block_q_dkv=min(bq, s_q),
+                block_k_major_dq=min(bkv, s_k), block_k_dq=min(bkv, s_k),
+                block_q_dq=min(bq, s_q),
+            )
             return jfa.flash_attention(
                 q, k, v, causal=is_causal,
-                sm_scale=1.0 / q.shape[-1] ** 0.5)
+                sm_scale=1.0 / q.shape[-1] ** 0.5, block_sizes=bs)
         return jax_flash_fn
     raise ValueError(provider)
 
@@ -177,7 +194,8 @@ def main():
                             is_causal=causal,
                             warmup=3 if args.quick else 10,
                             repeat=10 if args.quick else 30,
-                            block_sizes=tuned if provider == "flash" else None,
+                            block_sizes=(tuned if provider in
+                                         ("flash", "jax_flash") else None),
                         )
                         measured[mode] = ms
                     except Exception as e:
