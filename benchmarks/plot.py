@@ -39,12 +39,15 @@ def plot_group(recs, mode, d, causal, out_dir):
     fig, ax = plt.subplots(figsize=(7, 4.2), dpi=150)
     by_provider = defaultdict(list)
     for r in recs:
-        if r["mode"] == mode and r["D"] == d and r["causal"] == causal:
+        if "provider" not in r or r.get("tflops") is None:
+            continue  # probe/crossover rows and nulled failure rows
+        if r.get("mode") == mode and r.get("D") == d and (
+                r.get("causal") == causal):
             by_provider[r["provider"]].append((r["S"], r["tflops"]))
     if not by_provider:
         plt.close(fig)
         return None
-    for provider in ("flash", "xla", "naive"):  # fixed order
+    for provider in ("flash", "xla", "jax_flash", "naive"):  # fixed order
         pts = sorted(by_provider.get(provider, []))
         if not pts:
             continue
@@ -87,8 +90,8 @@ def main():
     ap.add_argument("-o", "--out-dir", default="benchmarks/results")
     args = ap.parse_args()
     recs = load(args.inputs)
-    combos = sorted({(r["mode"], r["D"], r["causal"]) for r in recs},
-                    key=str)
+    combos = sorted({(r["mode"], r["D"], r["causal"]) for r in recs
+                     if {"mode", "D", "causal"} <= r.keys()}, key=str)
     for mode, d, causal in combos:
         out = plot_group(recs, mode, d, causal, args.out_dir)
         if out:

@@ -33,5 +33,5 @@ python benchmarks/decode_bench.py --tune-block-kv \
 cp ~/.cache/flashattn_tpu/autotune.json flashattn_tpu/ops/tuned_autotune.json
 
 python bench.py | tail -1
-python benchmarks/plot.py 2>/dev/null || true
+python benchmarks/plot.py benchmarks/results/v5e_d*.jsonl
 python benchmarks/summarize.py

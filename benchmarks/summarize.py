@@ -32,6 +32,8 @@ def attention_table(recs, s_plateau: int) -> list[str]:
     for r in recs:
         if "tflops" not in r or r.get("S") != s_plateau:
             continue
+        if "provider" not in r or r.get("tflops") is None:
+            continue  # probe/crossover rows and nulled failure rows
         key = (r["D"], bool(r["causal"]), r["mode"])
         cells[key][r["provider"]] = r["tflops"]
     if not cells:
