@@ -541,9 +541,14 @@ def flash_attention_backward(
         )
 
         bqf, bkvf = block_sizes.block_q_fused, block_sizes.block_kv_fused
+        # 128 MB = physical VMEM; the lane-padded estimate against it
+        # reproduces the measured crossover (fused compiles AND wins by
+        # ~1.37-1.41x everywhere up to S=49k at both head dims; first
+        # compile failure D=128 S=64k @147.5M-est, D=64 S=60k @132.06M
+        # real — v5e_bwd_crossover.jsonl, VERDICT r2 item #6).
         fits = fused_backward_vmem_bytes(
             s_q, s_k, d, bqf, bkvf
-        ) <= 100 * 1024 * 1024
+        ) <= 128 * 1024 * 1024
         # 'auto' honors a measured winner from the autotune cache (this
         # code runs at trace time; the choice bakes into the executable).
         # A measured "fused" beats the VMEM estimate: the autotune trial

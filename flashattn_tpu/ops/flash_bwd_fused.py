@@ -313,9 +313,18 @@ def fused_backward_vmem_bytes(s_q: int, s_k: int, d: int, bq: int,
                               bkv: int, dtype_bytes: int = 2) -> int:
     """Rough VMEM footprint of the fused kernel (dispatch heuristic):
     resident f32 accumulators + bf16 output blocks (possibly double
-    buffered) + streamed tiles + score-tile temporaries."""
+    buffered) + streamed tiles + score-tile temporaries.
+
+    D pads to the 128-lane vreg width: Mosaic allocates (…, 64) windows at
+    (…, 128) — omitting this under-estimated D=64 by 2x and the old 100 MB
+    bound dispatched D=64 S=64k to the fused path, which does NOT compile
+    (132.06 M > 128 M, v5e_bwd_crossover.jsonl + compile probes at
+    S∈{56k: ok, 60k: OOM}). With the padding, this formula + the 128 MB
+    bound reproduces every measured compile/fail outcome of the crossover
+    sweep at both head dims."""
     from flashattn_tpu.ops.common import round_up
 
+    d = round_up(d, 128)
     s_k_p = round_up(s_k, bkv)
     acc = 2 * s_k_p * d * 4  # dk_acc + dv_acc f32
     outs = 2 * 2 * s_k_p * d * dtype_bytes  # dk/dv blocks, x2 buffering

@@ -107,11 +107,21 @@ def test_fused_feature_stack():
 
 def test_vmem_dispatch_heuristic():
     from flashattn_tpu.ops.flash_bwd_fused import fused_backward_vmem_bytes
-    # Headline shape fits; a 128k-long context must not.
-    assert fused_backward_vmem_bytes(16384, 16384, 128, 1024, 1024) \
-        <= 100 * 1024 * 1024
-    assert fused_backward_vmem_bytes(131072, 131072, 128, 1024, 1024) \
-        > 100 * 1024 * 1024
+
+    # Pinned to the measured crossover (v5e_bwd_crossover.jsonl + compile
+    # probes): the lane-padded estimate against the 128 MB physical VMEM
+    # must keep every shape that compiled AND won on the fused path, and
+    # exclude the shapes whose compiles ran out of VMEM.
+    bound = 128 * 1024 * 1024
+    for s, d in ((16384, 128), (32768, 128), (49152, 128),
+                 (16384, 64), (32768, 64), (49152, 64)):
+        assert fused_backward_vmem_bytes(s, s, d, 1024, 1024) <= bound, (s, d)
+    for s, d in ((65536, 128), (61440, 64), (65536, 64), (131072, 128)):
+        assert fused_backward_vmem_bytes(s, s, d, 1024, 1024) > bound, (s, d)
+    # Lane padding: D=64 costs the same VMEM as D=128 (the regression that
+    # dispatched D=64 S=64k to a non-compiling fused kernel).
+    assert fused_backward_vmem_bytes(61440, 61440, 64, 1024, 1024) == \
+        fused_backward_vmem_bytes(61440, 61440, 128, 1024, 1024)
 
 
 def test_measured_fused_overrides_vmem_estimate(monkeypatch):
