@@ -69,7 +69,7 @@ _SMOKE = [
     "test_serve.py::test_single_request_matches_generate",
     "test_model.py::test_forward_shapes",
     "test_paged.py::test_paged_matches_dense_single[int8]",
-    "test_decode.py::test_fp8e4m3_to_bf16_pair_bit_identical",
+    "test_decode.py::test_fp8e4m3_to_f32_fast_matches_bf16_fast",
     "test_autotune.py::test_lookup_block_sizes_resolves_cache_then_defaults",
     "test_wavefront.py",
     "test_data.py::test_batches_deterministic_resume",

@@ -223,18 +223,21 @@ def test_fp8e4m3_to_bf16_fast_bound():
     assert np.abs(got[finite & sub] - want[finite & sub]).max() <= 2.0**-7
 
 
-def test_fp8e4m3_to_bf16_pair_bit_identical():
-    """The two-bytes-per-i32-lane converter must match the per-byte fast
-    path bit-for-bit on every e4m3 code (it is a pure lowering experiment,
-    not a numerics change)."""
+def test_fp8e4m3_to_f32_fast_matches_bf16_fast():
+    """The 4-op f32-layout hot-path converter (sign-extension single-mask
+    chain; the only same-width final bitcast Mosaic can lower) must agree
+    with the proven bf16-layout fast path on every e4m3 code — identical
+    mapping, wider output type. (The round-2 'pair' two-bytes-per-lane
+    candidate is gone: Mosaic cannot lower bitwidth-changing bitcasts at
+    all, so it never compiled outside interpret mode.)"""
     import numpy as np
     from flashattn_tpu.ops.common import (fp8e4m3_to_bf16_fast,
-                                          fp8e4m3_to_bf16_pair)
+                                          fp8e4m3_to_f32_fast)
 
     codes = np.arange(256, dtype=np.uint8).reshape(2, 128)
     x = jax.lax.bitcast_convert_type(jnp.asarray(codes), jnp.float8_e4m3fn)
     a = np.asarray(fp8e4m3_to_bf16_fast(x), dtype=np.float32)
-    b = np.asarray(fp8e4m3_to_bf16_pair(x), dtype=np.float32)
+    b = np.asarray(fp8e4m3_to_f32_fast(x), dtype=np.float32)
     same = (a == b) | (np.isnan(a) & np.isnan(b))
     assert same.all()
 
