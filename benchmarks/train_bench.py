@@ -48,6 +48,12 @@ def main():
                     help="measure remat in {none,dots,full} x backward impl "
                          "in {auto,split} (VERDICT r2 item #5), one JSON "
                          "row each; rows that OOM are nulled with a note")
+    ap.add_argument("--remat", default=None, choices=["none", "dots", "full"],
+                    help="pin the remat policy for a single run (sweep "
+                         "workers use this)")
+    ap.add_argument("--bwd-impl", default=None, choices=["auto", "split",
+                                                         "fused"],
+                    help="pin the attention backward impl for a single run")
     args = ap.parse_args()
 
     cfg = LLAMA_1B if args.model == "1b" else TINY
@@ -83,21 +89,39 @@ def main():
         return rec
 
     if args.sweep:
+        # One SUBPROCESS per config: a config that legitimately OOMs (e.g.
+        # remat=none at 1B/B4/S2048 on 16 GiB) must not poison the later
+        # configs — a TPU RESOURCE_EXHAUSTED leaves the process's device
+        # allocator in a state where every subsequent compile also OOMs
+        # (measured round 3: the in-process sweep nulled all 6 rows while
+        # the same configs run standalone at 0.596 MFU).
+        import subprocess
+
+        for remat in ("none", "dots", "full"):
+            for impl in ("auto", "split"):
+                cmd = [sys.executable, __file__, "--model", args.model,
+                       "--batch", str(args.batch), "--seq", str(args.seq),
+                       "--remat", remat, "--bwd-impl", impl]
+                proc = subprocess.run(cmd, capture_output=True, text=True,
+                                      timeout=1800)
+                line = proc.stdout.strip().splitlines()
+                if proc.returncode == 0 and line:
+                    print(line[-1], flush=True)
+                else:
+                    err = (proc.stderr.strip().splitlines() or ["?"])[-1]
+                    row(remat, None, impl, err[:200])
+        return
+
+    remat_map = {"none": False, "dots": "dots", "full": True}
+    if args.bwd_impl:
         import os
 
-        # remat=False saves every activation (1B @ B4/S2048 OOMs 16 GiB);
-        # "dots" keeps matmul outputs only; True recomputes everything.
-        for remat, label in ((False, "none"), ("dots", "dots"),
-                             (True, "full")):
-            for impl in ("auto", "split"):
-                os.environ["FLASHATTN_BWD_IMPL"] = impl
-                try:
-                    sec = measure(make_step(remat), params, tokens,
-                                  warmup=3, n1=2, n2=6)
-                    row(label, sec, impl)
-                except Exception as e:
-                    row(label, None, impl, f"{type(e).__name__}: {e}"[:200])
-        os.environ.pop("FLASHATTN_BWD_IMPL", None)
+        os.environ["FLASHATTN_BWD_IMPL"] = args.bwd_impl
+    if args.remat:
+        remat = args.remat
+        sec = measure(make_step(remat_map[remat]), params, tokens,
+                      warmup=3, n1=2, n2=6)
+        row(remat, sec, args.bwd_impl or "auto")
         return
 
     try:

@@ -539,12 +539,16 @@ class InferenceServer:
             jnp.int32)
         act = jnp.ones((b,), bool)
 
-        def fn(tokens):
-            return generate.decode_step(self.params, tokens, positions,
-                                        self.caches, self.cfg,
-                                        active=act)[0]
+        # params/caches must ride as jit ARGUMENTS: closing over them bakes
+        # ~2.4 GB of weights into the traced HLO as constants, which blows
+        # up the compile payload (measured: the remote-compile transport
+        # dies with a broken pipe) and double-allocates the weights.
+        def fn(tokens, params, caches):
+            return generate.decode_step(params, tokens, positions,
+                                        caches, self.cfg, active=act)[0]
 
-        self._device_step_s = measure_looped(fn, self.tokens, iters=iters)
+        self._device_step_s = measure_looped(fn, self.tokens, self.params,
+                                             self.caches, iters=iters)
         return self._device_step_s
 
     def run(self) -> dict[int, list[int]]:

@@ -156,6 +156,7 @@ def _fwd_kernel(
     mxu_l: bool = False,
     acc_writethrough: bool = True,
     pred_mask: bool = False,
+    unroll: int = 1,
 ):
     # dynoff (1,) SMEM int32 (dynamic_offset only): TRACED q/k alignment —
     # zigzag ring hops have device-dependent shard offsets, so the window's
@@ -215,135 +216,161 @@ def _fwd_kernel(
             acc_scratch[...] = jnp.zeros(acc_scratch.shape, jnp.float32)
 
     q = q_ref[0, 0]  # (block_q, D)
-    k = k_ref[0, 0]  # (block_kv, D)
-    # S tile directly in the log2 domain (Q pre-scaled host-side); with
+    # KV sub-tile unroll (unroll > 1): split the fetched (block_kv, D) tile
+    # into `unroll` independent column bands and issue ALL their QK dots up
+    # front. One dot per step gives Mosaic nothing to overlap with the
+    # online-softmax VPU chain (measured ~1.2 us serialized per 1024² tile);
+    # with two bands, band u+1's dot (MXU) runs under band u's softmax (VPU),
+    # linked only through the (bq, 1) running stats. Numerically exact —
+    # identical online-softmax algebra at sub-tile granularity.
+    assert block_kv % unroll == 0, (block_kv, unroll)
+    assert unroll == 1 or not pred_mask, "unroll excludes pred_mask"
+    bkv_sub = block_kv // unroll
+    # S tiles directly in the log2 domain (Q pre-scaled host-side); with
     # soft-capping Q carries only `scale` so tanh sees TRUE logits.
-    s = jax.lax.dot_general(
-        q, k,
-        dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-    if softcap > 0.0:
-        s = jnp.tanh(s * (1.0 / softcap)) * (softcap * LOG2E)
-    if alibi:
-        # ALiBi: score += slope_h * (k_pos - q_pos) (<= 0 for the past).
-        # Slopes arrive as a scalar-prefetched (Hq,) array — indexable by
-        # the LOCAL head grid index even under head sharding (the caller
-        # shards the global slope table with the heads), and overridable
-        # with model-custom slopes.
-        slope = slopes_ref[pl.program_id(1)]
-        aoff = dynoff_ref[0] if dynamic_offset else causal_offset
-        r1a = jax.lax.broadcasted_iota(jnp.int32, (block_q, 1), 0)
-        c1a = jax.lax.broadcasted_iota(jnp.int32, (1, block_kv), 1)
-        dist = ((c1a + meta_ref[META_KJ, step] * block_kv)
-                - (r1a + meta_ref[META_QI, step] * block_q)
-                - aoff).astype(jnp.float32)
-        s = s + (slope * LOG2E) * dist
+    ss = [
+        jax.lax.dot_general(
+            q, k_ref[0, 0, u * bkv_sub:(u + 1) * bkv_sub, :],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        for u in range(unroll)
+    ]
 
-    mask = None
-    if pred_mask:
-        # Pure causal: the S tile takes its one required VMEM materialization
-        # in s_scratch, and the compare+select runs ONLY on the diagonal /
-        # ragged-tail steps (predicated on the prefetched thresholds) —
-        # interior steps skip the two full-tile VPU passes entirely.
-        s_scratch[...] = s
+    for u in range(unroll):
+        s = ss[u]
+        coff = u * bkv_sub  # sub-tile column offset inside the fetched tile
+        if softcap > 0.0:
+            s = jnp.tanh(s * (1.0 / softcap)) * (softcap * LOG2E)
+        if alibi:
+            # ALiBi: score += slope_h * (k_pos - q_pos) (<= 0 for the past).
+            # Slopes arrive as a scalar-prefetched (Hq,) array — indexable by
+            # the LOCAL head grid index even under head sharding (the caller
+            # shards the global slope table with the heads), and overridable
+            # with model-custom slopes.
+            slope = slopes_ref[pl.program_id(1)]
+            aoff = dynoff_ref[0] if dynamic_offset else causal_offset
+            r1a = jax.lax.broadcasted_iota(jnp.int32, (block_q, 1), 0)
+            c1a = jax.lax.broadcasted_iota(jnp.int32, (1, bkv_sub), 1)
+            dist = ((c1a + meta_ref[META_KJ, step] * block_kv + coff)
+                    - (r1a + meta_ref[META_QI, step] * block_q)
+                    - aoff).astype(jnp.float32)
+            s = s + (slope * LOG2E) * dist
 
-        @pl.when(jnp.logical_or(meta_ref[META_RTHRESH, step] < _BIG,
-                                meta_ref[META_CTHRESH, step] < _BIG))
-        def _mask_step():
+        mask = None
+        if pred_mask:
+            # Pure causal: the S tile takes its one required VMEM
+            # materialization in s_scratch, and the compare+select runs ONLY
+            # on the diagonal / ragged-tail steps (predicated on the
+            # prefetched thresholds) — interior steps skip the two full-tile
+            # VPU passes entirely.
+            s_scratch[...] = s
+
+            @pl.when(jnp.logical_or(meta_ref[META_RTHRESH, step] < _BIG,
+                                    meta_ref[META_CTHRESH, step] < _BIG))
+            def _mask_step():
+                rows1 = jax.lax.broadcasted_iota(jnp.int32, (block_q, 1), 0)
+                limit = jnp.minimum(rows1 + meta_ref[META_RTHRESH, step],
+                                    meta_ref[META_CTHRESH, step])  # (bq, 1)
+                cols1 = jax.lax.broadcasted_iota(jnp.int32, (1, block_kv), 1)
+                s_scratch[...] = jnp.where(cols1 <= limit, s_scratch[...],
+                                           MASK_VALUE)
+
+            s = s_scratch[...]
+        elif needs_mask:
+            # (cols - rows) <= rthresh AND cols <= cthresh collapses to a
+            # single per-row column limit: cols <= min(rows + rthresh,
+            # cthresh). One broadcasted (bq,bkv) compare instead of two
+            # full-tile iotas + two compares (the thresholds' +BIG encoding
+            # for interior blocks, reference taxonomy Phase_3.md:273-322,
+            # still short-circuits to all-true). Sub-tile bands shift the
+            # (block-local) column thresholds by their offset.
             rows1 = jax.lax.broadcasted_iota(jnp.int32, (block_q, 1), 0)
-            limit = jnp.minimum(rows1 + meta_ref[META_RTHRESH, step],
-                                meta_ref[META_CTHRESH, step])  # (bq, 1)
-            cols1 = jax.lax.broadcasted_iota(jnp.int32, (1, block_kv), 1)
-            s_scratch[...] = jnp.where(cols1 <= limit, s_scratch[...],
-                                       MASK_VALUE)
+            limit = jnp.minimum(rows1 + (meta_ref[META_RTHRESH, step] - coff),
+                                meta_ref[META_CTHRESH, step] - coff)  # (bq,1)
+            cols1 = jax.lax.broadcasted_iota(jnp.int32, (1, bkv_sub), 1)
+            mask = cols1 <= limit  # (bq, bkv_sub)
+            if windowed and dynamic_offset:
+                # Traced alignment: compute the left-edge threshold in-kernel
+                # (static builds ship it in META_LTHRESH).
+                lth = (dynoff_ref[0] - (window_size - 1)
+                       + meta_ref[META_QI, step] * block_q
+                       - meta_ref[META_KJ, step] * block_kv - coff)
+                mask = mask & (cols1 >= rows1 + lth)
+            elif windowed:
+                # Sliding window: left edge is a per-row LOWER column bound.
+                mask = mask & (
+                    cols1 >= rows1 + (meta_ref[META_LTHRESH, step] - coff))
+        if segmented:
+            # (bq,1)==(1,bkv_sub) -> (bq,bkv_sub)
+            seg_mask = segq_ref[0] == segk_ref[0][:, coff:coff + bkv_sub]
+            mask = seg_mask if mask is None else (mask & seg_mask)
+        if mask is not None:
+            s = jnp.where(mask, s, MASK_VALUE)
 
-        s = s_scratch[...]
-    elif needs_mask:
-        # (cols - rows) <= rthresh AND cols <= cthresh collapses to a single
-        # per-row column limit: cols <= min(rows + rthresh, cthresh). One
-        # broadcasted (bq,bkv) compare instead of two full-tile iotas + two
-        # compares (the thresholds' +BIG encoding for interior blocks,
-        # reference taxonomy Phase_3.md:273-322, still short-circuits to
-        # all-true).
-        rows1 = jax.lax.broadcasted_iota(jnp.int32, (block_q, 1), 0)
-        limit = jnp.minimum(rows1 + meta_ref[META_RTHRESH, step],
-                            meta_ref[META_CTHRESH, step])  # (bq, 1)
-        cols1 = jax.lax.broadcasted_iota(jnp.int32, (1, block_kv), 1)
-        mask = cols1 <= limit  # (bq, bkv)
-        if windowed and dynamic_offset:
-            # Traced alignment: compute the left-edge threshold in-kernel
-            # (static builds ship it in META_LTHRESH).
-            lth = (dynoff_ref[0] - (window_size - 1)
-                   + meta_ref[META_QI, step] * block_q
-                   - meta_ref[META_KJ, step] * block_kv)
-            mask = mask & (cols1 >= rows1 + lth)
-        elif windowed:
-            # Sliding window: left edge is a per-row LOWER column bound.
-            mask = mask & (cols1 >= rows1 + meta_ref[META_LTHRESH, step])
-    if segmented:
-        seg_mask = segq_ref[0] == segk_ref[0]  # (bq,1)==(1,bkv) -> (bq,bkv)
-        mask = seg_mask if mask is None else (mask & seg_mask)
-    if mask is not None:
-        s = jnp.where(mask, s, MASK_VALUE)
+        m_prev = m_scratch[:, :1]  # (block_q, 1)
+        m_cur = jnp.max(s, axis=1, keepdims=True)
+        m_new = jnp.maximum(m_prev, m_cur)
+        alpha = jnp.exp2(m_prev - m_new)
+        p = jnp.exp2(s - m_new)  # (block_q, bkv_sub) f32
+        if segmented or windowed:
+            # Rows with no visible keys in this tile (segment absent, or the
+            # sliding window starts in a later block) would get
+            # p = exp2(s - m) with s = m = MASK_VALUE -> 1; zero them exactly.
+            p = jnp.where(mask, p, 0.0)
+        if guard_zero_rows:
+            # Zero-key rows (causal cross-attn, S_q > S_k): all-masked rows
+            # would get p = exp2(0) = 1; force 0 (convention: O = 0,
+            # LSE = -inf).
+            riota = jax.lax.broadcasted_iota(jnp.int32, (block_q, 1), 0)
+            valid = (riota
+                     + (meta_ref[META_QI, step] * block_q + causal_offset)
+                     >= 0)
+            p = jnp.where(valid, p, 0.0)
+        if not mxu_l:
+            l_new = alpha * l_scratch[:, :1] + jnp.sum(p, axis=1,
+                                                       keepdims=True)
+            l_scratch[:, :1] = l_new
 
-    m_prev = m_scratch[:, :1]  # (block_q, 1)
-    m_cur = jnp.max(s, axis=1, keepdims=True)
-    m_new = jnp.maximum(m_prev, m_cur)
-    alpha = jnp.exp2(m_prev - m_new)
-    p = jnp.exp2(s - m_new)  # (block_q, block_kv) f32
-    if segmented or windowed:
-        # Rows with no visible keys in this tile (segment absent, or the
-        # sliding window starts in a later block) would get
-        # p = exp2(s - m) with s = m = MASK_VALUE -> 1; zero them exactly.
-        p = jnp.where(mask, p, 0.0)
-    if guard_zero_rows:
-        # Zero-key rows (causal cross-attn, S_q > S_k): all-masked rows would
-        # get p = exp2(0) = 1; force 0 (convention: O = 0, LSE = -inf).
-        riota = jax.lax.broadcasted_iota(jnp.int32, (block_q, 1), 0)
-        valid = riota + (meta_ref[META_QI, step] * block_q + causal_offset) >= 0
-        p = jnp.where(valid, p, 0.0)
-    if not mxu_l:
-        l_new = alpha * l_scratch[:, :1] + jnp.sum(p, axis=1, keepdims=True)
-        l_scratch[:, :1] = l_new
+        m_scratch[:, :1] = m_new
 
-    m_scratch[:, :1] = m_new
+        if dropout_rate > 0.0:
+            # Dropout on the UNnormalized P feeding the PV dot only: l keeps
+            # the clean softmax normalizer, so LSE (and the backward's P
+            # rebuild) are dropout-free (reference deferred design
+            # Phase_6.md:54-114).
+            rows_g = (meta_ref[META_QI, step] * block_q
+                      + jax.lax.broadcasted_iota(jnp.int32, (block_q, 1), 0))
+            cols_g = (meta_ref[META_KJ, step] * block_kv + coff
+                      + jax.lax.broadcasted_iota(jnp.int32, (1, bkv_sub), 1))
+            bh = pl.program_id(0) * hq + pl.program_id(1)
+            keep = dropout_keep_mask(seed_ref[0], bh, rows_g, cols_g,
+                                     dropout_rate)
+            p_v = jnp.where(keep, p * (1.0 / (1.0 - dropout_rate)), 0.0)
+        else:
+            p_v = p
 
-    if dropout_rate > 0.0:
-        # Dropout on the UNnormalized P feeding the PV dot only: l keeps the
-        # clean softmax normalizer, so LSE (and the backward's P rebuild)
-        # are dropout-free (reference deferred design Phase_6.md:54-114).
-        rows_g = meta_ref[META_QI, step] * block_q + jax.lax.broadcasted_iota(
-            jnp.int32, (block_q, 1), 0)
-        cols_g = meta_ref[META_KJ, step] * block_kv + jax.lax.broadcasted_iota(
-            jnp.int32, (1, block_kv), 1)
-        bh = pl.program_id(0) * hq + pl.program_id(1)
-        keep = dropout_keep_mask(seed_ref[0], bh, rows_g, cols_g,
-                                 dropout_rate)
-        p_v = jnp.where(keep, p * (1.0 / (1.0 - dropout_rate)), 0.0)
-    else:
-        p_v = p
+        v = v_ref[0, 0, coff:coff + bkv_sub, :]  # (bkv_sub, D)
+        pv = jax.lax.dot_general(
+            p_v.astype(v.dtype),  # bf16 into the MXU (reference :112-115)
+            v,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
 
-    v = v_ref[0, 0]  # (block_kv, D)
-    pv = jax.lax.dot_general(
-        p_v.astype(v.dtype),  # bf16 into the MXU (reference :112-115)
-        v,
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
+        if acc_writethrough and u == 0:
+            # Short-row mode: the row's first sub-tile writes through (skips
+            # that step's acc read + alpha multiply AND the per-row zeros
+            # pass); later sub-tiles always read-modify-write.
+            @pl.when(first)
+            def _acc_write_through():
+                acc_scratch[...] = pv
 
-    if acc_writethrough:
-        # Short-row mode: first step writes through (skips that step's acc
-        # read + alpha multiply AND the per-row zeros pass).
-        @pl.when(first)
-        def _acc_write_through():
-            acc_scratch[...] = pv
-
-        @pl.when(jnp.logical_not(first))
-        def _acc_rmw():
+            @pl.when(jnp.logical_not(first))
+            def _acc_rmw():
+                acc_scratch[...] = acc_scratch[...] * alpha + pv
+        else:
             acc_scratch[...] = acc_scratch[...] * alpha + pv
-    else:
-        acc_scratch[...] = acc_scratch[...] * alpha + pv
 
     @pl.when(meta_ref[META_LAST, step] == 1)
     def _finalize():
@@ -502,8 +529,15 @@ def flash_attention_forward(
         needs_mask and not (windowed or segmented or dynamic_offset)
         and os.environ.get("FLASHATTN_PRED_MASK", "0") == "1")
 
+    # KV sub-tile unroll (A/B switch; see _fwd_kernel): bands must stay
+    # MXU-lane-aligned (>= 128 columns each).
+    unroll = int(os.environ.get("FLASHATTN_FWD_UNROLL", "1"))
+    if pred_mask or bkv % unroll != 0 or (bkv // unroll) % 128 != 0:
+        unroll = 1
+
     kernel = functools.partial(
         _fwd_kernel,
+        unroll=unroll,
         pred_mask=pred_mask,
         needs_mask=needs_mask or windowed,
         guard_zero_rows=guard_zero_rows,
