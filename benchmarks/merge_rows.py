@@ -55,6 +55,13 @@ def main() -> None:
     print(f"{target}: kept {len(kept)} rows, replaced {replaced}, "
           f"spliced {len(new_rows)} {provider} rows")
 
+    # Record->report regeneration is unskippable: any splice re-renders
+    # RESULTS.md (tests/test_results_fresh.py fails the commit otherwise).
+    import summarize
+
+    summarize.regenerate()
+    print("regenerated RESULTS.md")
+
 
 if __name__ == "__main__":
     main()

@@ -94,21 +94,37 @@ def misc_tables(recs) -> list[str]:
     return lines
 
 
+def render(results_dir: pathlib.Path | None = None,
+           plateau: int = 16384) -> str:
+    """RESULTS.md content derived purely from the committed JSONLs.
+    tests/test_results_fresh.py re-renders and fails on any drift, so a
+    bench run that records rows without regenerating cannot be committed."""
+    recs = load(results_dir or HERE / "results")
+    lines = ["# Measured results (v5e, one chip via tunnel)", "",
+             "Regenerate: `python benchmarks/summarize.py` after a sweep; "
+             "record provenance is the JSONLs in `benchmarks/results/`.", ""]
+    lines += attention_table(recs, plateau)
+    lines += decode_table(recs)
+    lines += misc_tables(recs)
+    return "\n".join(lines) + "\n"
+
+
+def regenerate() -> None:
+    """Re-render RESULTS.md in place — bench scripts call this after every
+    JSONL write (VERDICT r3: records were updated without regenerating the
+    human-facing layer, twice)."""
+    (HERE / "RESULTS.md").write_text(render())
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("-s", "--plateau", type=int, default=16384)
     ap.add_argument("-o", "--out", default=str(HERE / "RESULTS.md"))
     ap.add_argument("--results", default=str(HERE / "results"))
     args = ap.parse_args()
-    recs = load(pathlib.Path(args.results))
-    lines = ["# Measured results (v5e, one chip via tunnel)", "",
-             "Regenerate: `python benchmarks/summarize.py` after a sweep; "
-             "record provenance is the JSONLs in `benchmarks/results/`.", ""]
-    lines += attention_table(recs, args.plateau)
-    lines += decode_table(recs)
-    lines += misc_tables(recs)
-    pathlib.Path(args.out).write_text("\n".join(lines) + "\n")
-    print(f"wrote {args.out} ({len(recs)} records)")
+    text = render(pathlib.Path(args.results), args.plateau)
+    pathlib.Path(args.out).write_text(text)
+    print(f"wrote {args.out}")
 
 
 if __name__ == "__main__":
