@@ -16,11 +16,10 @@ python benchmarks/bwd_crossover_bench.py \
   > "$R/v5e_bwd_crossover.jsonl.tmp" 2> "$R/bwd_crossover.log" \
   && mv "$R/v5e_bwd_crossover.jsonl.tmp" "$R/v5e_bwd_crossover.jsonl"
 
-# 2. fp8 decode converter A/B (VERDICT r2 item #2): pair-unpack vs per-byte.
-FLASHATTN_FP8_PAIR=1 python benchmarks/decode_bench.py \
-  > "$R/v5e_decode_kernel_fp8pair.jsonl.tmp" 2> "$R/decode_fp8pair.log" \
-  && mv "$R/v5e_decode_kernel_fp8pair.jsonl.tmp" \
-        "$R/v5e_decode_kernel_fp8pair.jsonl"
+# 2. (retired) fp8 pair-unpack A/B — concluded in round 3: Mosaic cannot
+#    lower the pair path; the shipped converter is the 4-op sign-extension
+#    chain in ops/common.py fp8_decode_convert (721 GB/s, 0.88 SoL @S=32k).
+#    The FLASHATTN_FP8_PAIR switch no longer exists.
 
 # 3. Device-time serving row (VERDICT r2 item #7).
 python benchmarks/serve_bench.py --model 1b --paged \

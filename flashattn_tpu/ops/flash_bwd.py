@@ -530,7 +530,11 @@ def flash_attention_backward(
     if impl == "auto":
         # Benchmarking override (train_bench --bwd-impl sweeps remat x impl
         # without threading a knob through the model layer): forces the
-        # dispatch for every 'auto' call in the process. Read at trace time.
+        # dispatch for every 'auto' call in the process. Read at TRACE time
+        # only — the jit cache is keyed on avals/statics, not this env var,
+        # so flipping it after a same-shape call in-process is silently
+        # ignored (train_bench runs each arm in a subprocess for exactly
+        # this reason; in-process A/Bs must jax.clear_caches() per arm).
         impl = os.environ.get("FLASHATTN_BWD_IMPL", "auto")
         assert impl in ("auto", "fused", "split"), impl
     if impl != "split":

@@ -86,8 +86,39 @@ def _ring_perm(n: int):
     return [(i, (i + 1) % n) for i in range(n)]
 
 
-def _rotate(xs, axis_name: str, n: int):
+def _rotate(xs, axis_name: str, n: int, anchor=None):
+    """Rotate xs one hop along the ring.
+
+    `anchor` (any array from the PREVIOUS hop's compute, e.g. the running
+    max) orders the permute-start AFTER that compute. Without it the hops'
+    permutes form a pure chain (hop t+1's input is hop t's output) with no
+    dependency on any kernel, and XLA's latency-hiding scheduler hoists the
+    WHOLE chain to the top of the program — measured on the AOT v5e
+    schedule: 10/14 collective-permute pairs with zero kernels in flight
+    (``benchmarks/results/ring_overlap_schedule.json``, round 3). The
+    anchoring must be a REAL data dependency: ``lax.optimization_barrier``
+    survives lowering but XLA's OptimizationBarrierExpander deletes it
+    before the scheduling pass runs (verified on the AOT v5e compile —
+    zero ``opt-barrier`` ops in the final module, schedule unchanged). So
+    one element of each floating x takes a numerically-zero perturbation
+    ``min(|anchor[0]|, 0)`` that the compiler cannot fold (it would need
+    range analysis; NaN/-inf anchors still map to 0 through |.|->min).
+    The patch is a rank-preserving single-element dynamic_update_slice —
+    compute reads the ORIGINAL refs and takes no new dependency, so the
+    scheduler's only legal window for hop t+1's wire is under kernel t+1."""
     perm = _ring_perm(n)
+    if anchor is not None:
+        a0 = anchor.reshape(-1)[:1]  # (1,) from the previous hop's stats
+        eps = jnp.minimum(jnp.abs(a0), 0.0)
+        tied = []
+        for x in xs:
+            if jnp.issubdtype(x.dtype, jnp.floating):
+                idx = (jnp.int32(0),) * x.ndim
+                patch = (lax.dynamic_slice(x, idx, (1,) * x.ndim)
+                         + eps.astype(x.dtype).reshape((1,) * x.ndim))
+                x = lax.dynamic_update_slice(x, patch, idx)
+            tied.append(x)
+        xs = tied
     return [lax.ppermute(x, axis_name, perm) for x in xs]
 
 
@@ -235,9 +266,12 @@ def _ring_forward(q, k, v, dropout_seed, alibi_slopes, segment_ids,
     for step in range(steps):
         if step < steps - 1:
             # Issue the next hop's permute before this step's compute so XLA
-            # can overlap the ICI transfer with the kernel.
+            # can overlap the ICI transfer with the kernel; anchor on the
+            # previous hop's merged stats so the permute chain cannot be
+            # hoisted wholesale ahead of all compute (see _rotate).
             nxt = _rotate([x for x in (k_cur, v_cur, segk_cur)
-                           if x is not None], axis_name, n)
+                           if x is not None], axis_name, n,
+                          anchor=m if step > 0 else None)
         if not is_causal or step == 0:
             o_p, lse_p = local_attn(k_cur, v_cur, is_causal, step, segk_cur)
         else:
@@ -316,7 +350,8 @@ def _ring_bwd(axis_name, is_causal, scale, block_sizes, interpret,
     for step in range(steps):
         if step < steps - 1:
             nxt = _rotate([x for x in (k_cur, v_cur, segk_cur)
-                           if x is not None], axis_name, n)
+                           if x is not None], axis_name, n,
+                          anchor=dq_acc if step > 0 else None)
         if not is_causal or step == 0:
             dq_p, dk_p, dv_p = local_bwd(k_cur, v_cur, is_causal, step,
                                          segk_cur)
@@ -538,7 +573,8 @@ def _zz_forward(q, k, v, dropout_seed, alibi_slopes, segment_ids,
     for step in range(n):
         if step < n - 1:
             nxt = _rotate([x for x in (k_cur, v_cur, segk_cur)
-                           if x is not None], axis_name, n)
+                           if x is not None], axis_name, n,
+                          anchor=m if step > 0 else None)
         k_lo, k_hi = _halves(k_cur)
         v_lo, v_hi = _halves(v_cur)
         sk_lo = segk_cur[:, :c] if segmented else None
@@ -647,7 +683,8 @@ def _zz_bwd(axis_name, scale, block_sizes, interpret,
     for step in range(n):
         if step < n - 1:
             nxt = _rotate([x for x in (k_cur, v_cur, segk_cur)
-                           if x is not None], axis_name, n)
+                           if x is not None], axis_name, n,
+                          anchor=dq_hi if step > 0 else None)
         k_lo, k_hi = _halves(k_cur)
         v_lo, v_hi = _halves(v_cur)
         sk_lo = segk_cur[:, :c] if segmented else None
