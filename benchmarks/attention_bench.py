@@ -32,7 +32,11 @@ from flashattn_tpu.utils.roofline import (  # noqa: E402
     attention_fwd_roofline,
     detect_chip,
 )
-from flashattn_tpu.utils.timing import attention_flops, measure, tflops  # noqa: E402
+from flashattn_tpu.utils.timing import (  # noqa: E402
+    attention_flops,
+    measure_auto,
+    tflops,
+)
 
 
 def _provider_fn(provider: str, is_causal: bool, block_sizes=None):
@@ -113,14 +117,14 @@ def benchmark_attention(
         return jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
 
     if mode == "fwd":
-        sec = measure(fwd, q, k, v, warmup=warmup, repeat=repeat)
+        sec = measure_auto(fwd, q, k, v, warmup=warmup, repeat=repeat)
     elif mode == "fwd_bwd":
-        sec = measure(fwd_bwd, q, k, v, warmup=warmup, repeat=repeat)
+        sec = measure_auto(fwd_bwd, q, k, v, warmup=warmup, repeat=repeat)
     elif mode == "bwd":
         # bwd = fwd_bwd − fwd (reference :92-95)
-        sec = measure(fwd_bwd, q, k, v, warmup=warmup, repeat=repeat) - measure(
-            fwd, q, k, v, warmup=warmup, repeat=repeat
-        )
+        sec = measure_auto(
+            fwd_bwd, q, k, v, warmup=warmup, repeat=repeat
+        ) - measure_auto(fwd, q, k, v, warmup=warmup, repeat=repeat)
     else:
         raise ValueError(mode)
 

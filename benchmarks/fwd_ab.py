@@ -82,8 +82,9 @@ def parent(args) -> None:
             cmd.append("--causal")
         e = dict(os.environ)
         e.update(env)
+        # Remote-compile spikes past 5 min under contention; ride them out.
         r = subprocess.run(cmd, env=e, capture_output=True, text=True,
-                           timeout=900)
+                           timeout=1800)
         line = r.stdout.strip().splitlines()[-1] if r.stdout.strip() else ""
         try:
             rec = json.loads(line)

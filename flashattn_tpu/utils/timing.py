@@ -115,6 +115,28 @@ def measure_looped(
     return (time.perf_counter() - t0) / iters
 
 
+def measure_auto(
+    fn: Callable, *args, warmup: int = 3, repeat: int | None = None,
+    floor_s: float = 1.5e-3,
+) -> float:
+    """measure(), re-measured with measure_looped() below the dispatch floor.
+
+    Slope timing assumes back-to-back dispatches pipeline on the device; when
+    the kernel is cheaper than the per-dispatch host cost (~300 us through
+    the relay) the loop is HOST-bound and the slope reports dispatch rate,
+    not device time — the round-3 short-S pathology (S=512 causal D=64 read
+    6.27 TF, non-monotonic vs S=1024). Anything measured under `floor_s` is
+    therefore suspect and re-measured with the on-device lax.scan loop,
+    whose per-iteration time has no host component. Costs one extra compile
+    per affected shape.
+    """
+    sec = measure(fn, *args, warmup=warmup, repeat=repeat)
+    if sec >= floor_s:
+        return sec
+    iters = min(4000, max(200, int(0.3 / max(sec, 1e-7))))
+    return measure_looped(fn, *args, iters=iters)
+
+
 def attention_flops(
     b: int,
     h: int,
