@@ -525,6 +525,26 @@ class InferenceServer:
         self._timing["decode_steps"] += 1
         self._timing["decoded_tokens"] += len(live)
 
+    def device_step_fn(self):
+        """The pure decode-step callable timed by calibrate_device_step,
+        plus its argument tuple. params/caches must ride as jit ARGUMENTS:
+        closing over them bakes ~2.4 GB of weights into the traced HLO as
+        constants, which blows up the compile payload (measured round 3:
+        the remote-compile transport dies with a broken pipe) and
+        double-allocates the weights. tests/test_serve.py asserts the
+        closure's trace-time constants stay tiny."""
+        b = len(self.slots)
+        positions = jnp.asarray(
+            [max(s.position, 1) if not s.free else 1 for s in self.slots],
+            jnp.int32)
+        act = jnp.ones((b,), bool)
+
+        def fn(tokens, params, caches):
+            return generate.decode_step(params, tokens, positions,
+                                        caches, self.cfg, active=act)[0]
+
+        return fn, (self.tokens, self.params, self.caches)
+
     def calibrate_device_step(self, iters: int = 100) -> float:
         """Measure the PURE decode-step device time with an on-device scan
         loop (one dispatch of `iters` chained steps — per-step relay/host
@@ -533,22 +553,8 @@ class InferenceServer:
         tokens/s bound the scheduler overhead is measured against."""
         from flashattn_tpu.utils.timing import measure_looped
 
-        b = len(self.slots)
-        positions = jnp.asarray(
-            [max(s.position, 1) if not s.free else 1 for s in self.slots],
-            jnp.int32)
-        act = jnp.ones((b,), bool)
-
-        # params/caches must ride as jit ARGUMENTS: closing over them bakes
-        # ~2.4 GB of weights into the traced HLO as constants, which blows
-        # up the compile payload (measured: the remote-compile transport
-        # dies with a broken pipe) and double-allocates the weights.
-        def fn(tokens, params, caches):
-            return generate.decode_step(params, tokens, positions,
-                                        caches, self.cfg, active=act)[0]
-
-        self._device_step_s = measure_looped(fn, self.tokens, self.params,
-                                             self.caches, iters=iters)
+        fn, args = self.device_step_fn()
+        self._device_step_s = measure_looped(fn, *args, iters=iters)
         return self._device_step_s
 
     def run(self) -> dict[int, list[int]]:

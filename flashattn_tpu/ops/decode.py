@@ -19,6 +19,7 @@ Design consequences:
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -38,9 +39,9 @@ from flashattn_tpu.ops.kvcache import KVCache
 
 def _decode_kernel(
     lengths_ref,  # SMEM [B] int32 (scalar-prefetched)
-    q_ref,  # (1, 1, G, D) — pre-scaled by scale·log2(e); int8 in int8 mode
-    k_ref,  # (1, 1, bkv, D) — bf16 | int8 | fp8
-    v_ref,  # (1, 1, bkv, D)
+    q_ref,  # (1, F, G, D) — pre-scaled by scale·log2(e); int8 in int8 mode
+    k_ref,  # (1, F, bkv, D) — bf16 | int8 | fp8
+    v_ref,  # (1, F, bkv, D)
     *rest,  # [q_scale,] [k_scale, v_scale,] o_ref, [lse_ref,] scratches
     quantized: bool,
     int8_mode: bool,
@@ -53,20 +54,20 @@ def _decode_kernel(
     with_lse: bool,
     softcap: float,
     alibi_hq: int,  # 0 = off; else total query-head count H for the slopes
+    h_fuse: int = 1,  # KV heads per grid step (short-stream DMA batching)
 ):
     if int8_mode:
         q_scale_ref, k_scale_ref, v_scale_ref, *rest = rest
     elif quantized:
         k_scale_ref, v_scale_ref, *rest = rest
     if alibi_hq:
-        slopes_ref, *rest = rest  # (1, rows, 1) f32 per-ROW slopes
+        slopes_ref, *rest = rest  # (F, rows, 1) f32 per-ROW slopes
     if with_lse:
         o_ref, lse_ref, m_scratch, l_scratch, acc_scratch = rest
     else:
         o_ref, m_scratch, l_scratch, acc_scratch = rest
 
     b = pl.program_id(0)
-    h_kv = pl.program_id(1)
     kj = pl.program_id(2)
     length = lengths_ref[b]
     # Sliding window: only positions in [length - window, length) are live
@@ -83,8 +84,16 @@ def _decode_kernel(
     @pl.when((kj * block_kv < length)
              & (((kj + 1) * block_kv > start) | (kj * block_kv < sink)))
     def _step():
-        q = q_ref[0, 0]  # (G, D)
-        k = k_ref[0, 0]  # (bkv, D)
+      # Short KV streams are DMA-fixed-cost-bound: quantized tiles carry
+      # 1 byte/elem, so at S<=8k the per-step fetch is 256KB-512KB and the
+      # per-step pipeline bubble eats ~35% of SoL (int8, which does NO VPU
+      # dequant, measures the same 0.65 SoL as fp8 at S=2048 — the cost is
+      # the step, not the convert). h_fuse > 1 fetches that many heads'
+      # tiles in ONE block (contiguous in [B,H,S,D]) and unrolls the body,
+      # cutting grid steps h_fuse-fold at identical math.
+      for hh in range(h_fuse):
+        q = q_ref[0, hh]  # (G, D)
+        k = k_ref[0, hh]  # (bkv, D)
         if int8_mode:
             # Fully-int8 QK^T on the MXU (v5e int8 is native, 2x bf16):
             # NO per-element dequant of the K tile — both scales fold into
@@ -94,7 +103,7 @@ def _decode_kernel(
                 dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.int32,
             ).astype(jnp.float32)
-            s = s * (q_scale_ref[0, 0] * k_scale_ref[0, 0])  # (G,1)*(1,bkv)
+            s = s * (q_scale_ref[0, hh] * k_scale_ref[0, hh])  # (G,1)*(1,bkv)
             if softcap > 0.0:  # s is in RAW units under softcap pre-scale
                 s = jnp.tanh(s * (1.0 / softcap)) * (softcap * LOG2E)
         else:
@@ -109,7 +118,7 @@ def _decode_kernel(
             if quantized:
                 # k dequant folded into logits: S = q·(k_q·s_k)ᵀ =
                 # (q·k_qᵀ) ⊙ s_k (per column), BEFORE exp.
-                s = s * k_scale_ref[0, 0]  # (1, bkv) broadcasts over G rows
+                s = s * k_scale_ref[0, hh]  # (1, bkv) broadcasts over G rows
             if softcap > 0.0:  # s is in RAW units under softcap pre-scale
                 s = jnp.tanh(s * (1.0 / softcap)) * (softcap * LOG2E)
 
@@ -124,7 +133,7 @@ def _decode_kernel(
             # by the launcher from the (possibly custom / head-sharded)
             # global slope table; row r's position is length - chunk + r%T.
             riota = jax.lax.broadcasted_iota(jnp.int32, (group, 1), 0)
-            slope = slopes_ref[0]  # (rows, 1) f32
+            slope = slopes_ref[hh]  # (rows, 1) f32
             row_pos_a = length - chunk + riota % chunk
             s = s + slope * LOG2E * (pos - row_pos_a).astype(jnp.float32)
         if chunk > 1:
@@ -145,8 +154,8 @@ def _decode_kernel(
                 live = live & in_win
         s = jnp.where(live, s, MASK_VALUE)
 
-        m_prev = m_scratch[:, :1]
-        l_prev = l_scratch[:, :1]
+        m_prev = m_scratch[hh, :, :1]
+        l_prev = l_scratch[hh, :, :1]
         m_cur = jnp.max(s, axis=1, keepdims=True)
         m_new = jnp.maximum(m_prev, m_cur)
         alpha = jnp.exp2(m_prev - m_new)
@@ -156,10 +165,10 @@ def _decode_kernel(
             # p = exp2(MASK - MASK) = 1; zero exactly.
             p = jnp.where(live, p, 0.0)
         l_new = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
-        m_scratch[...] = jnp.broadcast_to(m_new, m_scratch.shape)
-        l_scratch[...] = jnp.broadcast_to(l_new, l_scratch.shape)
+        m_scratch[hh] = jnp.broadcast_to(m_new, m_scratch.shape[1:])
+        l_scratch[hh] = jnp.broadcast_to(l_new, l_scratch.shape[1:])
 
-        v = v_ref[0, 0]  # (bkv, D)
+        v = v_ref[0, hh]  # (bkv, D)
         if not quantized:
             # Dead-region guard: V rows beyond the live length may hold
             # arbitrary garbage (recycled slots reset `length` without
@@ -178,7 +187,7 @@ def _decode_kernel(
             # requantize P per row (row max of p is exactly 1 pre-fold, so
             # the dynamic range is just the v-scale spread), dot in int8,
             # and undo the row scale on the (G, D) result.
-            pvs = p * v_scale_ref[0, 0]  # (G, bkv)
+            pvs = p * v_scale_ref[0, hh]  # (G, bkv)
             rmax = jnp.max(pvs, axis=1, keepdims=True)  # (G, 1)
             rmax = jnp.where(rmax == 0.0, 1.0, rmax)
             p_i8 = jnp.round(pvs * (127.0 / rmax)).astype(jnp.int8)
@@ -192,7 +201,7 @@ def _decode_kernel(
                 v = (fp8_decode_convert(v) if v.dtype == jnp.float8_e4m3fn
                      else v.astype(jnp.bfloat16))
                 # v dequant folded into P (per-token scale = P columns).
-                p = p * v_scale_ref[0, 0]
+                p = p * v_scale_ref[0, hh]
             # Cast P to v's dtype (matches the training-path kernel: full
             # f32 caches keep f32 P, bf16 caches feed the MXU in bf16).
             pv = jax.lax.dot_general(
@@ -200,20 +209,21 @@ def _decode_kernel(
                 dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
-        acc_scratch[...] = acc_scratch[...] * alpha + pv
+        acc_scratch[hh] = acc_scratch[hh] * alpha + pv
 
     @pl.when(kj == num_kv_blocks - 1)
     def _finalize():
-        l = l_scratch[:, :1]
+      for hh in range(h_fuse):
+        l = l_scratch[hh, :, :1]
         l_safe = jnp.where(l == 0.0, 1.0, l)
-        o_ref[0, 0] = (acc_scratch[...] / l_safe).astype(o_ref.dtype)
+        o_ref[0, hh] = (acc_scratch[hh] / l_safe).astype(o_ref.dtype)
         if with_lse:
             # Natural-log LSE (same convention as the fwd kernel); empty
             # shards (length 0 under sequence sharding) carry -inf so the
             # cross-shard merge ignores them exactly.
-            m = m_scratch[:, :1]
+            m = m_scratch[hh, :, :1]
             lse = (m + jnp.log2(l_safe)) * LN2
-            lse_ref[0, 0] = jnp.where(l == 0.0, -jnp.inf, lse)
+            lse_ref[0, hh] = jnp.where(l == 0.0, -jnp.inf, lse)
 
 
 @functools.partial(
@@ -352,6 +362,23 @@ def _decode_attention(
         block_kv -= 128
     num_kv_blocks = s_max // block_kv
 
+    # Short-stream DMA batching (see _decode_kernel): fuse heads per grid
+    # step while the whole stream is <= 4 blocks/head. Budget the fused
+    # K+V working set (x2 for Mosaic's double buffering) to ~48 MB VMEM.
+    esize = jnp.dtype(cache.k.dtype).itemsize
+    h_fuse = 1
+    if num_kv_blocks <= 4:
+        budget = 48 * 1024 * 1024
+        while (h_fuse * 2 <= hkv and hkv % (h_fuse * 2) == 0
+               and 2 * (h_fuse * 2) * block_kv * d * esize * 2 <= budget):
+            h_fuse *= 2
+        if hkv % h_fuse:
+            h_fuse = 1
+    env_hf = os.environ.get("FLASHATTN_DECODE_HFUSE")
+    if env_hf is not None:  # A/B override
+        h_fuse = int(env_hf)
+        assert hkv % h_fuse == 0, (hkv, h_fuse)
+
     # [B, Hq, T, D] -> [B, Hkv, G*T, D]: all q heads of a KV group share one
     # cache stream; chunk tokens ride as extra rows (row r = head r // T,
     # token r % T).
@@ -387,23 +414,23 @@ def _decode_attention(
         return (b_i, h_i, 0, _clamped(kv_i, lens, b_i))
 
     in_specs = [
-        pl.BlockSpec((1, 1, rows, d), q_index),
-        pl.BlockSpec((1, 1, block_kv, d), kv_index),
-        pl.BlockSpec((1, 1, block_kv, d), kv_index),
+        pl.BlockSpec((1, h_fuse, rows, d), q_index),
+        pl.BlockSpec((1, h_fuse, block_kv, d), kv_index),
+        pl.BlockSpec((1, h_fuse, block_kv, d), kv_index),
     ]
     args = [q4, cache.k, cache.v]
     if int8_mode:
-        in_specs.append(pl.BlockSpec((1, 1, rows, 1), q_index))
+        in_specs.append(pl.BlockSpec((1, h_fuse, rows, 1), q_index))
         args.append(q_scale)
     if quantized:
         in_specs += [
-            pl.BlockSpec((1, 1, 1, block_kv), scale_index),
-            pl.BlockSpec((1, 1, 1, block_kv), scale_index),
+            pl.BlockSpec((1, h_fuse, 1, block_kv), scale_index),
+            pl.BlockSpec((1, h_fuse, 1, block_kv), scale_index),
         ]
         args += [cache.k_scale, cache.v_scale]
     if alibi:
         in_specs.append(pl.BlockSpec(
-            (1, rows, 1), lambda b_i, h_i, kv_i, lens: (h_i, 0, 0)))
+            (h_fuse, rows, 1), lambda b_i, h_i, kv_i, lens: (h_i, 0, 0)))
         args.append(decode_slopes_rows(alibi_slopes, hq, hkv, t_chunk))
 
     kernel = functools.partial(
@@ -419,25 +446,26 @@ def _decode_attention(
         with_lse=with_lse,
         softcap=float(logit_softcap or 0.0),
         alibi_hq=hq if alibi else 0,
+        h_fuse=h_fuse,
     )
-    out_specs = pl.BlockSpec((1, 1, rows, d), q_index)
+    out_specs = pl.BlockSpec((1, h_fuse, rows, d), q_index)
     out_shape = jax.ShapeDtypeStruct((b, hkv, rows, d), q.dtype)
     if with_lse:
         out_specs = [out_specs,
-                     pl.BlockSpec((1, 1, rows, 1), q_index)]
+                     pl.BlockSpec((1, h_fuse, rows, 1), q_index)]
         out_shape = [out_shape,
                      jax.ShapeDtypeStruct((b, hkv, rows, 1), jnp.float32)]
     res = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
-            grid=(b, hkv, num_kv_blocks),
+            grid=(b, hkv // h_fuse, num_kv_blocks),
             in_specs=in_specs,
             out_specs=out_specs,
             scratch_shapes=[
-                pltpu.VMEM((rows, 128), jnp.float32),
-                pltpu.VMEM((rows, 128), jnp.float32),
-                pltpu.VMEM((rows, d), jnp.float32),
+                pltpu.VMEM((h_fuse, rows, 128), jnp.float32),
+                pltpu.VMEM((h_fuse, rows, 128), jnp.float32),
+                pltpu.VMEM((h_fuse, rows, d), jnp.float32),
             ],
         ),
         out_shape=out_shape,

@@ -478,9 +478,12 @@ def _paged_decode(
             in_specs=in_specs,
             out_specs=pl.BlockSpec((1, 1, rows, d), q_index),
             scratch_shapes=[
-                pltpu.VMEM((rows, 128), jnp.float32),
-                pltpu.VMEM((rows, 128), jnp.float32),
-                pltpu.VMEM((rows, d), jnp.float32),
+                # Leading h_fuse=1 axis: the shared kernel indexes
+                # scratches [hh, ...] (paged keeps one head per step — the
+                # page indirection already owns the index map).
+                pltpu.VMEM((1, rows, 128), jnp.float32),
+                pltpu.VMEM((1, rows, 128), jnp.float32),
+                pltpu.VMEM((1, rows, d), jnp.float32),
             ],
         ),
         out_shape=jax.ShapeDtypeStruct((b, hkv, rows, d), q.dtype),

@@ -343,3 +343,25 @@ def test_step_timing_and_device_calibration():
     st = server.stats()
     assert st["device_step_ms"] > 0
     assert st["device_tokens_per_s_bound"] > 0
+
+
+def test_device_step_fn_closes_over_no_weight_constants():
+    """Regression for the round-3 serve-bench crash: closing the calibrate
+    step over params/caches baked 2.38 GB of weights into the traced HLO as
+    constants and killed the remote-compile transport (VERDICT r3 item #4).
+    params/caches must ride as jit arguments — the trace-time constant
+    pool must stay tiny (positions/active masks only)."""
+    import numpy as np
+
+    params = make_params()
+    server = InferenceServer(params, CFG, max_slots=2, max_len=512)
+    server.submit(Request(uid=0, prompt=[5, 9, 3], max_new_tokens=2))
+    server.run()
+    fn, args = server.device_step_fn()
+    closed = jax.make_jaxpr(fn)(*args)
+    const_bytes = sum(
+        int(np.prod(np.shape(c))) * np.dtype(getattr(c, "dtype", np.float32)).itemsize
+        for c in closed.consts)
+    assert const_bytes < 1 * 1024 * 1024, (
+        f"device-step closure captures {const_bytes/1e6:.1f} MB of constants; "
+        "params/caches must be jit arguments")
