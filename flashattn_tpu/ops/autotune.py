@@ -180,28 +180,42 @@ def autotune(
                 out.append(c)
         return out
 
+    def unroll_cands(bkv):
+        # KV sub-tile unroll (BlockSizes.unroll_kv): v5e A/B
+        # (benchmarks/results/v5e_fwd_ab.jsonl) shows sub-1024-column bands
+        # always lose (VPU ops shrink below efficient width), so only band
+        # widths of 1024/2048 are worth a trial compile.
+        out = [1]
+        for band in (1024, 2048):
+            if bkv > band and bkv % band == 0:
+                out.append(bkv // band)
+        return out
+
     best_fwd, best_fwd_t = None, float("inf")
     for bq, bkv in clamp_dedupe(FWD_CONFIGS):
-        bs = BlockSizes(block_q=bq, block_kv=bkv)
-        try:
-            t = measure(
-                lambda q, k, v: flash_attention_forward(
-                    q, k, v, is_causal=is_causal, scale=scale, block_sizes=bs
-                ),
-                q, k, v, warmup=2, n1=3, n2=10,
-            )
-        except Exception:
-            continue
-        if verbose:
-            print(f"[autotune fwd] bq={bq} bkv={bkv}: {t*1e3:.3f} ms",
-                  file=sys.stderr)
-        if t < best_fwd_t:
-            best_fwd, best_fwd_t = (bq, bkv), t
+        for unroll in unroll_cands(bkv):
+            bs = BlockSizes(block_q=bq, block_kv=bkv, unroll_kv=unroll)
+            try:
+                t = measure(
+                    lambda q, k, v: flash_attention_forward(
+                        q, k, v, is_causal=is_causal, scale=scale,
+                        block_sizes=bs
+                    ),
+                    q, k, v, warmup=2, n1=3, n2=10,
+                )
+            except Exception:
+                continue
+            if verbose:
+                print(f"[autotune fwd] bq={bq} bkv={bkv} u={unroll}: "
+                      f"{t*1e3:.3f} ms", file=sys.stderr)
+            if t < best_fwd_t:
+                best_fwd, best_fwd_t = (bq, bkv, unroll), t
     assert best_fwd is not None, "no forward config compiled"
 
     result = {
         "block_q": best_fwd[0],
         "block_kv": best_fwd[1],
+        "unroll_kv": best_fwd[2],
     }
 
     if tune_backward:

@@ -529,9 +529,12 @@ def flash_attention_forward(
         needs_mask and not (windowed or segmented or dynamic_offset)
         and os.environ.get("FLASHATTN_PRED_MASK", "0") == "1")
 
-    # KV sub-tile unroll (A/B switch; see _fwd_kernel): bands must stay
+    # KV sub-tile unroll (see _fwd_kernel): a first-class tuning knob
+    # (BlockSizes.unroll_kv, autotuned + shipped winners);
+    # FLASHATTN_FWD_UNROLL overrides for A/B sweeps. Bands must stay
     # MXU-lane-aligned (>= 128 columns each).
-    unroll = int(os.environ.get("FLASHATTN_FWD_UNROLL", "1"))
+    unroll = int(os.environ.get("FLASHATTN_FWD_UNROLL",
+                                str(block_sizes.unroll_kv)))
     if pred_mask or bkv % unroll != 0 or (bkv // unroll) % 128 != 0:
         unroll = 1
 

@@ -46,7 +46,10 @@ def test_autotune_returns_valid_blocks_and_caches(tmp_cache):
     bs = at.autotune(q, k, v, is_causal=True)
     assert isinstance(bs, BlockSizes)
     for f in dataclasses.fields(BlockSizes):
-        assert getattr(bs, f.name) >= 128
+        if f.name == "unroll_kv":
+            assert getattr(bs, f.name) >= 1
+        else:
+            assert getattr(bs, f.name) >= 128
     # Persisted: one entry with the independent dQ/dKV winners + impl.
     data = json.loads(tmp_cache.read_text())
     assert len(data) == 1

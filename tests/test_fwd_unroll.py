@@ -107,3 +107,14 @@ def test_unroll_dropout_matches_unrolled_1(unroll):
         jax.clear_caches()
     assert verify_results(o_1, o_u, atol=1e-5, rtol=1e-5).passed
     assert verify_results(lse_1, lse_u, atol=1e-5, rtol=1e-5).passed
+
+
+def test_unroll_via_block_sizes():
+    """unroll_kv as a first-class BlockSizes field (no env): the autotuned /
+    shipped winner path."""
+    q, k, v = make_qkv(2, 2, 2, 384, 520, 64)
+    bs = BlockSizes(block_q=128, block_kv=256, unroll_kv=2)
+    o, lse = flash_attention_forward(q, k, v, is_causal=True, block_sizes=bs)
+    o_ref, lse_ref = reference_attention_with_lse(q, k, v, is_causal=True)
+    assert verify_results(o_ref, o, atol=1e-5, rtol=1e-5).passed
+    assert verify_results(lse_ref, lse, atol=1e-5, rtol=1e-5).passed
