@@ -49,15 +49,12 @@ def child(args) -> None:
 # (label, env, bq, bkv) arms; None env entries unset the var.
 def arms(d: int, spec: str = ""):
     if spec:
-        # "u2_1024x4096,pm_1024x1024": uN -> FLASHATTN_FWD_UNROLL=N,
-        # pm -> FLASHATTN_PRED_MASK=1.
+        # "u2_1024x4096,u4_1024x2048": uN -> FLASHATTN_FWD_UNROLL=N.
         out = []
         for item in spec.split(","):
             head, geo = item.rsplit("_", 1)
             bq, bkv = (int(x) for x in geo.split("x"))
-            env = ({"FLASHATTN_PRED_MASK": "1"} if head == "pm"
-                   else {"FLASHATTN_FWD_UNROLL": head[1:]})
-            out.append((item, env, bq, bkv))
+            out.append((item, {"FLASHATTN_FWD_UNROLL": head[1:]}, bq, bkv))
         return out
     out = []
     for bq, bkv in ((1024, 1024), (512, 2048), (1024, 2048), (2048, 1024),
@@ -67,13 +64,10 @@ def arms(d: int, spec: str = ""):
                 continue
             out.append((f"u{unroll}_{bq}x{bkv}",
                         {"FLASHATTN_FWD_UNROLL": str(unroll)}, bq, bkv))
-    out.append(("pm_1024x1024", {"FLASHATTN_PRED_MASK": "1"},
-                1024, 1024))
     return out
 
 
 def parent(args) -> None:
-    rows = []
     for label, env, bq, bkv in arms(args.d, args.arms):
         cmd = [sys.executable, os.path.abspath(__file__), "--child",
                "--d", str(args.d), "--s", str(args.s), "--b", str(args.b),
@@ -82,21 +76,27 @@ def parent(args) -> None:
             cmd.append("--causal")
         e = dict(os.environ)
         e.update(env)
-        # Remote-compile spikes past 5 min under contention; ride them out.
-        r = subprocess.run(cmd, env=e, capture_output=True, text=True,
-                           timeout=1800)
-        line = r.stdout.strip().splitlines()[-1] if r.stdout.strip() else ""
         try:
-            rec = json.loads(line)
-        except Exception:
-            rec = {"error": (r.stderr or "no output").strip()[-300:]}
+            # Remote-compile spikes past 5 min under contention; ride them
+            # out. An arm that can't even COMPILE inside 30 min records a
+            # timeout row (that verdict matters: the round-4 pred_mask arm
+            # died exactly here) and must not kill the sweep.
+            r = subprocess.run(cmd, env=e, capture_output=True, text=True,
+                               timeout=1800)
+            line = (r.stdout.strip().splitlines()[-1]
+                    if r.stdout.strip() else "")
+            try:
+                rec = json.loads(line)
+            except Exception:
+                rec = {"error": (r.stderr or "no output").strip()[-300:]}
+        except subprocess.TimeoutExpired:
+            rec = {"error": "timeout: no compile+measure within 1800s"}
         rec.update(kind="fwd_ab", label=label, env=env, d=args.d, s=args.s,
                    b=args.b, h=args.h, bq=bq, bkv=bkv, causal=args.causal)
-        rows.append(rec)
         print(json.dumps(rec), flush=True)
-    if args.out:
-        with open(args.out, "a") as f:
-            for rec in rows:
+        if args.out:
+            # Append per-row: a crashed/killed sweep keeps its finished arms.
+            with open(args.out, "a") as f:
                 f.write(json.dumps(rec) + "\n")
 
 

@@ -9,7 +9,6 @@ numerically WRONG where stripped — these are perf probes, never used for
 real output):
 
   full       — the shipped kernel
-  pred_mask  — FLASHATTN_PRED_MASK=1 (mask only on diagonal steps)
   no_div     — finalize writes acc without the 1/l normalize
   no_init    — per-row m/l/acc init stripped (first-step writethrough only)
   no_final   — finalize pass stripped entirely (o written from raw acc)
@@ -146,20 +145,18 @@ def main():
     v = jax.random.normal(keys[2], (b, h, s, d), jnp.bfloat16)
     fl = attention_flops(b, h, s, s, d, mode="fwd", is_causal=True)
 
-    # The real kernel, with and without the predicated mask.
-    import os
-
+    # The shipped kernel baseline. (The round-3 pred_mask arm here was
+    # invalid — flipping a trace-time env between same-shape jitted calls
+    # re-measures the FIRST trace (ADVICE r3 #2); trace-time env A/Bs live
+    # in benchmarks/fwd_ab.py as subprocesses now, and the pred_mask path
+    # itself was deleted in round 4 after failing to compile.)
     from flashattn_tpu.ops.flash_fwd import flash_attention_forward
-    for env in ("0", "1"):
-        os.environ["FLASHATTN_PRED_MASK"] = env
-        fn = jax.jit(functools.partial(
-            flash_attention_forward, is_causal=True,
-            block_sizes=BlockSizes(block_q=1024, block_kv=1024)))
-        sec = measure(fn, q, k, v, warmup=5, n1=3, n2=10)
-        print(json.dumps({"variant": "shipped" if env == "0" else "pred_mask",
-                          "S": s, "ms": round(sec * 1e3, 3),
-                          "tflops": round(tflops(fl, sec), 2)}), flush=True)
-    os.environ.pop("FLASHATTN_PRED_MASK", None)
+    fn = jax.jit(functools.partial(
+        flash_attention_forward, is_causal=True,
+        block_sizes=BlockSizes(block_q=1024, block_kv=1024)))
+    sec = measure(fn, q, k, v, warmup=5, n1=3, n2=10)
+    print(json.dumps({"variant": "shipped", "S": s, "ms": round(sec * 1e3, 3),
+                      "tflops": round(tflops(fl, sec), 2)}), flush=True)
 
     for variant in ("full", "no_mask", "no_div", "no_init", "no_final"):
         fn = jax.jit(functools.partial(probe_forward, variant=variant))

@@ -155,7 +155,6 @@ def _fwd_kernel(
     window_size: int = 0,
     mxu_l: bool = False,
     acc_writethrough: bool = True,
-    pred_mask: bool = False,
     unroll: int = 1,
 ):
     # dynoff (1,) SMEM int32 (dynamic_offset only): TRACED q/k alignment —
@@ -178,11 +177,6 @@ def _fwd_kernel(
          *scratch) = refs
     else:
         (q_ref, k_ref, v_ref, o_ref, lse_ref, *scratch) = refs
-    if pred_mask:
-        # Dedicated S-tile scratch: the dot lands here so the causal mask
-        # can be a PREDICATED in-place pass over the ~1-in-8 diagonal/tail
-        # steps instead of a select every step (see launcher comment).
-        *scratch, s_scratch = scratch
     if mxu_l:
         # l rides in the PV dot's spare output lanes (ones-column in V) and
         # accumulates inside acc — no l scratch, no VPU sum pass.
@@ -224,7 +218,6 @@ def _fwd_kernel(
     # linked only through the (bq, 1) running stats. Numerically exact —
     # identical online-softmax algebra at sub-tile granularity.
     assert block_kv % unroll == 0, (block_kv, unroll)
-    assert unroll == 1 or not pred_mask, "unroll excludes pred_mask"
     bkv_sub = block_kv // unroll
     # S tiles directly in the log2 domain (Q pre-scaled host-side); with
     # soft-capping Q carries only `scale` so tanh sees TRUE logits.
@@ -258,26 +251,7 @@ def _fwd_kernel(
             s = s + (slope * LOG2E) * dist
 
         mask = None
-        if pred_mask:
-            # Pure causal: the S tile takes its one required VMEM
-            # materialization in s_scratch, and the compare+select runs ONLY
-            # on the diagonal / ragged-tail steps (predicated on the
-            # prefetched thresholds) — interior steps skip the two full-tile
-            # VPU passes entirely.
-            s_scratch[...] = s
-
-            @pl.when(jnp.logical_or(meta_ref[META_RTHRESH, step] < _BIG,
-                                    meta_ref[META_CTHRESH, step] < _BIG))
-            def _mask_step():
-                rows1 = jax.lax.broadcasted_iota(jnp.int32, (block_q, 1), 0)
-                limit = jnp.minimum(rows1 + meta_ref[META_RTHRESH, step],
-                                    meta_ref[META_CTHRESH, step])  # (bq, 1)
-                cols1 = jax.lax.broadcasted_iota(jnp.int32, (1, block_kv), 1)
-                s_scratch[...] = jnp.where(cols1 <= limit, s_scratch[...],
-                                           MASK_VALUE)
-
-            s = s_scratch[...]
-        elif needs_mask:
+        if needs_mask:
             # (cols - rows) <= rthresh AND cols <= cthresh collapses to a
             # single per-row column limit: cols <= min(rows + rthresh,
             # cthresh). One broadcasted (bq,bkv) compare instead of two
@@ -522,12 +496,10 @@ def flash_attention_forward(
     segmented = segment_ids is not None
     assert 0.0 <= dropout_rate < 1.0, dropout_rate
 
-    # Predicated masking (pure causal only): the mask select runs only on
-    # diagonal/ragged-tail steps via pl.when over a dedicated S scratch tile
-    # instead of every step. Trace-time A/B switch; see _fwd_kernel.
-    pred_mask = (
-        needs_mask and not (windowed or segmented or dynamic_offset)
-        and os.environ.get("FLASHATTN_PRED_MASK", "0") == "1")
+    # (pred_mask, a predicated-masking A/B candidate, was deleted in round
+    # 4: its round-3 "no win" reading was a re-measured default kernel —
+    # the env flip never re-traced — and the honest A/B could not finish a
+    # Mosaic compile inside 30 min, benchmarks/results/v5e_fwd_ab.jsonl.)
 
     # KV sub-tile unroll (see _fwd_kernel): a first-class tuning knob
     # (BlockSizes.unroll_kv, autotuned + shipped winners);
@@ -535,13 +507,12 @@ def flash_attention_forward(
     # MXU-lane-aligned (>= 128 columns each).
     unroll = int(os.environ.get("FLASHATTN_FWD_UNROLL",
                                 str(block_sizes.unroll_kv)))
-    if pred_mask or bkv % unroll != 0 or (bkv // unroll) % 128 != 0:
+    if bkv % unroll != 0 or (bkv // unroll) % 128 != 0:
         unroll = 1
 
     kernel = functools.partial(
         _fwd_kernel,
         unroll=unroll,
-        pred_mask=pred_mask,
         needs_mask=needs_mask or windowed,
         guard_zero_rows=guard_zero_rows,
         segmented=segmented,
@@ -632,7 +603,7 @@ def flash_attention_forward(
             [pltpu.VMEM((bq, 128), jnp.float32),
              pltpu.VMEM((bq, 128), jnp.float32),
              pltpu.VMEM((bq, d), jnp.float32)]
-        ) + ([pltpu.VMEM((bq, bkv), jnp.float32)] if pred_mask else []),
+        ),
     )
     o, lse = pl.pallas_call(
         kernel,
