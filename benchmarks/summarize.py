@@ -58,7 +58,12 @@ def attention_table(recs, s_plateau: int) -> list[str]:
 
 
 def decode_table(recs) -> list[str]:
-    rows = [r for r in recs if r.get("bench") == "decode_kernel"]
+    # Canonical file only: A/B arm files (e.g. v5e_decode_hfuse*.jsonl)
+    # carry the same bench= tag, and splicing all of them in would show
+    # duplicate (S, dtype) rows. The winning arm is promoted to the
+    # canonical name (benchmarks/README.md promote-on-success convention).
+    rows = [r for r in recs if r.get("bench") == "decode_kernel"
+            and r["_file"] == "v5e_decode_kernel.jsonl"]
     if not rows:
         return []
     lines = [
