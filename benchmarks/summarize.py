@@ -84,6 +84,7 @@ def misc_tables(recs) -> list[str]:
     lines = []
     for bench, title in (("serve_device", "Serving (device-time)"),
                          ("serve", "Serving (drain throughput)"),
+                         ("serve_prefix", "Serving (shared-prefix cache)"),
                          ("train_step", "Training (1 chip)"),):
         rows = [r for r in recs if r.get("bench") == bench]
         if not rows:
