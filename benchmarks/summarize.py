@@ -86,7 +86,11 @@ def misc_tables(recs) -> list[str]:
                          ("serve", "Serving (drain throughput)"),
                          ("serve_prefix", "Serving (shared-prefix cache)"),
                          ("train_step", "Training (1 chip)"),):
-        rows = [r for r in recs if r.get("bench") == bench]
+        # superseded=true marks rows kept only as provenance for an older
+        # code revision (e.g. the round-2 serve numbers measured before the
+        # captured-constants fix); the table shows current claims only.
+        rows = [r for r in recs if r.get("bench") == bench
+                and not r.get("superseded")]
         if not rows:
             continue
         keys = [k for k in rows[0] if not k.startswith("_") and k != "bench"]
