@@ -156,6 +156,7 @@ def _fwd_kernel(
     mxu_l: bool = False,
     acc_writethrough: bool = True,
     unroll: int = 1,
+    single_step: bool = False,
 ):
     # dynoff (1,) SMEM int32 (dynamic_offset only): TRACED q/k alignment —
     # zigzag ring hops have device-dependent shard offsets, so the window's
@@ -177,7 +178,16 @@ def _fwd_kernel(
          *scratch) = refs
     else:
         (q_ref, k_ref, v_ref, o_ref, lse_ref, *scratch) = refs
-    if mxu_l:
+    if single_step:
+        # Single-step rows (S_k fits one kv fetch): every grid step is both
+        # first AND last, so the running stats never cross steps — they
+        # live in values (registers/VMEM temporaries), not scratch, and the
+        # per-row init/finalize predication disappears entirely. This is
+        # the short-S regime where the per-step boundary machinery was the
+        # measured gap vs jax's flash kernel (S=1024 causal D=128:
+        # 0.141 ms theirs vs 0.21 ms ours, benchmarks round 4).
+        m_scratch = l_scratch = acc_scratch = None
+    elif mxu_l:
         # l rides in the PV dot's spare output lanes (ones-column in V) and
         # accumulates inside acc — no l scratch, no VPU sum pass.
         m_scratch, acc_scratch = scratch
@@ -188,26 +198,33 @@ def _fwd_kernel(
 
     first = meta_ref[META_FIRST, step] == 1
 
-    @pl.when(first)
-    def _init():
-        # Init only the live (bq, 1) stat column. A full-scratch zeros pass
-        # (m, l, acc = ~1.5 MB VMEM writes at bq=1024, D=128) is pure
-        # per-q-row boundary overhead — the measured causal-fwd gap, since
-        # causal rows average half the steps of non-causal ones. acc init
-        # is skipped only in write-through mode (the first step writes it
-        # through, predicated below, which also skips that step's acc read
-        # + alpha multiply); long-row mode zeros it here instead.
-        m_scratch[:, :1] = jnp.full((block_q, 1), MASK_VALUE, jnp.float32)
-        if not mxu_l:
-            l_scratch[:, :1] = jnp.zeros((block_q, 1), jnp.float32)
-        if not acc_writethrough:
-            # Long-row mode: zero acc once per row so the step body's acc
-            # update is a single UNCONDITIONAL read-modify-write — Mosaic
-            # pipelines it across steps. (Measured: the per-step
-            # first/rest branch pair costs ~11 % fwd at S=16k/1024²
-            # (~8.5 steps/row) while winning +25 % at S=2k (~1.5); the
-            # host picks per shape below.)
-            acc_scratch[...] = jnp.zeros(acc_scratch.shape, jnp.float32)
+    if not single_step:
+        @pl.when(first)
+        def _init():
+            # Init only the live (bq, 1) stat column. A full-scratch zeros
+            # pass (m, l, acc = ~1.5 MB VMEM writes at bq=1024, D=128) is
+            # pure per-q-row boundary overhead — the measured causal-fwd
+            # gap, since causal rows average half the steps of non-causal
+            # ones. acc init is skipped only in write-through mode (the
+            # first step writes it through, predicated below, which also
+            # skips that step's acc read + alpha multiply); long-row mode
+            # zeros it here instead.
+            m_scratch[:, :1] = jnp.full((block_q, 1), MASK_VALUE,
+                                        jnp.float32)
+            if not mxu_l:
+                l_scratch[:, :1] = jnp.zeros((block_q, 1), jnp.float32)
+            if not acc_writethrough:
+                # Long-row mode: zero acc once per row so the step body's
+                # acc update is a single UNCONDITIONAL read-modify-write —
+                # Mosaic pipelines it across steps. (Measured: the per-step
+                # first/rest branch pair costs ~11 % fwd at S=16k/1024²
+                # (~8.5 steps/row) while winning +25 % at S=2k (~1.5); the
+                # host picks per shape below.)
+                acc_scratch[...] = jnp.zeros(acc_scratch.shape, jnp.float32)
+
+    # Value-carried running stats for the single-step path (band-to-band
+    # across the unroll loop only; None until band 0 writes them).
+    run_m = run_l = run_acc = None
 
     q = q_ref[0, 0]  # (block_q, D)
     # KV sub-tile unroll (unroll > 1): split the fetched (block_kv, D) tile
@@ -282,10 +299,15 @@ def _fwd_kernel(
         if mask is not None:
             s = jnp.where(mask, s, MASK_VALUE)
 
-        m_prev = m_scratch[:, :1]  # (block_q, 1)
         m_cur = jnp.max(s, axis=1, keepdims=True)
-        m_new = jnp.maximum(m_prev, m_cur)
-        alpha = jnp.exp2(m_prev - m_new)
+        if single_step:
+            m_prev = run_m  # None on band 0: no prior stats to merge
+            m_new = m_cur if m_prev is None else jnp.maximum(m_prev, m_cur)
+            alpha = None if m_prev is None else jnp.exp2(m_prev - m_new)
+        else:
+            m_prev = m_scratch[:, :1]  # (block_q, 1)
+            m_new = jnp.maximum(m_prev, m_cur)
+            alpha = jnp.exp2(m_prev - m_new)
         p = jnp.exp2(s - m_new)  # (block_q, bkv_sub) f32
         if segmented or windowed:
             # Rows with no visible keys in this tile (segment absent, or the
@@ -301,12 +323,18 @@ def _fwd_kernel(
                      + (meta_ref[META_QI, step] * block_q + causal_offset)
                      >= 0)
             p = jnp.where(valid, p, 0.0)
-        if not mxu_l:
-            l_new = alpha * l_scratch[:, :1] + jnp.sum(p, axis=1,
-                                                       keepdims=True)
-            l_scratch[:, :1] = l_new
+        if single_step:
+            if not mxu_l:
+                l_cur = jnp.sum(p, axis=1, keepdims=True)
+                run_l = l_cur if run_l is None else alpha * run_l + l_cur
+            run_m = m_new
+        else:
+            if not mxu_l:
+                l_new = alpha * l_scratch[:, :1] + jnp.sum(p, axis=1,
+                                                           keepdims=True)
+                l_scratch[:, :1] = l_new
 
-        m_scratch[:, :1] = m_new
+            m_scratch[:, :1] = m_new
 
         if dropout_rate > 0.0:
             # Dropout on the UNnormalized P feeding the PV dot only: l keeps
@@ -332,7 +360,9 @@ def _fwd_kernel(
             preferred_element_type=jnp.float32,
         )
 
-        if acc_writethrough and u == 0:
+        if single_step:
+            run_acc = pv if run_acc is None else run_acc * alpha + pv
+        elif acc_writethrough and u == 0:
             # Short-row mode: the row's first sub-tile writes through (skips
             # that step's acc read + alpha multiply AND the per-row zeros
             # pass); later sub-tiles always read-modify-write.
@@ -346,18 +376,7 @@ def _fwd_kernel(
         else:
             acc_scratch[...] = acc_scratch[...] * alpha + pv
 
-    @pl.when(meta_ref[META_LAST, step] == 1)
-    def _finalize():
-        m = m_scratch[:, :1]
-        d_out = o_ref.shape[-1]
-        if mxu_l:
-            # l accumulated in the ones-column lane of the PV dot (it obeys
-            # the exact same alpha recurrence as the numerator).
-            l = acc_scratch[:, d_out:d_out + 1]
-            acc = acc_scratch[:, :d_out]
-        else:
-            l = l_scratch[:, :1]
-            acc = acc_scratch[...]
+    def _write_out(m, l, acc):
         l_safe = jnp.where(l == 0.0, 1.0, l)
         o_ref[0, 0] = (acc / l_safe).astype(o_ref.dtype)
         # LSE in natural-log units: ln Σ exp(s·scale) = (m + log2 l)·ln2.
@@ -368,6 +387,27 @@ def _fwd_kernel(
             # window lies outside this shard — they must merge as no-ops.
             lse = jnp.where(l == 0.0, -jnp.inf, lse)
         lse_ref[0, 0] = lse
+
+    d_out = o_ref.shape[-1]
+    if single_step:
+        # Every step is a whole row: write out unconditionally from the
+        # value-carried stats (no scratch, no META_LAST predication).
+        if mxu_l:
+            _write_out(run_m, run_acc[:, d_out:d_out + 1],
+                       run_acc[:, :d_out])
+        else:
+            _write_out(run_m, run_l, run_acc)
+    else:
+        @pl.when(meta_ref[META_LAST, step] == 1)
+        def _finalize():
+            m = m_scratch[:, :1]
+            if mxu_l:
+                # l accumulated in the ones-column lane of the PV dot (it
+                # obeys the exact same alpha recurrence as the numerator).
+                _write_out(m, acc_scratch[:, d_out:d_out + 1],
+                           acc_scratch[:, :d_out])
+            else:
+                _write_out(m, l_scratch[:, :1], acc_scratch[...])
 
 
 @functools.partial(
@@ -510,9 +550,20 @@ def flash_attention_forward(
     if bkv % unroll != 0 or (bkv // unroll) % 128 != 0:
         unroll = 1
 
+    # Single-kv-block rows: every wavefront step is a whole q-row, so the
+    # kernel carries its stats in values and skips the init/finalize
+    # predication + scratch traffic entirely (see _fwd_kernel). Trace-time
+    # static; FLASHATTN_SINGLE_STEP ∈ {0,1} is a bench-only A/B override
+    # (subprocess-isolated — the jit cache is not keyed on env).
+    env_ss = os.environ.get("FLASHATTN_SINGLE_STEP")
+    single_step = (num_kv_blocks == 1 if env_ss is None else env_ss == "1")
+    assert not single_step or num_kv_blocks == 1, (
+        "FLASHATTN_SINGLE_STEP=1 requires S_k to fit one kv block")
+
     kernel = functools.partial(
         _fwd_kernel,
         unroll=unroll,
+        single_step=single_step,
         needs_mask=needs_mask or windowed,
         guard_zero_rows=guard_zero_rows,
         segmented=segmented,
@@ -597,6 +648,7 @@ def flash_attention_forward(
             pl.BlockSpec((1, 1, bq, 1), lse_index),
         ],
         scratch_shapes=(
+            [] if single_step else
             [pltpu.VMEM((bq, 128), jnp.float32),
              pltpu.VMEM((bq, d_ext), jnp.float32)]
             if mxu_l else
