@@ -44,6 +44,13 @@ def candidates(entry: dict, s: int, causal: bool, d: int,
     for band in (1024, 2048):
         if bkv_w > band and bkv_w % band == 0:
             cands.append((bq_w, bkv_w, bkv_w // band))
+    if s <= 2048:
+        # Short-S: bkv = S makes every q-row a single wavefront step, which
+        # the round-4 single-step kernel path turns into a no-scratch
+        # straight-line row (flash_fwd.py::_fwd_kernel single_step). The
+        # pre-single-step sweeps never favored these; re-offer them.
+        challengers = challengers + [(512, s, 1), (1024, s, 1),
+                                     (1024, s, 2), (2048, s, 2)]
     for bq, bkv, u in challengers:
         if bkv <= s and bq <= s:
             cands.append((bq, bkv, u))
@@ -61,6 +68,8 @@ def main():
     ap.add_argument("--only-causal", action="store_true")
     ap.add_argument("--d", type=int, default=None,
                     help="restrict to one head dim")
+    ap.add_argument("--max-s", type=int, default=None,
+                    help="retune only keys with sq <= this (short-S pass)")
     args = ap.parse_args()
 
     table = json.loads(SHIPPED.read_text())
@@ -75,6 +84,8 @@ def main():
         if args.only_causal and not causal:
             continue
         if args.d is not None and d != args.d:
+            continue
+        if args.max_s is not None and s_q > args.max_s:
             continue
         # Global challengers from the subprocess A/B sweeps
         # (benchmarks/results/v5e_fwd_ab*.jsonl): 1024-column bands on
