@@ -1,16 +1,11 @@
 #!/bin/bash
-# Round-4 chip queue, part C (finale) — replaces part B's full non-causal
-# re-runs, which do not fit the remaining round wall clock. Priorities:
-#   1. d128 non-causal FULL re-run (all providers): records the unroll=2
-#      winner (retune measured 164.66 TF fwd @16k vs 156.73) and replaces
-#      the round-3 short-S artifact rows for every provider.
-#   2. d128 causal short-S splice: S=512/1024 flash rows re-measured on
-#      the single-step kernel (the committed file's short rows predate it),
-#      keyed-spliced by merge_rows.
-#   3. d64 non-causal: short-S + plateau flash rows spliced the same way
-#      (competitor rows at 2048-16384 from round 3 remain valid; its
-#      short-S competitor rows are re-measured alongside).
-#   4. plots + summarize. bench.py is the driver's job at round end.
+# Round-4 chip queue, part C (finale) — runs after part B is killed at the
+# d64-non-causal step (which does not fit the remaining round wall clock;
+# part B's d128 non-causal full re-run IS kept and runs before this).
+#   0. short-S causal key re-tune under the single-step kernel
+#   1. causal short-S splices for both head dims (merge_rows keyed splice)
+#   2. d64 non-causal flash splice, last on purpose (cuttable tail)
+#   3. plots + summarize. bench.py is the driver's job at round end.
 set -x
 cd "$(dirname "$0")/.."
 R=benchmarks/results
@@ -22,12 +17,6 @@ R=benchmarks/results
 timeout 2700 python benchmarks/retune_unroll.py --only-causal --max-s 2048 \
   >> "$R/v5e_retune_unroll.jsonl" 2>> "$R/retune_unroll.log"
 
-timeout 3600 python benchmarks/attention_bench.py --d 128 --causal 0 \
-  --modes fwd,bwd,fwd_bwd --providers flash,xla,jax_flash \
-  > "$R/v5e_d128_noncausal.jsonl.tmp" 2> "$R/v5e_d128_noncausal.log" \
-  && mv "$R/v5e_d128_noncausal.jsonl.tmp" "$R/v5e_d128_noncausal.jsonl" \
-  && python benchmarks/summarize.py
-
 for D in 128 64; do
   timeout 1500 python benchmarks/attention_bench.py --d "$D" --causal 1 \
     --seqs 512,1024,2048 --modes fwd,fwd_bwd,bwd --providers flash \
@@ -38,6 +27,12 @@ for D in 128 64; do
     && python benchmarks/summarize.py
 done
 
+# d64 non-causal re-runs are CUT for wall clock: the retuned u2 winners'
+# flash rows are on record in v5e_retune_unroll.jsonl (8k 82.00 / 16k
+# 85.54 TF vs the committed file's 79.6 / 83.5), noted in
+# docs/PERFORMANCE.md.
+
+# d64 non-causal splice if the wall allows (runs last on purpose).
 timeout 2400 python benchmarks/attention_bench.py --d 64 --causal 0 \
   --seqs 512,1024,2048,8192,16384 --modes fwd,fwd_bwd,bwd \
   --providers flash \
