@@ -290,6 +290,29 @@ def decode_attention_chunk(
 
 
 
+def pick_h_fuse(num_kv_blocks: int, esize: int, hkv: int, block_kv: int,
+                d: int) -> int:
+    """KV heads fetched per grid step (see _decode_kernel) — short-stream
+    DMA batching, but ONLY for quantized caches on single-block streams.
+    The round-4 on-chip A/B (v5e_decode_hfuse{1,_auto}.jsonl) is decisive:
+    at S=2048 (1 block/head) fusing lifts int8 0.648→0.771 and fp8
+    0.632→0.766 SoL (the fixed VPU dequant cost amortizes over h_fuse
+    heads' worth of stream), while bf16 — with no dequant to amortize —
+    LOSES 0.870→0.845, and at S=8192 (2+ blocks) fusing loses across
+    dtypes (fp8 0.855→0.759: deeper fused fetches break double-buffer
+    pipelining). Budget the fused K+V working set (x2 for Mosaic's double
+    buffering) to ~48 MB VMEM."""
+    h_fuse = 1
+    if num_kv_blocks == 1 and esize == 1:
+        budget = 48 * 1024 * 1024
+        while (h_fuse * 2 <= hkv and hkv % (h_fuse * 2) == 0
+               and 2 * (h_fuse * 2) * block_kv * d * esize * 2 <= budget):
+            h_fuse *= 2
+        if hkv % h_fuse:
+            h_fuse = 1
+    return h_fuse
+
+
 def prep_decode_q(q, hkv, int8_mode, pre):
     """Shared decode-launcher q prep: [B,Hq,T,D] -> grouped [B,Hkv,G*T,D]
     pre-scaled rows, plus per-row int8 quantization in int8 mode (both dots
@@ -362,18 +385,8 @@ def _decode_attention(
         block_kv -= 128
     num_kv_blocks = s_max // block_kv
 
-    # Short-stream DMA batching (see _decode_kernel): fuse heads per grid
-    # step while the whole stream is <= 4 blocks/head. Budget the fused
-    # K+V working set (x2 for Mosaic's double buffering) to ~48 MB VMEM.
-    esize = jnp.dtype(cache.k.dtype).itemsize
-    h_fuse = 1
-    if num_kv_blocks <= 4:
-        budget = 48 * 1024 * 1024
-        while (h_fuse * 2 <= hkv and hkv % (h_fuse * 2) == 0
-               and 2 * (h_fuse * 2) * block_kv * d * esize * 2 <= budget):
-            h_fuse *= 2
-        if hkv % h_fuse:
-            h_fuse = 1
+    h_fuse = pick_h_fuse(num_kv_blocks, jnp.dtype(cache.k.dtype).itemsize,
+                         hkv, block_kv, d)
     env_hf = os.environ.get("FLASHATTN_DECODE_HFUSE")
     if env_hf is not None:  # A/B override
         h_fuse = int(env_hf)

@@ -297,3 +297,47 @@ def test_decode_quant_variant_combinations(quant, kw):
                                 **kw)[:, :, 0]
     r = verify_results(o_ref, o, rtol=2e-2, atol=5e-2)
     assert r.passed, r
+
+
+def test_pick_h_fuse_heuristic():
+    """h_fuse gating follows the round-4 on-chip A/B
+    (v5e_decode_hfuse{1,_auto}.jsonl): quantized caches on single-block
+    streams fuse; bf16 and multi-block streams never do."""
+    from flashattn_tpu.ops.decode import pick_h_fuse
+
+    # Quantized (1-byte), single block: fuse up to hkv within budget.
+    assert pick_h_fuse(1, 1, 8, 2048, 128) == 8
+    # bf16 (2-byte): never fuse — no dequant cost to amortize, measured
+    # regression 0.870 -> 0.845 at S=2048.
+    assert pick_h_fuse(1, 2, 8, 2048, 128) == 1
+    # Multi-block streams: never fuse (fp8 0.855 -> 0.759 at S=8192).
+    assert pick_h_fuse(2, 1, 8, 4096, 128) == 1
+    assert pick_h_fuse(4, 1, 8, 8192, 128) == 1
+    # VMEM budget caps the fuse depth: 2*h*block*d*esize*2 <= 48 MB.
+    assert pick_h_fuse(1, 1, 32, 32768, 128) == 2
+    # Non-power-of-two head counts stay unfused rather than split ragged.
+    assert pick_h_fuse(1, 1, 3, 2048, 128) == 1
+
+
+@pytest.mark.parametrize("quant", ["int8", "fp8"])
+def test_decode_h_fuse_kernel_path(quant, monkeypatch):
+    """The h_fuse>1 kernel path (multi-head fetch + per-head loop inside a
+    grid step) must match the h_fuse=1 path exactly on the same cache."""
+    b, hq, hkv, d, smax = 2, 8, 4, 64, 512
+    keys = jax.random.split(jax.random.PRNGKey(1), 3)
+    cache = init_cache(b, hkv, smax, d, quant=quant)
+    k_toks = jax.random.normal(keys[0], (b, hkv, smax, d), jnp.bfloat16)
+    v_toks = jax.random.normal(keys[1], (b, hkv, smax, d), jnp.bfloat16)
+    cache = update_cache(cache, k_toks, v_toks)
+    q = jax.random.normal(keys[2], (b, hq, d), jnp.bfloat16)
+
+    monkeypatch.setenv("FLASHATTN_DECODE_HFUSE", "1")
+    jax.clear_caches()
+    o_1 = decode_attention(q, cache, block_kv=512)
+    monkeypatch.setenv("FLASHATTN_DECODE_HFUSE", "2")
+    jax.clear_caches()
+    o_2 = decode_attention(q, cache, block_kv=512)
+    monkeypatch.delenv("FLASHATTN_DECODE_HFUSE")
+    jax.clear_caches()
+    r = verify_results(o_1, o_2, rtol=1e-6, atol=1e-6)
+    assert r.passed, r
