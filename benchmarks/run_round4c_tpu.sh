@@ -27,6 +27,15 @@ for D in 128 64; do
     && python benchmarks/summarize.py
 done
 
+# Train at B=8: B=4 sits at 0.595 MFU (three rounds ~flat) because the
+# model's attention keys are not in the tuned table and per-step overheads
+# don't amortize at 8k tokens/step; doubling the batch is the designed
+# lever (remat=dots headroom measured ~6 GB at B=4).
+timeout 2400 python benchmarks/train_bench.py --model 1b --batch 8 \
+  --remat dots --bwd-impl auto \
+  >> "$R/v5e_train_1b_r4.jsonl" 2> "$R/train_1b_r4_b8.log" \
+  && python benchmarks/summarize.py
+
 # d64 non-causal re-runs are CUT for wall clock: the retuned u2 winners'
 # flash rows are on record in v5e_retune_unroll.jsonl (8k 82.00 / 16k
 # 85.54 TF vs the committed file's 79.6 / 83.5), noted in
