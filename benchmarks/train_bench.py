@@ -48,7 +48,7 @@ def main():
                     help="measure remat in {none,dots,full} x backward impl "
                          "in {auto,split} (VERDICT r2 item #5), one JSON "
                          "row each; rows that OOM are nulled with a note")
-    ap.add_argument("--remat", default=None, choices=["none", "dots", "full"],
+    ap.add_argument("--remat", default=None, choices=["none", "dots", "attn", "full"],
                     help="pin the remat policy for a single run (sweep "
                          "workers use this)")
     ap.add_argument("--bwd-impl", default=None, choices=["auto", "split",
@@ -112,7 +112,7 @@ def main():
                     row(remat, None, impl, err[:200])
         return
 
-    remat_map = {"none": False, "dots": "dots", "full": True}
+    remat_map = {"none": False, "dots": "dots", "attn": "attn", "full": True}
     if args.bwd_impl:
         import os
 

@@ -414,8 +414,18 @@ def forward(
         return x + m
 
     if remat:
+        # remat="dots": save matmul outputs (backward replays only cheap
+        # elementwise work). remat="attn": selective activation
+        # checkpointing — save ONLY the flash-attention residuals
+        # (Q,K,V,O,LSE, tagged "flash_resid" in ops/attention.py), so the
+        # backward skips re-running the attention kernel but recomputes
+        # projections/MLP/norms; ~146 MB/layer at 1B B=8 S=2048 vs
+        # "dots"' ~700 MB — the policy that fits B=8 on a 16 GB chip.
         policy = (jax.checkpoint_policies.dots_with_no_batch_dims_saveable
-                  if remat == "dots" else None)
+                  if remat == "dots" else
+                  jax.checkpoint_policies.save_only_these_names(
+                      "flash_resid")
+                  if remat == "attn" else None)
         layer_fn = jax.checkpoint(layer_fn, policy=policy,
                                   static_argnums=(2,))
     for i, layer in enumerate(params["layers"]):

@@ -45,7 +45,16 @@ def _fwd(q, k, v, seed, slopes, is_causal, scale, block_sizes, interpret,
         logit_softcap=logit_softcap, alibi=alibi, alibi_slopes=slopes,
         pos_offset=pos_offset,
     )
-    return o, (q, k, v, seed, slopes, o, lse)
+    # Name the saved residuals so a jax.checkpoint names-policy can keep
+    # exactly these across the backward (selective activation
+    # checkpointing: llama.py remat="attn" saves the flash residuals —
+    # skipping the attention-kernel recompute, the FLOPs-heavy part of a
+    # layer replay — while everything else rematerializes). No-op outside
+    # a names-aware policy.
+    from jax.ad_checkpoint import checkpoint_name
+
+    tag = lambda x: checkpoint_name(x, "flash_resid")
+    return o, (tag(q), tag(k), tag(v), seed, slopes, tag(o), tag(lse))
 
 
 def _bwd(is_causal, scale, block_sizes, interpret, dropout_rate, window,

@@ -99,14 +99,18 @@ def test_train_driver_with_resume(tmp_path):
     assert int(state2["step"]) == 7
 
 
-def test_remat_grads_identical():
-    """jax.checkpoint rematerialization must not change loss or grads."""
+@pytest.mark.parametrize("remat", [True, "dots", "attn"])
+def test_remat_grads_identical(remat):
+    """jax.checkpoint rematerialization — full, dots-saveable, or the
+    selective flash-residual policy (remat="attn", saves only the
+    "flash_resid"-named custom_vjp residuals) — must not change loss or
+    grads."""
     params = llama.init_params(TINY2, jax.random.PRNGKey(0))
     batch = next(batch_iter(jax.random.PRNGKey(1), 1))
     l0, g0 = jax.value_and_grad(
         lambda p: llama.loss_fn(p, batch, TINY2))(params)
     l1, g1 = jax.value_and_grad(
-        lambda p: llama.loss_fn(p, batch, TINY2, remat=True))(params)
+        lambda p: llama.loss_fn(p, batch, TINY2, remat=remat))(params)
     assert float(l0) == pytest.approx(float(l1), rel=1e-6)
     for a, b in zip(jax.tree_util.tree_leaves(g0),
                     jax.tree_util.tree_leaves(g1)):
