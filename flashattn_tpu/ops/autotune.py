@@ -154,7 +154,7 @@ def autotune(
     """
     from flashattn_tpu.ops.flash_bwd import flash_attention_backward
     from flashattn_tpu.ops.flash_fwd import flash_attention_forward
-    from flashattn_tpu.utils.timing import measure
+    from flashattn_tpu.utils.timing import measure_auto
 
     b, hq, s_q, d = q.shape
     _, hkv, s_k, _ = k.shape
@@ -191,31 +191,56 @@ def autotune(
                 out.append(bkv // band)
         return out
 
+    # Grid-shape sweep: both forward grids (wavefront / q-major) are
+    # candidates per key — the measured round-4 finding is that q-major
+    # amortizes shallow causal rows while the wavefront wins at depth, with
+    # a shape-dependent crossover (flash_fwd_qmajor.py docstring).
+    from flashattn_tpu.ops.flash_fwd_qmajor import qmajor_supported
+
+    impls = ["wavefront"]
+    if qmajor_supported(
+        s_k, d, jnp.dtype(q.dtype).itemsize,
+        segmented=False, windowed=False, softcap=False, alibi=False,
+        dropout=False, dynamic_offset=False, mxu_l=d % 128 != 0,
+    ):
+        impls.append("qmajor")
+
+    fwd_trials = [
+        (bq, bkv, unroll, impl)
+        for bq, bkv in clamp_dedupe(FWD_CONFIGS)
+        for unroll in unroll_cands(bkv)
+        for impl in impls
+    ]
     best_fwd, best_fwd_t = None, float("inf")
-    for bq, bkv in clamp_dedupe(FWD_CONFIGS):
-        for unroll in unroll_cands(bkv):
-            bs = BlockSizes(block_q=bq, block_kv=bkv, unroll_kv=unroll)
-            try:
-                t = measure(
-                    lambda q, k, v: flash_attention_forward(
-                        q, k, v, is_causal=is_causal, scale=scale,
-                        block_sizes=bs
-                    ),
-                    q, k, v, warmup=2, n1=3, n2=10,
-                )
-            except Exception:
-                continue
-            if verbose:
-                print(f"[autotune fwd] bq={bq} bkv={bkv} u={unroll}: "
-                      f"{t*1e3:.3f} ms", file=sys.stderr)
-            if t < best_fwd_t:
-                best_fwd, best_fwd_t = (bq, bkv, unroll), t
+    for bq, bkv, unroll, impl in fwd_trials:
+        bs = BlockSizes(block_q=bq, block_kv=bkv, unroll_kv=unroll,
+                        fwd_impl=impl)
+        try:
+            # measure_auto: sub-floor trials re-measure with the
+            # on-device scan loop, so short-S sweeps can't crown a
+            # host-dispatch-bound "winner" (the round-3 pathology) and
+            # persist it to the local cache.
+            t = measure_auto(
+                lambda q, k, v: flash_attention_forward(
+                    q, k, v, is_causal=is_causal, scale=scale,
+                    block_sizes=bs
+                ),
+                q, k, v, warmup=2, repeat=10,
+            )
+        except Exception:
+            continue
+        if verbose:
+            print(f"[autotune fwd] {impl} bq={bq} bkv={bkv} u={unroll}: "
+                  f"{t*1e3:.3f} ms", file=sys.stderr)
+        if t < best_fwd_t:
+            best_fwd, best_fwd_t = (bq, bkv, unroll, impl), t
     assert best_fwd is not None, "no forward config compiled"
 
     result = {
         "block_q": best_fwd[0],
         "block_kv": best_fwd[1],
         "unroll_kv": best_fwd[2],
+        "fwd_impl": best_fwd[3],
     }
 
     if tune_backward:
@@ -226,12 +251,12 @@ def autotune(
         do = q  # any same-shaped array works for timing
 
         def time_bwd(bs, impl):
-            return measure(
+            return measure_auto(
                 lambda *a: flash_attention_backward(
                     *a, is_causal=is_causal, scale=scale, block_sizes=bs,
                     impl=impl,
                 ),
-                q, k, v, o, do, lse, warmup=2, n1=3, n2=10,
+                q, k, v, o, do, lse, warmup=2, repeat=10,
             )
 
         def sweep(configs, make_bs, impl, label):

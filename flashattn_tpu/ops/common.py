@@ -68,6 +68,13 @@ class BlockSizes:
     # causal fwd at 1024x2048/unroll=2 vs the same geometry un-unrolled).
     # Bands must stay >= 128 columns; the launcher falls back to 1 if not.
     unroll_kv: int = 1
+    # Forward grid shape: "wavefront" (flat live-pair grid, flash_fwd.py),
+    # "qmajor" (program-per-q-tile with an in-kernel kv loop,
+    # flash_fwd_qmajor.py), or "auto" (measured-defaults heuristic +
+    # autotune winners). The two grids are numerically identical; they
+    # trade per-row boundary amortization (qmajor) against streaming depth
+    # (wavefront) — see flash_fwd_qmajor.py's module docstring.
+    fwd_impl: str = "auto"
 
     def clamp(self, s_q: int, s_k: int) -> "BlockSizes":
         """Shrink tiles to the (padded) problem size."""
@@ -85,6 +92,7 @@ class BlockSizes:
             block_q_fused=fit(self.block_q_fused, s_q),
             block_kv_fused=fit(self.block_kv_fused, s_k),
             unroll_kv=self.unroll_kv,
+            fwd_impl=self.fwd_impl,
         )
 
 

@@ -390,7 +390,18 @@ def _decode_attention(
     env_hf = os.environ.get("FLASHATTN_DECODE_HFUSE")
     if env_hf is not None:  # A/B override
         h_fuse = int(env_hf)
-        assert hkv % h_fuse == 0, (hkv, h_fuse)
+        if h_fuse < 1 or hkv % h_fuse != 0:
+            raise ValueError(
+                f"FLASHATTN_DECODE_HFUSE={h_fuse} must divide Hkv={hkv}")
+        if h_fuse > pick_h_fuse(num_kv_blocks,
+                                jnp.dtype(cache.k.dtype).itemsize,
+                                hkv, block_kv, d):
+            import warnings
+
+            warnings.warn(
+                f"FLASHATTN_DECODE_HFUSE={h_fuse} exceeds the pick_h_fuse "
+                "VMEM budget for this shape; expect a Mosaic VMEM error "
+                "(override is bench-only)", stacklevel=2)
 
     # [B, Hq, T, D] -> [B, Hkv, G*T, D]: all q heads of a KV group share one
     # cache stream; chunk tokens ride as extra rows (row r = head r // T,

@@ -196,9 +196,11 @@ def _fwd_kernel(
         m_scratch, l_scratch, acc_scratch = scratch
     step = pl.program_id(2)
 
-    first = meta_ref[META_FIRST, step] == 1
-
     if not single_step:
+        # (single_step compiles the init/finalize predication out entirely —
+        # don't emit its SMEM read there.)
+        first = meta_ref[META_FIRST, step] == 1
+
         @pl.when(first)
         def _init():
             # Init only the live (bq, 1) stat column. A full-scratch zeros
@@ -484,6 +486,37 @@ def flash_attention_forward(
                                          q.dtype)
     block_sizes = block_sizes.clamp(s_q, s_k)
     bq, bkv = block_sizes.block_q, block_sizes.block_kv
+
+    # Forward grid-shape dispatch: the q-major kernel (program per q tile,
+    # VMEM-resident K/V, in-kernel kv loop — flash_fwd_qmajor.py) vs the
+    # wavefront grid below. BlockSizes.fwd_impl carries autotuned winners;
+    # FLASHATTN_FWD_IMPL overrides for subprocess A/Bs. Unsupported
+    # feature/residency combinations silently keep the wavefront (a tuned
+    # "qmajor" winner must not break windows/dropout/... calls at the same
+    # key).
+    from flashattn_tpu.ops.flash_fwd_qmajor import (
+        flash_attention_forward_qmajor,
+        qmajor_auto,
+        qmajor_supported,
+    )
+
+    impl = os.environ.get("FLASHATTN_FWD_IMPL", block_sizes.fwd_impl)
+    _off = (s_k - s_q) if pos_offset is None else int(pos_offset)
+    _qm_ok = qmajor_supported(
+        s_k, d, jnp.dtype(k.dtype).itemsize,
+        segmented=segment_ids is not None,
+        windowed=window is not None,
+        softcap=bool(logit_softcap),
+        alibi=alibi,
+        dropout=dropout_rate > 0.0,
+        dynamic_offset=dyn_pos_offset is not None,
+        mxu_l=d % 128 != 0,
+    )
+    if impl == "auto" and _qm_ok:
+        impl = qmajor_auto(s_q, s_k, d, is_causal)
+    if impl == "qmajor" and _qm_ok:
+        return flash_attention_forward_qmajor(
+            q, k, v, is_causal, scale, block_sizes, interpret, debug, _off)
 
     # Pre-scale Q by scale·log2(e): S = Q̃·Kᵀ lands directly in the log2
     # domain, saving a full VPU pass over every S² tile in the hot loop.

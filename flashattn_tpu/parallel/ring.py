@@ -102,14 +102,16 @@ def _rotate(xs, axis_name: str, n: int, anchor=None):
     zero ``opt-barrier`` ops in the final module, schedule unchanged). So
     one element of each floating x takes a numerically-zero perturbation
     ``min(|anchor[0]|, 0)`` that the compiler cannot fold (it would need
-    range analysis; NaN/-inf anchors still map to 0 through |.|->min).
+    range analysis; -inf anchors map to 0 through |.|->min, and NaN
+    anchors — where min would PROPAGATE the NaN into the permuted tile —
+    are explicitly zeroed with an isnan select).
     The patch is a rank-preserving single-element dynamic_update_slice —
     compute reads the ORIGINAL refs and takes no new dependency, so the
     scheduler's only legal window for hop t+1's wire is under kernel t+1."""
     perm = _ring_perm(n)
     if anchor is not None:
         a0 = anchor.reshape(-1)[:1]  # (1,) from the previous hop's stats
-        eps = jnp.minimum(jnp.abs(a0), 0.0)
+        eps = jnp.where(jnp.isnan(a0), 0.0, jnp.minimum(jnp.abs(a0), 0.0))
         tied = []
         for x in xs:
             if jnp.issubdtype(x.dtype, jnp.floating):

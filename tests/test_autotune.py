@@ -48,6 +48,8 @@ def test_autotune_returns_valid_blocks_and_caches(tmp_cache):
     for f in dataclasses.fields(BlockSizes):
         if f.name == "unroll_kv":
             assert getattr(bs, f.name) >= 1
+        elif f.name == "fwd_impl":
+            assert getattr(bs, f.name) in ("wavefront", "qmajor")
         else:
             assert getattr(bs, f.name) >= 128
     # Persisted: one entry with the independent dQ/dKV winners + impl.
