@@ -52,7 +52,21 @@ def run(args) -> None:
         fl = attention_flops(b, h, s, s, d, mode="fwd", is_causal=args.causal)
 
         arms = [("wf_shipped", None)]
-        for bq, bkv in tiles:
+        if args.sik_ab:
+            # scale_in_kernel A/B on the shipped wavefront geometry: the
+            # host prescale's extra HBM pass over Q vs the in-kernel
+            # per-step tile multiply (BlockSizes.scale_in_kernel).
+            from dataclasses import replace
+
+            from flashattn_tpu.ops.autotune import lookup_block_sizes
+
+            base = lookup_block_sizes(b, h, h, s, s, d, args.causal,
+                                      jnp.bfloat16)
+            arms = [
+                ("wf_sik0", replace(base, scale_in_kernel=False)),
+                ("wf_sik1", replace(base, scale_in_kernel=True)),
+            ]
+        for bq, bkv in (() if args.sik_ab else tiles):
             if bq > s or bkv > s:
                 continue
             for u in unrolls:
@@ -65,10 +79,14 @@ def run(args) -> None:
                 ))
         for label, bs in arms:
             try:
+                # floor_s=50ms forces the on-device scan loop for every
+                # arm: the relay's slope timing showed multi-ms stall
+                # pollution on 0.5-2 ms kernels in the first round-5 sweep
+                # (3-12 ms readings, non-monotone across arms).
                 sec = measure_auto(
                     lambda q, k, v: flash_attention_forward(
                         q, k, v, is_causal=args.causal, block_sizes=bs),
-                    q, k, v, warmup=3, repeat=10)
+                    q, k, v, warmup=3, repeat=10, floor_s=0.05)
                 rec = {"ms": round(sec * 1e3, 4),
                        "tflops": round(tflops(fl, sec), 2)}
                 try:
@@ -93,6 +111,9 @@ def main():
     ap.add_argument("--b", type=int, default=4)
     ap.add_argument("--h", type=int, default=8)
     ap.add_argument("--causal", action="store_true")
+    ap.add_argument("--sik-ab", action="store_true",
+                    help="scale_in_kernel A/B on the shipped wavefront "
+                         "geometry instead of the q-major tile arms")
     ap.add_argument("--tiles", type=str,
                     default="512x512,1024x1024,2048x2048,1024x2048")
     ap.add_argument("--unrolls", type=str, default="1,2")

@@ -92,6 +92,19 @@ class ModelConfig:
 # TinyLlama-1.1B-like geometry (BASELINE config 4: "Llama-style 1B").
 LLAMA_1B = ModelConfig()
 
+# ~150M draft model for speculative decoding against LLAMA_1B (same
+# vocab/tokenizer family, ~7x fewer FLOPs/token): the draft:target cost
+# ratio that makes Leviathan speculation pay on-device is measured by
+# benchmarks/speculate_bench.py.
+LLAMA_150M = ModelConfig(
+    hidden_size=1024,
+    intermediate_size=2816,
+    num_layers=8,
+    num_heads=16,
+    num_kv_heads=4,
+    head_dim=64,
+)
+
 # Mistral-7B geometry: GQA + 4096-token sliding-window attention.
 MISTRAL_7B = ModelConfig(
     vocab_size=32000,

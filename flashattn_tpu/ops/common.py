@@ -75,6 +75,16 @@ class BlockSizes:
     # trade per-row boundary amortization (qmajor) against streaming depth
     # (wavefront) — see flash_fwd_qmajor.py's module docstring.
     fwd_impl: str = "auto"
+    # Where Q picks up its scale*log2(e) factor. Host-side pre-scaling (the
+    # round-1 design) saves a per-element VPU multiply in the hot loop but
+    # costs a FULL extra HBM read+write of Q before the kernel — at shallow
+    # S that extra pass is a measurable fraction of the whole run (the
+    # prescale bytes scale with S while the kernel's compute scales with
+    # S^2). In-kernel scaling multiplies the fetched q tile instead: cost
+    # bq*D VPU per wavefront STEP (q is re-read per step), so it pays off
+    # exactly when rows are shallow. None = auto (per-shape heuristic in
+    # the launcher), True/False = forced (autotune-sweepable, jit-static).
+    scale_in_kernel: bool | None = None
 
     def clamp(self, s_q: int, s_k: int) -> "BlockSizes":
         """Shrink tiles to the (padded) problem size."""
@@ -93,6 +103,7 @@ class BlockSizes:
             block_kv_fused=fit(self.block_kv_fused, s_k),
             unroll_kv=self.unroll_kv,
             fwd_impl=self.fwd_impl,
+            scale_in_kernel=self.scale_in_kernel,
         )
 
 

@@ -157,6 +157,7 @@ def _fwd_kernel(
     acc_writethrough: bool = True,
     unroll: int = 1,
     single_step: bool = False,
+    q_scale: float = 0.0,
 ):
     # dynoff (1,) SMEM int32 (dynamic_offset only): TRACED q/k alignment —
     # zigzag ring hops have device-dependent shard offsets, so the window's
@@ -164,7 +165,8 @@ def _fwd_kernel(
     # of the static causal_offset (the wavefront cannot prune dynamically;
     # callers guarantee causal full-visibility and pass is_causal=False).
     # seed (1,) SMEM int32 (scalar-prefetched, dropout only); q_ref
-    # (1,1,bq,D) pre-scaled by scale·log2(e); k/v (1,1,bkv,D);
+    # (1,1,bq,D), carrying scale·log2(e) from the host prescale pass
+    # unless q_scale != 0 (then it is raw and scaled here); k/v (1,1,bkv,D);
     # seg_q (1,bq,1) / seg_k (1,1,bkv) int32 packed-sequence ids (varlen);
     # outputs o (1,1,bq,D), lse (1,1,bq,1); f32 scratch m/l (bq,128), acc.
     if dynamic_offset:
@@ -229,6 +231,12 @@ def _fwd_kernel(
     run_m = run_l = run_acc = None
 
     q = q_ref[0, 0]  # (block_q, D)
+    if q_scale:
+        # In-kernel Q scaling (BlockSizes.scale_in_kernel): the host
+        # prescale pass is skipped, so this multiply lands the scores in
+        # the same (log2-domain) scale. Shallow-row shapes only — q is
+        # re-read per step, so deep rows pay bq*D VPU per step for it.
+        q = q * jnp.asarray(q_scale, q.dtype)
     # KV sub-tile unroll (unroll > 1): split the fetched (block_kv, D) tile
     # into `unroll` independent column bands and issue ALL their QK dots up
     # front. One dot per step gives Mosaic nothing to overlap with the
@@ -518,15 +526,18 @@ def flash_attention_forward(
         return flash_attention_forward_qmajor(
             q, k, v, is_causal, scale, block_sizes, interpret, debug, _off)
 
-    # Pre-scale Q by scale·log2(e): S = Q̃·Kᵀ lands directly in the log2
+    # Q carries scale·log2(e) so S = Q̃·Kᵀ lands directly in the log2
     # domain, saving a full VPU pass over every S² tile in the hot loop.
     # With soft-capping the tanh needs TRUE logits, so only `scale` folds
-    # and the kernel applies ·log2(e) after the cap.
+    # and the kernel applies ·log2(e) after the cap. WHERE the factor is
+    # applied (host prescale pass vs in-kernel tile multiply) is decided
+    # below once the wavefront depth is known (BlockSizes.scale_in_kernel).
+    from flashattn_tpu.ops.common import round_up
+
     pre = scale if logit_softcap else scale * LOG2E
-    q_p = pad_to_block((q * pre).astype(q.dtype), 2, bq)
     k_p = pad_to_block(k, 2, bkv)
     v_p = pad_to_block(v, 2, bkv)
-    s_q_p, s_k_p = q_p.shape[2], k_p.shape[2]
+    s_q_p, s_k_p = round_up(s_q, bq), k_p.shape[2]
 
     # Sub-128 head dims waste MXU output lanes on the PV dot anyway — spend
     # one of them on the softmax row-sum: append a ones-column to V at lane
@@ -593,10 +604,28 @@ def flash_attention_forward(
     assert not single_step or num_kv_blocks == 1, (
         "FLASHATTN_SINGLE_STEP=1 requires S_k to fit one kv block")
 
+    # Q scale placement (see BlockSizes.scale_in_kernel): in-kernel for
+    # shallow rows (the host prescale's extra HBM pass over Q outweighs
+    # re-multiplying the q tile for <= ~2 steps/row), host prescale for
+    # deep rows. FLASHATTN_SCALE_IN_KERNEL ∈ {0,1} is a subprocess A/B
+    # override.
+    env_sik = os.environ.get("FLASHATTN_SCALE_IN_KERNEL")
+    if env_sik is not None:
+        scale_in_kernel = env_sik == "1"
+    elif block_sizes.scale_in_kernel is not None:
+        scale_in_kernel = block_sizes.scale_in_kernel
+    else:
+        scale_in_kernel = single_step or num_steps <= 2 * num_q_blocks
+    if scale_in_kernel:
+        q_p = pad_to_block(q, 2, bq)
+    else:
+        q_p = pad_to_block((q * pre).astype(q.dtype), 2, bq)
+
     kernel = functools.partial(
         _fwd_kernel,
         unroll=unroll,
         single_step=single_step,
+        q_scale=(pre if scale_in_kernel else 0.0),
         needs_mask=needs_mask or windowed,
         guard_zero_rows=guard_zero_rows,
         segmented=segmented,

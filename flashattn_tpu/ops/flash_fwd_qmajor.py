@@ -136,7 +136,7 @@ def build_qmajor_bounds(
 
 def _qmajor_kernel(
     bounds_ref,  # SMEM (2, num_q_blocks) int32: [n_full; n_tot] per q block
-    q_ref,  # (1, 1, bq, D) pre-scaled by scale*log2(e)
+    q_ref,  # (1, 1, bq, D) raw (scaled in-kernel by q_scale)
     k_ref,  # (1, 1, S_k_pad, D) whole sequence, VMEM-resident
     v_ref,  # (1, 1, S_k_pad, D_ext) whole sequence (+ ones col if mxu_l)
     o_ref,  # (1, 1, bq, D)
@@ -150,11 +150,15 @@ def _qmajor_kernel(
     guard_zero_rows: bool,
     mxu_l: bool,
     unroll: int,
+    q_scale: float,
 ):
     i = pl.program_id(2)
     n_full = bounds_ref[0, i]
     n_tot = bounds_ref[1, i]
-    q = q_ref[0, 0]  # (bq, D)
+    # In-kernel Q scaling: q is read ONCE per program here (the kv stream
+    # is the in-kernel loop), so folding scale*log2(e) into the tile load
+    # beats a host prescale pass (extra HBM read+write of Q) at every S.
+    q = q_ref[0, 0] * jnp.asarray(q_scale, q_ref.dtype)  # (bq, D)
     d_ext = v_ref.shape[-1]
     bsub = block_kv // unroll
 
@@ -255,7 +259,7 @@ def flash_attention_forward_qmajor(
     block_sizes = block_sizes.clamp(s_q, s_k)
     bq, bkv = block_sizes.block_q, block_sizes.block_kv
 
-    q_p = pad_to_block((q * (scale * LOG2E)).astype(q.dtype), 2, bq)
+    q_p = pad_to_block(q, 2, bq)
     k_p = pad_to_block(k, 2, bkv)
     v_p = pad_to_block(v, 2, bkv)
     s_q_p, s_k_p = q_p.shape[2], k_p.shape[2]
@@ -291,6 +295,7 @@ def flash_attention_forward_qmajor(
         guard_zero_rows=guard_zero_rows,
         mxu_l=mxu_l,
         unroll=unroll,
+        q_scale=scale * LOG2E,
     )
 
     def q_index(b_i, h_i, i, *_):
