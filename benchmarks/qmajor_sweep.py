@@ -61,11 +61,13 @@ def run(args) -> None:
             from flashattn_tpu.ops.autotune import lookup_block_sizes
 
             base = lookup_block_sizes(b, h, h, s, s, d, args.causal,
-                                      jnp.bfloat16)
+                                      q.dtype)
             arms = [
                 ("wf_sik0", replace(base, scale_in_kernel=False)),
                 ("wf_sik1", replace(base, scale_in_kernel=True)),
             ]
+        impl = "wavefront" if args.wf_tiles else "qmajor"
+        tag = "wf" if args.wf_tiles else "qm"
         for bq, bkv in (() if args.sik_ab else tiles):
             if bq > s or bkv > s:
                 continue
@@ -73,9 +75,9 @@ def run(args) -> None:
                 if bkv % u or (bkv // u) % 128:
                     continue
                 arms.append((
-                    f"qm_u{u}_{bq}x{bkv}",
+                    f"{tag}_u{u}_{bq}x{bkv}",
                     BlockSizes(block_q=bq, block_kv=bkv, unroll_kv=u,
-                               fwd_impl="qmajor"),
+                               fwd_impl=impl),
                 ))
         for label, bs in arms:
             try:
@@ -111,6 +113,11 @@ def main():
     ap.add_argument("--b", type=int, default=4)
     ap.add_argument("--h", type=int, default=8)
     ap.add_argument("--causal", action="store_true")
+    ap.add_argument("--wf-tiles", action="store_true",
+                    help="sweep the tile list on the WAVEFRONT grid (the "
+                         "shipped autotune candidates never went below "
+                         "512x1024 — shallow causal S wants finer tiles: "
+                         "less diagonal-tile masked waste)")
     ap.add_argument("--sik-ab", action="store_true",
                     help="scale_in_kernel A/B on the shipped wavefront "
                          "geometry instead of the q-major tile arms")

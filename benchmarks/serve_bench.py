@@ -131,7 +131,23 @@ def main():
         "gen_tokens_per_s_shared": round(toks / dt_shared, 1),
         "gen_tokens_per_s_replicated": round(toks / dt_plain, 1),
         "speedup": round(dt_plain / dt_shared, 2),
+        "note": "wall drain: relay-noise on this rig; see "
+                "serve_prefix_device for the authoritative numbers",
     }))
+
+    # Device-time prefix rows (VERDICT r4 item 5): the admission compute
+    # itself, on-device scan loop — the wall drain above is relay-bound.
+    srv = server(True)
+    for plen in sorted({512, 2048, args.prefix_len}):
+        prompt_len = min(plen + 256, args.max_len)
+        if not 0 < plen < prompt_len or plen % args.page_size:
+            continue
+        cal = srv.calibrate_admit(prompt_len, plen,
+                                  iters=max(10, args.calib_iters // 2))
+        print(json.dumps({
+            "bench": "serve_prefix_device", "model": args.model,
+            "prefix_len": plen, "prompt_len": prompt_len, **cal,
+        }))
 
 
 if __name__ == "__main__":

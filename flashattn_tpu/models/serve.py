@@ -557,6 +557,89 @@ class InferenceServer:
         self._device_step_s = measure_looped(fn, *args, iters=iters)
         return self._device_step_s
 
+    def calibrate_admit(self, prompt_len: int, prefix_len: int,
+                        iters: int = 50) -> dict[str, float]:
+        """Device-time of admission with vs without a shared prefix.
+
+        The wall-clock shared-prefix A/B is relay-noise on this rig (both
+        arms pay ~40 ms/dispatch host cost, so prefill FLOPs saved on
+        device are invisible: 1.66x and 0.83x readings bracket the same
+        noise — rounds 2/4). This measures the ADMISSION COMPUTE itself
+        with the on-device scan loop (event-timing discipline, reference
+        ``Performance_Comparison.py:111-128``):
+
+          replicated: full-prompt chunk prefill + page install
+          shared:     prefix pages gathered to a dense seed + suffix-only
+                      chunk prefill + suffix page install
+                      (exactly ``_admit_with_prefix``'s compute)
+
+        Returns ms per admission for both paths and the device speedup.
+        Pure: touches no live pool/table state (all cache ops are
+        functional; results are discarded)."""
+        from flashattn_tpu.ops.paged import pages_to_dense, write_pages
+        from flashattn_tpu.utils.timing import measure_looped
+
+        assert self.paged, "prefix calibration requires the paged backend"
+        assert 0 < prefix_len < prompt_len <= self.max_len
+        assert prefix_len % self.page_size == 0, (
+            "register_prefix shares whole pages")
+        nshared = prefix_len // self.page_size
+        n_all = pages_needed(prompt_len, self.page_size)
+        pages_all = jnp.arange(n_all, dtype=jnp.int32)
+
+        padded_full = min(round_up(prompt_len, self.prompt_bucket),
+                          self.max_len)
+        pos_full = jnp.arange(padded_full)
+        empty = [
+            init_cache(1, self.cfg.num_kv_heads, self.max_len,
+                       self.cfg.head_dim, dtype=self.cfg.dtype,
+                       quant=self.quant)
+            for _ in range(self.cfg.num_layers)
+        ]
+
+        def replicated(piece):
+            logits, single = generate.chunk_step(self.params, piece,
+                                                 pos_full, empty, self.cfg)
+            # Depend on EVERY layer's install + the logits, or XLA dead-
+            # code-eliminates all but the returned one out of the timing.
+            deps = [logits.reshape(-1)[0]]
+            for li in range(self.cfg.num_layers):
+                c = write_pages(self.caches[li], single[li], pages_all)
+                deps.append(c.k_pages.reshape(-1)[0].astype(jnp.float32))
+            return jnp.stack(deps)
+
+        suffix_len = prompt_len - prefix_len
+        padded_suf = min(round_up(suffix_len, self.prompt_bucket),
+                         self.max_len - prefix_len)
+        pos_suf = jnp.arange(prefix_len, prefix_len + padded_suf)
+        sarr = pages_all[:nshared]
+        oarr = pages_all[nshared:]
+
+        def shared(piece):
+            single = [
+                pages_to_dense(self.caches[li], sarr, max_len=self.max_len,
+                               length=prefix_len)
+                for li in range(self.cfg.num_layers)
+            ]
+            logits, single = generate.chunk_step(self.params, piece,
+                                                 pos_suf, single, self.cfg)
+            deps = [logits.reshape(-1)[0]]
+            for li in range(self.cfg.num_layers):
+                c = write_pages(self.caches[li], single[li], oarr,
+                                first_block=nshared)
+                deps.append(c.k_pages.reshape(-1)[0].astype(jnp.float32))
+            return jnp.stack(deps)
+
+        t_rep = measure_looped(
+            replicated, jnp.zeros((1, padded_full), jnp.int32), iters=iters)
+        t_sh = measure_looped(
+            shared, jnp.zeros((1, padded_suf), jnp.int32), iters=iters)
+        return {
+            "prefill_ms_replicated": round(t_rep * 1e3, 3),
+            "prefill_ms_shared": round(t_sh * 1e3, 3),
+            "device_speedup": round(t_rep / t_sh, 2),
+        }
+
     def run(self) -> dict[int, list[int]]:
         """Drain queue + slots; returns {uid: generated tokens}."""
         while self.queue or any(not s.free for s in self.slots):

@@ -604,18 +604,22 @@ def flash_attention_forward(
     assert not single_step or num_kv_blocks == 1, (
         "FLASHATTN_SINGLE_STEP=1 requires S_k to fit one kv block")
 
-    # Q scale placement (see BlockSizes.scale_in_kernel): in-kernel for
-    # shallow rows (the host prescale's extra HBM pass over Q outweighs
-    # re-multiplying the q tile for <= ~2 steps/row), host prescale for
-    # deep rows. FLASHATTN_SCALE_IN_KERNEL ∈ {0,1} is a subprocess A/B
-    # override.
+    # Q scale placement (see BlockSizes.scale_in_kernel). Measured v5e A/B
+    # (looped timing, benchmarks/results/v5e_sik_ab.jsonl): in-kernel
+    # scaling LOSES on shallow rows (S=512 32.5 vs 35.0 TF, S=1024 38.3 vs
+    # 54.7 — the single-step region) and WINS at depth (S=4096 87.9 vs
+    # 82.4, S=8192 112.4 vs 108.0, S=16384 126.8 vs 123.7; tie at 2048) —
+    # the exact opposite of the bytes-vs-VPU prior: at depth the per-step
+    # tile multiply hides under the MXU pipeline while the prescale pass
+    # is pure serial HBM time. Auto picks by measured row depth.
     env_sik = os.environ.get("FLASHATTN_SCALE_IN_KERNEL")
     if env_sik is not None:
         scale_in_kernel = env_sik == "1"
     elif block_sizes.scale_in_kernel is not None:
         scale_in_kernel = block_sizes.scale_in_kernel
     else:
-        scale_in_kernel = single_step or num_steps <= 2 * num_q_blocks
+        scale_in_kernel = (not single_step
+                           and num_steps > 2 * num_q_blocks)
     if scale_in_kernel:
         q_p = pad_to_block(q, 2, bq)
     else:

@@ -155,10 +155,10 @@ def _qmajor_kernel(
     i = pl.program_id(2)
     n_full = bounds_ref[0, i]
     n_tot = bounds_ref[1, i]
-    # In-kernel Q scaling: q is read ONCE per program here (the kv stream
-    # is the in-kernel loop), so folding scale*log2(e) into the tile load
-    # beats a host prescale pass (extra HBM read+write of Q) at every S.
-    q = q_ref[0, 0] * jnp.asarray(q_scale, q_ref.dtype)  # (bq, D)
+    if q_scale:
+        q = q_ref[0, 0] * jnp.asarray(q_scale, q_ref.dtype)  # (bq, D)
+    else:
+        q = q_ref[0, 0]  # (bq, D), pre-scaled host-side
     d_ext = v_ref.shape[-1]
     bsub = block_kv // unroll
 
@@ -259,7 +259,14 @@ def flash_attention_forward_qmajor(
     block_sizes = block_sizes.clamp(s_q, s_k)
     bq, bkv = block_sizes.block_q, block_sizes.block_kv
 
-    q_p = pad_to_block(q, 2, bq)
+    # Host prescale by default — the measured winner on the wavefront grid
+    # too (the in-kernel tile multiply cost more than the saved HBM pass
+    # at every point, v5e_sik_ab.jsonl); scale_in_kernel=True opts in.
+    sik = bool(block_sizes.scale_in_kernel)
+    if sik:
+        q_p = pad_to_block(q, 2, bq)
+    else:
+        q_p = pad_to_block((q * (scale * LOG2E)).astype(q.dtype), 2, bq)
     k_p = pad_to_block(k, 2, bkv)
     v_p = pad_to_block(v, 2, bkv)
     s_q_p, s_k_p = q_p.shape[2], k_p.shape[2]
@@ -295,7 +302,7 @@ def flash_attention_forward_qmajor(
         guard_zero_rows=guard_zero_rows,
         mxu_l=mxu_l,
         unroll=unroll,
-        q_scale=scale * LOG2E,
+        q_scale=(scale * LOG2E if sik else 0.0),
     )
 
     def q_index(b_i, h_i, i, *_):

@@ -365,3 +365,22 @@ def test_device_step_fn_closes_over_no_weight_constants():
     assert const_bytes < 1 * 1024 * 1024, (
         f"device-step closure captures {const_bytes/1e6:.1f} MB of constants; "
         "params/caches must be jit arguments")
+
+
+def test_calibrate_admit_prefix_device_timing():
+    """calibrate_admit (device-time shared-prefix admission A/B) runs on
+    the paged backend, returns both paths' ms + speedup, and mutates no
+    live server state (all cache ops are functional)."""
+    params = make_params()
+    srv = InferenceServer(params, CFG, max_slots=2, max_len=512,
+                          paged=True, page_size=128)
+    before = jax.device_get(srv.caches[0].k_pages)
+    out = srv.calibrate_admit(prompt_len=384, prefix_len=128, iters=2)
+    assert set(out) == {"prefill_ms_replicated", "prefill_ms_shared",
+                       "device_speedup"}
+    assert out["prefill_ms_replicated"] > 0
+    assert out["prefill_ms_shared"] > 0
+    import numpy as np
+
+    np.testing.assert_array_equal(before,
+                                  jax.device_get(srv.caches[0].k_pages))
