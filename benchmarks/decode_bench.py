@@ -23,7 +23,10 @@ from flashattn_tpu.models.config import LLAMA_1B, LLAMA_8B, TINY  # noqa: E402
 from flashattn_tpu.ops.decode import decode_attention  # noqa: E402
 from flashattn_tpu.ops.kvcache import init_cache, update_cache  # noqa: E402
 from flashattn_tpu.utils.roofline import detect_chip  # noqa: E402
-from flashattn_tpu.utils.timing import measure, measure_looped  # noqa: E402
+from flashattn_tpu.utils.timing import (  # noqa: E402
+    measure,
+    measure_looped_slope,
+)
 
 
 def cache_bytes(b, hkv, s_live, d, quant):
@@ -55,9 +58,9 @@ def kernel_sweep(args):
                 # reported in the record for the defaults table.
                 cands = [bk for bk in (1024, 2048, 4096, 8192) if bk <= s]
                 for bk in cands:
-                    sec_c = measure_looped(
+                    sec_c = measure_looped_slope(
                         lambda q, c: decode_attention(q, c, block_kv=bk),
-                        q, cache, iters=iters)
+                        q, cache)
                     print(f"#   S={s} {quant or 'bf16'} block_kv={bk}: "
                           f"{sec_c*1e6:.1f} us", file=sys.stderr)
                     if sec_c < best_sec:
@@ -69,9 +72,10 @@ def kernel_sweep(args):
 
                 save_decode_block_kv(b, hkv, s, d, cache.k.dtype, best_bkv)
             else:
-                # Sub-millisecond kernels: chain on device (one dispatch) so
-                # the relay's per-dispatch overlap can't under-measure.
-                sec = measure_looped(decode_attention, q, cache, iters=iters)
+                # Sub-millisecond kernels: on-device chain SLOPE — a single
+                # chain reading still carries the relay's fixed cost / iters
+                # (a few us on a ~50 us kernel); the slope cancels it.
+                sec = measure_looped_slope(decode_attention, q, cache)
             gbs = cache_bytes(b, hkv, s, d, quant) / sec / 1e9
             rec = {
                 "bench": "decode_kernel", "B": b, "Hq": hq, "Hkv": hkv,

@@ -41,7 +41,7 @@ def child(args) -> None:
     )
     from flashattn_tpu.ops.kvcache import init_cache, update_cache
     from flashattn_tpu.utils.roofline import detect_chip
-    from flashattn_tpu.utils.timing import measure_looped
+    from flashattn_tpu.utils.timing import measure_looped_slope
 
     b, hq, hkv, s, d = args.b, args.hq, args.hkv, args.s, args.d
     quant = args.quant if args.quant != "bf16" else None
@@ -53,15 +53,14 @@ def child(args) -> None:
     if args.t == 1:
         q = jax.random.normal(jax.random.PRNGKey(2), (b, hq, d),
                               jnp.bfloat16)
-        sec = measure_looped(
-            lambda q, c: decode_attention(q, c, block_kv=bkv),
-            q, cache, iters=args.iters)
+        sec = measure_looped_slope(
+            lambda q, c: decode_attention(q, c, block_kv=bkv), q, cache)
     else:
         q = jax.random.normal(jax.random.PRNGKey(2), (b, hq, args.t, d),
                               jnp.bfloat16)
-        sec = measure_looped(
+        sec = measure_looped_slope(
             lambda q, c: decode_attention_chunk(q, c, block_kv=bkv),
-            q, cache, iters=args.iters)
+            q, cache)
     elem = 1 if quant else 2
     bytes_ = 2 * b * hkv * s * d * elem + (2 * b * hkv * s * 4 if quant else 0)
     gbs = bytes_ / sec / 1e9

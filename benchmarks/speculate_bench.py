@@ -57,7 +57,7 @@ def main():
     from flashattn_tpu.models.config import LLAMA_1B, LLAMA_150M, TINY
     from flashattn_tpu.models.sampling import SamplingParams
     from flashattn_tpu.models.speculate import speculative_generate
-    from flashattn_tpu.utils.timing import measure_looped
+    from flashattn_tpu.utils.timing import measure_looped_slope
 
     if args.model == "1b":
         t_cfg, d_cfg = LLAMA_1B, LLAMA_150M
@@ -95,7 +95,7 @@ def main():
             return generate.decode_step(params, tok, pos, caches, cfg)[0]
 
         tok = jnp.asarray([11], jnp.int32)
-        return measure_looped(f, tok, iters=args.iters)
+        return measure_looped_slope(f, tok)
 
     def chunk_time(params, cfg, c):
         caches = generate.init_caches(cfg, 1, max_len)
@@ -107,7 +107,7 @@ def main():
                                        cfg)[0]
 
         piece = jnp.full((1, c), 11, jnp.int32)
-        return measure_looped(f, piece, iters=args.iters)
+        return measure_looped_slope(f, piece)
 
     t_target = step_time(t_params, t_cfg)
     t_draft = step_time(d_params, d_cfg)

@@ -546,15 +546,23 @@ class InferenceServer:
         return fn, (self.tokens, self.params, self.caches)
 
     def calibrate_device_step(self, iters: int = 100) -> float:
-        """Measure the PURE decode-step device time with an on-device scan
-        loop (one dispatch of `iters` chained steps — per-step relay/host
-        overhead excluded; see utils.timing.measure_looped). Stored and
-        reported by stats() as device_step_ms, giving the device-side
-        tokens/s bound the scheduler overhead is measured against."""
-        from flashattn_tpu.utils.timing import measure_looped
+        """Measure the PURE decode-step device time with the on-device
+        chain SLOPE (utils.timing.measure_looped_slope — a single chain
+        reading still smears the relay's fixed dispatch cost over the
+        iterations; the two-length slope cancels it). Stored and reported
+        by stats() as device_step_ms, giving the device-side tokens/s
+        bound the scheduler overhead is measured against. `iters` < 50
+        (CPU-interpret tests) keeps the cheap single-chain estimate."""
+        from flashattn_tpu.utils.timing import (
+            measure_looped,
+            measure_looped_slope,
+        )
 
         fn, args = self.device_step_fn()
-        self._device_step_s = measure_looped(fn, *args, iters=iters)
+        if iters < 50:
+            self._device_step_s = measure_looped(fn, *args, iters=iters)
+        else:
+            self._device_step_s = measure_looped_slope(fn, *args)
         return self._device_step_s
 
     def calibrate_admit(self, prompt_len: int, prefix_len: int,
@@ -577,7 +585,10 @@ class InferenceServer:
         Pure: touches no live pool/table state (all cache ops are
         functional; results are discarded)."""
         from flashattn_tpu.ops.paged import pages_to_dense, write_pages
-        from flashattn_tpu.utils.timing import measure_looped
+        from flashattn_tpu.utils.timing import (
+            measure_looped,
+            measure_looped_slope,
+        )
 
         assert self.paged, "prefix calibration requires the paged backend"
         assert 0 < prefix_len < prompt_len <= self.max_len
@@ -630,10 +641,17 @@ class InferenceServer:
                 deps.append(c.k_pages.reshape(-1)[0].astype(jnp.float32))
             return jnp.stack(deps)
 
-        t_rep = measure_looped(
-            replicated, jnp.zeros((1, padded_full), jnp.int32), iters=iters)
-        t_sh = measure_looped(
-            shared, jnp.zeros((1, padded_suf), jnp.int32), iters=iters)
+        if iters < 50:  # CPU-interpret tests: cheap single chain
+            t_rep = measure_looped(
+                replicated, jnp.zeros((1, padded_full), jnp.int32),
+                iters=iters)
+            t_sh = measure_looped(
+                shared, jnp.zeros((1, padded_suf), jnp.int32), iters=iters)
+        else:
+            t_rep = measure_looped_slope(
+                replicated, jnp.zeros((1, padded_full), jnp.int32))
+            t_sh = measure_looped_slope(
+                shared, jnp.zeros((1, padded_suf), jnp.int32))
         return {
             "prefill_ms_replicated": round(t_rep * 1e3, 3),
             "prefill_ms_shared": round(t_sh * 1e3, 3),

@@ -87,26 +87,10 @@ def measure_looped(
     iteration's output defeats loop-invariant hoisting) and times ONE
     dispatch of `iters` chained executions.
     """
-    import jax.numpy as jnp
-
     first, rest = args[0], args[1:]
-
-    @jax.jit
-    def run(first, rest):
-        # Only the perturbed first arg rides the scan carry; everything else
-        # is loop-invariant (a big carry forces per-iteration buffer copies).
-        def body(carry, _):
-            out = fn(carry, *rest)
-            leaf = jax.tree_util.tree_leaves(out)[0]
-            # Opaque ~zero derived from the output, folded into the input:
-            # defeats loop-invariant hoisting without changing values.
-            dep = (leaf.reshape(-1)[0] * 1e-30).astype(jnp.float32)
-            return (carry.astype(jnp.float32) + dep).astype(carry.dtype), None
-        carry, _ = jax.lax.scan(body, first, None, length=iters)
-        return carry
-
-    out = None
-    for _ in range(warmup):
+    run = _make_chain(fn, iters)
+    out = run(first, rest)
+    for _ in range(max(0, warmup - 1)):
         out = run(first, rest)
     _sync(out)
     t0 = time.perf_counter()
@@ -115,26 +99,88 @@ def measure_looped(
     return (time.perf_counter() - t0) / iters
 
 
+def measure_looped_slope(
+    fn: Callable, *args, est: float | None = None, repeats: int = 3,
+) -> float:
+    """Fixed-overhead-cancelling device time: slope between two on-device
+    chain lengths.
+
+    A single measure_looped() reading is ``real + F/iters`` where F is the
+    relay's fixed dispatch+readback cost — nominally ~40 ms but observed
+    spiking to 100+ ms, which at auto-scaled iters polluted whole sweeps
+    (round-5: identical configs read 0.157 ms and 0.291 ms an hour apart;
+    one arm read 12x slower than its neighbor). Timing chains of n1 and n2
+    iterations and taking ``(T2 - T1)/(n2 - n1)`` cancels F exactly — the
+    same two-point trick as measure(), applied to scan chains (which,
+    unlike back-to-back dispatches, can never be host-rate-bound). The
+    median of `repeats` slopes rides out per-dispatch spikes.
+
+    (n1, n2) come from a small FIXED set picked by a crude estimate — scan
+    lengths are trace-static, so every distinct length costs an XLA
+    compile; two shared lengths per regime keep that bounded.
+    """
+    if est is None:
+        est = measure(fn, *args, warmup=1, n1=2, n2=5)
+    # Pairs sized so the slope window holds >= ~0.3 s of pure kernel time.
+    if est < 1e-3:
+        n1, n2 = 800, 2400
+    elif est < 8e-3:
+        n1, n2 = 100, 300
+    else:
+        n1, n2 = 20, 60
+    first, rest = args[0], args[1:]
+    # One jitted chain per length (compiled once — a fresh wrapper per
+    # timing run would recompile through the remote-compile service).
+    run1, run2 = _make_chain(fn, n1), _make_chain(fn, n2)
+    _sync(run1(first, rest))
+    _sync(run2(first, rest))
+
+    def timed(run):
+        t0 = time.perf_counter()
+        _sync(run(first, rest))
+        return time.perf_counter() - t0
+
+    slopes = sorted(
+        (timed(run2) - timed(run1)) / (n2 - n1) for _ in range(repeats))
+    return max(slopes[len(slopes) // 2], 1e-9)
+
+
+def _make_chain(fn: Callable, iters: int):
+    """Jitted `iters`-long on-device chain of fn (measure_looped's scan:
+    a data dependency on the previous iteration's output defeats
+    loop-invariant hoisting; only the first arg rides the carry)."""
+    import jax.numpy as jnp
+
+    @jax.jit
+    def run(first, rest):
+        def body(carry, _):
+            out = fn(carry, *rest)
+            leaf = jax.tree_util.tree_leaves(out)[0]
+            dep = (leaf.reshape(-1)[0] * 1e-30).astype(jnp.float32)
+            return (carry.astype(jnp.float32) + dep).astype(carry.dtype), None
+
+        carry, _ = jax.lax.scan(body, first, None, length=iters)
+        return carry
+
+    return run
+
+
 def measure_auto(
     fn: Callable, *args, warmup: int = 3, repeat: int | None = None,
-    floor_s: float = 1.5e-3,
+    floor_s: float | None = None,
 ) -> float:
-    """measure(), re-measured with measure_looped() below the dispatch floor.
+    """Robust device seconds per call: measure() for a crude estimate, then
+    the fixed-overhead-cancelling chain slope (measure_looped_slope).
 
-    Slope timing assumes back-to-back dispatches pipeline on the device; when
-    the kernel is cheaper than the per-dispatch host cost (~300 us through
-    the relay) the loop is HOST-bound and the slope reports dispatch rate,
-    not device time — the round-3 short-S pathology (S=512 causal D=64 read
-    6.27 TF, non-monotonic vs S=1024). Anything measured under `floor_s` is
-    therefore suspect and re-measured with the on-device lax.scan loop,
-    whose per-iteration time has no host component. Costs one extra compile
-    per affected shape.
+    History: round 3 added a dispatch-floor re-measure (slope timing of
+    back-to-back dispatches is host-bound below ~300 us/call); round 5
+    found the single-chain re-measure itself polluted by relay fixed-cost
+    spikes and replaced it with the chain SLOPE for every regime. floor_s
+    is retained for call-site compatibility and ignored.
     """
-    sec = measure(fn, *args, warmup=warmup, repeat=repeat)
-    if sec >= floor_s:
-        return sec
-    iters = min(4000, max(200, int(0.3 / max(sec, 1e-7))))
-    return measure_looped(fn, *args, iters=iters)
+    del floor_s
+    est = measure(fn, *args, warmup=warmup, repeat=repeat)
+    return measure_looped_slope(fn, *args, est=est)
 
 
 def attention_flops(
