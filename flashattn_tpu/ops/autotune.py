@@ -154,7 +154,40 @@ def autotune(
     """
     from flashattn_tpu.ops.flash_bwd import flash_attention_backward
     from flashattn_tpu.ops.flash_fwd import flash_attention_forward
-    from flashattn_tpu.utils.timing import measure_auto
+    from flashattn_tpu.utils.timing import (
+        measure,
+        measure_looped,
+        measure_looped_slope,
+    )
+
+    # Trial economics (round 5): the chain SLOPE is the honest number but
+    # costs two extra XLA compiles per config; trials therefore RANK with
+    # min-of-2 single-chain readings (uniform +F/iters bias cancels in the
+    # comparison; min rides out relay spikes) and only the top finalists
+    # get slope-verified. The round-3 pathology (host-bound dispatch-rate
+    # rankings) cannot recur: chains are on-device by construction.
+    def _chain_iters(est: float) -> int:
+        return 800 if est < 1e-3 else (100 if est < 8e-3 else 20)
+
+    def _rank_then_verify(trials, time_rank, time_slope, finalists=3):
+        """trials: list of (key, callable-arg); time_rank/time_slope map
+        them to seconds. Returns (best_key, best_slope_seconds)."""
+        ranked = []
+        for key in trials:
+            try:
+                ranked.append((time_rank(key), key))
+            except Exception:
+                continue
+        ranked.sort(key=lambda kv: kv[0])
+        best_key, best_t = None, float("inf")
+        for _, key in ranked[:finalists]:
+            try:
+                t = time_slope(key)
+            except Exception:
+                continue
+            if t < best_t:
+                best_key, best_t = key, t
+        return best_key, best_t
 
     b, hq, s_q, d = q.shape
     _, hkv, s_k, _ = k.shape
@@ -198,11 +231,15 @@ def autotune(
     from flashattn_tpu.ops.flash_fwd_qmajor import qmajor_supported
 
     impls = ["wavefront"]
-    if qmajor_supported(
+    if hq != hkv and qmajor_supported(
         s_k, d, jnp.dtype(q.dtype).itemsize,
         segmented=False, windowed=False, softcap=False, alibi=False,
         dropout=False, dynamic_offset=False, mxu_l=d % 128 != 0,
     ):
+        # q-major lost every clean MHA measurement (v5e_qmajor_sweep.jsonl:
+        # 7-20% behind the wavefront at all S) — only GQA shapes, where its
+        # resident K/V amortizes across the q-heads of a kv group, still
+        # justify the trial compiles.
         impls.append("qmajor")
 
     fwd_trials = [
@@ -211,30 +248,36 @@ def autotune(
         for unroll in unroll_cands(bkv)
         for impl in impls
     ]
-    best_fwd, best_fwd_t = None, float("inf")
-    for bq, bkv, unroll, impl in fwd_trials:
+
+    def _fwd_call(key):
+        bq, bkv, unroll, impl = key
         bs = BlockSizes(block_q=bq, block_kv=bkv, unroll_kv=unroll,
                         fwd_impl=impl)
-        try:
-            # measure_auto: sub-floor trials re-measure with the
-            # on-device scan loop, so short-S sweeps can't crown a
-            # host-dispatch-bound "winner" (the round-3 pathology) and
-            # persist it to the local cache.
-            t = measure_auto(
-                lambda q, k, v: flash_attention_forward(
-                    q, k, v, is_causal=is_causal, scale=scale,
-                    block_sizes=bs
-                ),
-                q, k, v, warmup=2, repeat=10,
-            )
-        except Exception:
-            continue
+        return lambda q, k, v: flash_attention_forward(
+            q, k, v, is_causal=is_causal, scale=scale, block_sizes=bs)
+
+    fwd_est = [None]
+
+    def _fwd_rank(key):
+        fn = _fwd_call(key)
+        if fwd_est[0] is None:
+            fwd_est[0] = measure(fn, q, k, v, warmup=2, n1=2, n2=5)
+        t = measure_looped(fn, q, k, v, iters=_chain_iters(fwd_est[0]),
+                           repeats=2)
         if verbose:
+            bq, bkv, unroll, impl = key
             print(f"[autotune fwd] {impl} bq={bq} bkv={bkv} u={unroll}: "
-                  f"{t*1e3:.3f} ms", file=sys.stderr)
-        if t < best_fwd_t:
-            best_fwd, best_fwd_t = (bq, bkv, unroll, impl), t
+                  f"{t*1e3:.3f} ms (rank)", file=sys.stderr)
+        return t
+
+    best_fwd, best_fwd_t = _rank_then_verify(
+        fwd_trials, _fwd_rank,
+        lambda key: measure_looped_slope(_fwd_call(key), q, k, v,
+                                         est=fwd_est[0]))
     assert best_fwd is not None, "no forward config compiled"
+    if verbose:
+        print(f"[autotune fwd] winner {best_fwd}: {best_fwd_t*1e3:.3f} ms",
+              file=sys.stderr)
 
     result = {
         "block_q": best_fwd[0],
@@ -250,28 +293,32 @@ def autotune(
         )
         do = q  # any same-shaped array works for timing
 
-        def time_bwd(bs, impl):
-            return measure_auto(
-                lambda *a: flash_attention_backward(
-                    *a, is_causal=is_causal, scale=scale, block_sizes=bs,
-                    impl=impl,
-                ),
-                q, k, v, o, do, lse, warmup=2, repeat=10,
-            )
+        bwd_est = [None]
+
+        def bwd_call(bs, impl):
+            return lambda *a: flash_attention_backward(
+                *a, is_causal=is_causal, scale=scale, block_sizes=bs,
+                impl=impl)
 
         def sweep(configs, make_bs, impl, label):
-            best, best_t = None, float("inf")
-            for bq, bkv in clamp_dedupe(configs):
-                try:
-                    t = time_bwd(make_bs(bq, bkv), impl)
-                except Exception:
-                    continue
+            def rank(key):
+                fn = bwd_call(make_bs(*key), impl)
+                if bwd_est[0] is None:
+                    bwd_est[0] = measure(fn, q, k, v, o, do, lse,
+                                         warmup=2, n1=2, n2=5)
+                t = measure_looped(fn, q, k, v, o, do, lse,
+                                   iters=_chain_iters(bwd_est[0]), repeats=2)
                 if verbose:
-                    print(f"[autotune {label}] bq={bq} bkv={bkv}: "
-                          f"{t*1e3:.3f} ms", file=sys.stderr)
-                if t < best_t:
-                    best, best_t = (bq, bkv), t
-            return best, best_t
+                    print(f"[autotune {label}] bq={key[0]} bkv={key[1]}: "
+                          f"{t*1e3:.3f} ms (rank)", file=sys.stderr)
+                return t
+
+            return _rank_then_verify(
+                clamp_dedupe(configs), rank,
+                lambda key: measure_looped_slope(
+                    bwd_call(make_bs(*key), impl), q, k, v, o, do, lse,
+                    est=bwd_est[0]),
+                finalists=2)
 
         # The dQ and dKV kernels have different pressure profiles (reference
         # tunes its three kernels independently, :148-162 vs :275-289):

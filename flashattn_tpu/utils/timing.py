@@ -77,7 +77,8 @@ def measure(
 
 
 def measure_looped(
-    fn: Callable, *args, iters: int = 200, warmup: int = 1
+    fn: Callable, *args, iters: int = 200, warmup: int = 1,
+    repeats: int = 1,
 ) -> float:
     """Seconds per call for SMALL kernels (< ~1 ms device time).
 
@@ -85,7 +86,11 @@ def measure_looped(
     cheaper than that are rate-limited by the host in a dispatch loop. This
     wraps fn in an on-device lax.scan (a data dependency on the previous
     iteration's output defeats loop-invariant hoisting) and times ONE
-    dispatch of `iters` chained executions.
+    dispatch of `iters` chained executions — the chain is compiled once
+    even with repeats > 1 (min taken: relay fixed-cost spikes only ADD
+    time). NOTE the reading is still ``real + F/iters`` (F = fixed
+    dispatch+readback cost, ~40 ms nominal): good for cheap RANKING with a
+    uniform bias; use measure_looped_slope for absolute numbers.
     """
     first, rest = args[0], args[1:]
     run = _make_chain(fn, iters)
@@ -93,10 +98,13 @@ def measure_looped(
     for _ in range(max(0, warmup - 1)):
         out = run(first, rest)
     _sync(out)
-    t0 = time.perf_counter()
-    out = run(first, rest)
-    _sync(out)
-    return (time.perf_counter() - t0) / iters
+    best = float("inf")
+    for _ in range(max(1, repeats)):
+        t0 = time.perf_counter()
+        out = run(first, rest)
+        _sync(out)
+        best = min(best, (time.perf_counter() - t0) / iters)
+    return best
 
 
 def measure_looped_slope(
