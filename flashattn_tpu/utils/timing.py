@@ -148,9 +148,14 @@ def measure_looped_slope(
         _sync(run(first, rest))
         return time.perf_counter() - t0
 
-    slopes = sorted(
-        (timed(run2) - timed(run1)) / (n2 - n1) for _ in range(repeats))
-    return max(slopes[len(slopes) // 2], 1e-9)
+    # Slope of MINS, not median of slopes: relay stalls only ever ADD time
+    # and can cluster for minutes (observed: two same-geometry arms 20 %
+    # apart in one process), so take each chain length's best-of-N — the
+    # cleanest observation of a monotone-noise quantity — and slope those.
+    # (A min over SLOPES would be wrong: a stalled T1 deflates its slope.)
+    t1 = min(timed(run1) for _ in range(repeats))
+    t2 = min(timed(run2) for _ in range(repeats))
+    return max((t2 - t1) / (n2 - n1), 1e-9)
 
 
 def _make_chain(fn: Callable, iters: int):
