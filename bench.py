@@ -17,7 +17,11 @@ import jax.numpy as jnp
 sys.path.insert(0, ".")
 
 from flashattn_tpu import flash_attention  # noqa: E402
-from flashattn_tpu.utils.timing import attention_flops, measure, tflops  # noqa: E402
+from flashattn_tpu.utils.timing import (  # noqa: E402
+    attention_flops,
+    measure_auto,
+    tflops,
+)
 
 REFERENCE_TFLOPS = 33.5  # fwd+bwd D=128 causal @S=16384, RTX 5060 Ti (BASELINE.md)
 
@@ -37,7 +41,10 @@ def main():
         )
         return jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
 
-    sec = measure(fwd_bwd, q, k, v, warmup=5, repeat=20)
+    # measure_auto = fixed-overhead-cancelling chain slope (round 5): the
+    # plain dispatch slope read this same 59 ms program with occasional
+    # multi-ms relay-stall pollution.
+    sec = measure_auto(fwd_bwd, q, k, v, warmup=5, repeat=20)
     fl = attention_flops(b, h, s, s, d, mode="fwd_bwd", is_causal=True)
     tf = tflops(fl, sec)
     print(

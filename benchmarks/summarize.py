@@ -57,6 +57,90 @@ def attention_table(recs, s_plateau: int) -> list[str]:
     return lines
 
 
+def attention_sweep_table(recs) -> list[str]:
+    """The shallow-S causal D=128 forward sweep — the one region the
+    round-4 matrix lost to jax_flash; reported at every S like the
+    reference's full curves (Performance_Comparison.py:146-166)."""
+    cells = defaultdict(dict)  # S -> provider -> tflops
+    for r in recs:
+        if (r.get("mode") == "fwd" and r.get("D") == 128
+                and r.get("causal") and r.get("tflops") is not None
+                and r.get("provider") in ("flash", "jax_flash")
+                and r["_file"] == "v5e_d128_causal.jsonl"):
+            cells[r["S"]][r["provider"]] = r["tflops"]
+    if not cells:
+        return []
+    lines = [
+        "## Causal forward sweep (TFLOPS, D=128 B=4 H=8 bf16)",
+        "",
+        "| S | flash | jax_flash |",
+        "|---|---|---|",
+    ]
+    for s in sorted(cells):
+        row = cells[s]
+        f, j = row.get("flash"), row.get("jax_flash")
+        fs = f"**{f}**" if f is not None and f >= (j or 0) else str(f)
+        lines.append(f"| {s} | {fs} | {j} |")
+    lines.append("")
+    return lines
+
+
+def speculate_tables(recs) -> list[str]:
+    lines = []
+    comp = [r for r in recs if r.get("bench") == "spec_components"]
+    if comp:
+        lines += [
+            "## Speculative decoding (device-time components, 1B target + "
+            "150M draft)", "",
+            "| k | target step ms | draft step ms | verify chunk ms | "
+            "tok/s @α=0 | @α=0.5 | @α=0.8 | @α=1.0 | plain tok/s | "
+            "breakeven α |",
+            "|---|---|---|---|---|---|---|---|---|---|",
+        ]
+        for r in sorted(comp, key=lambda r: r["k"]):
+            lines.append(
+                f"| {r['k']} | {r['t_target_step_ms']} | "
+                f"{r['t_draft_step_ms']} | {r['t_verify_chunk_ms']} | "
+                f"{r['spec_tok_s_alpha0']} | {r['spec_tok_s_alpha50']} | "
+                f"{r['spec_tok_s_alpha80']} | {r['spec_tok_s_alpha100']} | "
+                f"{r['plain_decode_tok_s']} | {r['breakeven_alpha']} |")
+        lines.append("")
+    e2e = [r for r in recs if r.get("bench") == "spec_e2e"]
+    if e2e:
+        lines += [
+            "## Speculative decoding (end-to-end runs)", "",
+            "| draft | k | mode | accept rate | greedy exact | "
+            "wall tok/s (relay-bound) |",
+            "|---|---|---|---|---|---|",
+        ]
+        for r in sorted(e2e, key=lambda r: (r["draft"], r["k"], r["mode"])):
+            lines.append(
+                f"| {r['draft']} | {r['k']} | {r['mode']} | "
+                f"{r['accept_rate']} | {r.get('greedy_exact', '—')} | "
+                f"{r['wall_tok_s_relay_bound']} |")
+        lines.append("")
+    return lines
+
+
+def decode_chunk_table(recs) -> list[str]:
+    rows = [r for r in recs if r.get("kind") == "decode_chunk_ab"
+            and "us" in r]
+    if not rows:
+        return []
+    lines = [
+        "## Short-context quantized decode A/B (S=2048)", "",
+        "| arm | quant | T | µs/stream | µs/token | GB/s | % HBM peak |",
+        "|---|---|---|---|---|---|---|",
+    ]
+    for r in sorted(rows, key=lambda r: (r["quant"], r["label"])):
+        lines.append(
+            f"| {r['label']} | {r['quant']} | {r['t']} | {r['us']} | "
+            f"{r['us_per_token']} | {r['hbm_gbps']} | "
+            f"{round(100 * r['hbm_frac'], 1)}% |")
+    lines.append("")
+    return lines
+
+
 def decode_table(recs) -> list[str]:
     # Canonical file only: A/B arm files (e.g. v5e_decode_hfuse*.jsonl)
     # carry the same bench= tag, and splicing all of them in would show
@@ -84,7 +168,10 @@ def misc_tables(recs) -> list[str]:
     lines = []
     for bench, title in (("serve_device", "Serving (device-time)"),
                          ("serve", "Serving (drain throughput)"),
-                         ("serve_prefix", "Serving (shared-prefix cache)"),
+                         ("serve_prefix", "Serving (shared-prefix cache, "
+                                          "wall — relay-noise)"),
+                         ("serve_prefix_device",
+                          "Serving (shared-prefix admission, device-time)"),
                          ("train_step", "Training (1 chip)"),):
         # superseded=true marks rows kept only as provenance for an older
         # code revision (e.g. the round-2 serve numbers measured before the
@@ -114,8 +201,11 @@ def render(results_dir: pathlib.Path | None = None,
              "Regenerate: `python benchmarks/summarize.py` after a sweep; "
              "record provenance is the JSONLs in `benchmarks/results/`.", ""]
     lines += attention_table(recs, plateau)
+    lines += attention_sweep_table(recs)
     lines += decode_table(recs)
+    lines += decode_chunk_table(recs)
     lines += misc_tables(recs)
+    lines += speculate_tables(recs)
     return "\n".join(lines) + "\n"
 
 
