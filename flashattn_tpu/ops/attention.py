@@ -26,12 +26,16 @@ from flashattn_tpu.ops.flash_bwd import flash_attention_backward
 def _flash_attention(q, k, v, seed, slopes, is_causal, scale, block_sizes,
                      interpret, dropout_rate, window, logit_softcap, alibi,
                      pos_offset):
+    # PRIMAL (no grad taken — inference/serving): the LSE output stream is
+    # compiled out of the kernel entirely (need_lse=False), matching
+    # jax_flash's save_residuals=False forward. Under jax.grad the _fwd
+    # rule below runs instead and keeps LSE as a residual.
     o, _ = flash_attention_forward(
         q, k, v, is_causal=is_causal, scale=scale,
         block_sizes=block_sizes, interpret=interpret,
         dropout_rate=dropout_rate, dropout_seed=seed, window=window,
         logit_softcap=logit_softcap, alibi=alibi, alibi_slopes=slopes,
-        pos_offset=pos_offset,
+        pos_offset=pos_offset, need_lse=False,
     )
     return o
 

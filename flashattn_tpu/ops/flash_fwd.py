@@ -158,6 +158,7 @@ def _fwd_kernel(
     unroll: int = 1,
     single_step: bool = False,
     q_scale: float = 0.0,
+    need_lse: bool = True,
 ):
     # dynoff (1,) SMEM int32 (dynamic_offset only): TRACED q/k alignment —
     # zigzag ring hops have device-dependent shard offsets, so the window's
@@ -176,10 +177,17 @@ def _fwd_kernel(
     if alibi:
         slopes_ref, *refs = refs  # SMEM (Hq,) f32 per-head ALiBi slopes
     if segmented:
-        (q_ref, k_ref, v_ref, segq_ref, segk_ref, o_ref, lse_ref,
-         *scratch) = refs
+        (q_ref, k_ref, v_ref, segq_ref, segk_ref, o_ref, *rest) = refs
     else:
-        (q_ref, k_ref, v_ref, o_ref, lse_ref, *scratch) = refs
+        (q_ref, k_ref, v_ref, o_ref, *rest) = refs
+    if need_lse:
+        lse_ref, *scratch = rest
+    else:
+        # Pure-forward calls (inference/serving: the custom_vjp PRIMAL, no
+        # grad taken) skip the LSE output entirely — one less output
+        # stream in the Mosaic pipeline + no finalize log work, matching
+        # jax_flash's save_residuals=False forward.
+        lse_ref, scratch = None, rest
     if single_step:
         # Single-step rows (S_k fits one kv fetch): every grid step is both
         # first AND last, so the running stats never cross steps — they
@@ -389,6 +397,8 @@ def _fwd_kernel(
     def _write_out(m, l, acc):
         l_safe = jnp.where(l == 0.0, 1.0, l)
         o_ref[0, 0] = (acc / l_safe).astype(o_ref.dtype)
+        if not need_lse:
+            return
         # LSE in natural-log units: ln Σ exp(s·scale) = (m + log2 l)·ln2.
         # Stored [.., S, 1] so row stats stay sublane-aligned in VMEM.
         lse = (m + jnp.log2(l_safe)) * LN2
@@ -424,7 +434,7 @@ def _fwd_kernel(
     jax.jit,
     static_argnames=("is_causal", "scale", "block_sizes", "interpret",
                      "debug", "dropout_rate", "window", "logit_softcap",
-                     "alibi", "pos_offset"),
+                     "alibi", "pos_offset", "need_lse"),
 )
 def flash_attention_forward(
     q: jnp.ndarray,
@@ -444,6 +454,7 @@ def flash_attention_forward(
     alibi_slopes: jnp.ndarray | None = None,  # (Hq,) f32; None = standard
     pos_offset: int | None = None,
     dyn_pos_offset: jnp.ndarray | None = None,
+    need_lse: bool = True,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Fused flash-attention forward.
 
@@ -475,7 +486,10 @@ def flash_attention_forward(
 
     Returns:
       (O [B, Hq, S_q, D] in q.dtype, LSE [B, Hq, S_q] fp32, natural log;
-       rows with no visible keys get O = 0, LSE = -inf).
+       rows with no visible keys get O = 0, LSE = -inf). With
+      need_lse=False (pure-forward/inference calls, the custom_vjp PRIMAL)
+      the LSE output stream is compiled out and None is returned in its
+      place.
     """
     b, hq, s_q, d = q.shape
     _, hkv, s_k, dk = k.shape
@@ -524,7 +538,8 @@ def flash_attention_forward(
         impl = qmajor_auto(s_q, s_k, d, is_causal)
     if impl == "qmajor" and _qm_ok:
         return flash_attention_forward_qmajor(
-            q, k, v, is_causal, scale, block_sizes, interpret, debug, _off)
+            q, k, v, is_causal, scale, block_sizes, interpret, debug, _off,
+            need_lse=need_lse)
 
     # Q carries scale·log2(e) so S = Q̃·Kᵀ lands directly in the log2
     # domain, saving a full VPU pass over every S² tile in the hot loop.
@@ -630,6 +645,7 @@ def flash_attention_forward(
         unroll=unroll,
         single_step=single_step,
         q_scale=(pre if scale_in_kernel else 0.0),
+        need_lse=need_lse,
         needs_mask=needs_mask or windowed,
         guard_zero_rows=guard_zero_rows,
         segmented=segmented,
@@ -709,10 +725,10 @@ def flash_attention_forward(
         num_scalar_prefetch=len(prefetch),
         grid=(b, hq, num_steps),
         in_specs=in_specs,
-        out_specs=[
-            pl.BlockSpec((1, 1, bq, d), q_index),
-            pl.BlockSpec((1, 1, bq, 1), lse_index),
-        ],
+        out_specs=(
+            [pl.BlockSpec((1, 1, bq, d), q_index)]
+            + ([pl.BlockSpec((1, 1, bq, 1), lse_index)] if need_lse else [])
+        ),
         scratch_shapes=(
             [] if single_step else
             [pltpu.VMEM((bq, 128), jnp.float32),
@@ -723,13 +739,14 @@ def flash_attention_forward(
              pltpu.VMEM((bq, d), jnp.float32)]
         ),
     )
-    o, lse = pl.pallas_call(
+    outs = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=[
-            jax.ShapeDtypeStruct((b, hq, s_q_p, d), q.dtype),
-            jax.ShapeDtypeStruct((b, hq, s_q_p, 1), jnp.float32),
-        ],
+        out_shape=(
+            [jax.ShapeDtypeStruct((b, hq, s_q_p, d), q.dtype)]
+            + ([jax.ShapeDtypeStruct((b, hq, s_q_p, 1), jnp.float32)]
+               if need_lse else [])
+        ),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
             vmem_limit_bytes=100 * 1024 * 1024,
@@ -738,8 +755,10 @@ def flash_attention_forward(
         debug=debug,
     )(*prefetch, *inputs)
 
-    lse = lse[..., 0]
+    o = outs[0]
+    lse = outs[1][..., 0] if need_lse else None
     if s_q_p != s_q:
         o = o[:, :, :s_q, :]
-        lse = lse[:, :, :s_q]
+        if need_lse:
+            lse = lse[:, :, :s_q]
     return o, lse

@@ -139,9 +139,7 @@ def _qmajor_kernel(
     q_ref,  # (1, 1, bq, D) raw (scaled in-kernel by q_scale)
     k_ref,  # (1, 1, S_k_pad, D) whole sequence, VMEM-resident
     v_ref,  # (1, 1, S_k_pad, D_ext) whole sequence (+ ones col if mxu_l)
-    o_ref,  # (1, 1, bq, D)
-    lse_ref,  # (1, 1, bq, 1) f32
-    *,
+    *out_refs,  # o (1, 1, bq, D) [+ lse (1, 1, bq, 1) f32 if need_lse]
     block_q: int,
     block_kv: int,
     causal_offset: int,
@@ -151,6 +149,7 @@ def _qmajor_kernel(
     mxu_l: bool,
     unroll: int,
     q_scale: float,
+    need_lse: bool,
 ):
     i = pl.program_id(2)
     n_full = bounds_ref[0, i]
@@ -224,15 +223,17 @@ def _qmajor_kernel(
     m, l, acc = jax.lax.fori_loop(
         n_full, n_tot, functools.partial(tile_update, masked=True), carry)
 
+    o_ref = out_refs[0]
     d_out = o_ref.shape[-1]
     if mxu_l:
         l = acc[:, d_out:d_out + 1]
     l_safe = jnp.where(l == 0.0, 1.0, l)
     o_ref[0, 0] = (acc[:, :d_out] / l_safe).astype(o_ref.dtype)
-    lse = (m + jnp.log2(l_safe)) * LN2
-    # n_tot == 0 blocks and guarded zero-key rows both surface as l == 0:
-    # convention O = 0 (acc never accumulated), LSE = -inf.
-    lse_ref[0, 0] = jnp.where(l == 0.0, -jnp.inf, lse)
+    if need_lse:
+        lse = (m + jnp.log2(l_safe)) * LN2
+        # n_tot == 0 blocks and guarded zero-key rows both surface as
+        # l == 0: convention O = 0 (acc never accumulated), LSE = -inf.
+        out_refs[1][0, 0] = jnp.where(l == 0.0, -jnp.inf, lse)
 
 
 def flash_attention_forward_qmajor(
@@ -245,6 +246,7 @@ def flash_attention_forward_qmajor(
     interpret: bool | None,
     debug: bool,
     causal_offset: int,
+    need_lse: bool = True,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Q-major launcher. Internal: called from
     ``flash_fwd.flash_attention_forward``'s impl dispatch (which owns the
@@ -303,6 +305,7 @@ def flash_attention_forward_qmajor(
         mxu_l=mxu_l,
         unroll=unroll,
         q_scale=(scale * LOG2E if sik else 0.0),
+        need_lse=need_lse,
     )
 
     def q_index(b_i, h_i, i, *_):
@@ -321,19 +324,20 @@ def flash_attention_forward_qmajor(
             pl.BlockSpec((1, 1, s_k_p, d), kv_index),
             pl.BlockSpec((1, 1, s_k_p, d_ext), kv_index),
         ],
-        out_specs=[
-            pl.BlockSpec((1, 1, bq, d), q_index),
-            pl.BlockSpec((1, 1, bq, 1), q_index),
-        ],
+        out_specs=(
+            [pl.BlockSpec((1, 1, bq, d), q_index)]
+            + ([pl.BlockSpec((1, 1, bq, 1), q_index)] if need_lse else [])
+        ),
         scratch_shapes=[],
     )
-    o, lse = pl.pallas_call(
+    outs = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=[
-            jax.ShapeDtypeStruct((b, hq, s_q_p, d), q.dtype),
-            jax.ShapeDtypeStruct((b, hq, s_q_p, 1), jnp.float32),
-        ],
+        out_shape=(
+            [jax.ShapeDtypeStruct((b, hq, s_q_p, d), q.dtype)]
+            + ([jax.ShapeDtypeStruct((b, hq, s_q_p, 1), jnp.float32)]
+               if need_lse else [])
+        ),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
             vmem_limit_bytes=100 * 1024 * 1024,
@@ -342,8 +346,10 @@ def flash_attention_forward_qmajor(
         debug=debug,
     )(jnp.asarray(bounds), q_p, k_p, v_p)
 
-    lse = lse[..., 0]
+    o = outs[0]
+    lse = outs[1][..., 0] if need_lse else None
     if s_q_p != s_q:
         o = o[:, :, :s_q, :]
-        lse = lse[:, :, :s_q]
+        if need_lse:
+            lse = lse[:, :, :s_q]
     return o, lse

@@ -99,3 +99,19 @@ def test_wavefront_smem_footprint_long_sequence():
     padded_lanes = -(-meta.shape[0] // 128) * 128  # step axis padded last
     assert meta.shape[1] * padded_lanes * 4 < 512 * 1024, (
         meta.shape, padded_lanes)
+
+
+@pytest.mark.parametrize("is_causal", [False, True])
+def test_fwd_need_lse_false(is_causal):
+    """need_lse=False (the custom_vjp primal's inference path) compiles the
+    LSE output stream out of the kernel; O must be identical to the
+    need_lse=True run."""
+    q, k, v = make_qkv(1, 2, 2, 300, 300, 64)
+    o_full, _ = flash_attention_forward(q, k, v, is_causal=is_causal,
+                                        block_sizes=BS)
+    o_min, lse = flash_attention_forward(q, k, v, is_causal=is_causal,
+                                         block_sizes=BS, need_lse=False)
+    assert lse is None
+    import numpy as np
+
+    np.testing.assert_array_equal(np.asarray(o_full), np.asarray(o_min))
