@@ -66,8 +66,8 @@ def run(args) -> None:
                 ("wf_sik0", replace(base, scale_in_kernel=False)),
                 ("wf_sik1", replace(base, scale_in_kernel=True)),
             ]
-        impl = "wavefront" if args.wf_tiles else "qmajor"
-        tag = "wf" if args.wf_tiles else "qm"
+        impl = args.impl if not args.wf_tiles else "wavefront"
+        tag = {"wavefront": "wf", "qmajor": "qm", "grid4": "g4"}[impl]
         for bq, bkv in (() if args.sik_ab else tiles):
             if bq > s or bkv > s:
                 continue
@@ -113,6 +113,9 @@ def main():
     ap.add_argument("--b", type=int, default=4)
     ap.add_argument("--h", type=int, default=8)
     ap.add_argument("--causal", action="store_true")
+    ap.add_argument("--impl", default="qmajor",
+                    choices=["qmajor", "wavefront", "grid4"],
+                    help="grid shape for the tile arms")
     ap.add_argument("--wf-tiles", action="store_true",
                     help="sweep the tile list on the WAVEFRONT grid (the "
                          "shipped autotune candidates never went below "
