@@ -30,8 +30,8 @@ def run(args) -> None:
     import jax
     import jax.numpy as jnp
 
+    from flashattn_tpu.ops.attention import flash_attention
     from flashattn_tpu.ops.common import BlockSizes
-    from flashattn_tpu.ops.flash_fwd import flash_attention_forward
     from flashattn_tpu.utils.roofline import detect_chip, mxu_depth_frac
     from flashattn_tpu.utils.timing import (
         attention_flops,
@@ -85,8 +85,11 @@ def run(args) -> None:
                 # arm: the relay's slope timing showed multi-ms stall
                 # pollution on 0.5-2 ms kernels in the first round-5 sweep
                 # (3-12 ms readings, non-monotone across arms).
+                # Public primal: pure-forward path (need_lse=False),
+                # matching the matrix's flash rows and jax_flash's
+                # save_residuals=False forward.
                 sec = measure_auto(
-                    lambda q, k, v: flash_attention_forward(
+                    lambda q, k, v: flash_attention(
                         q, k, v, is_causal=args.causal, block_sizes=bs),
                     q, k, v, warmup=3, repeat=10, floor_s=0.05)
                 rec = {"ms": round(sec * 1e3, 4),

@@ -85,6 +85,11 @@ class BlockSizes:
     # exactly when rows are shallow. None = auto (per-shape heuristic in
     # the launcher), True/False = forced (autotune-sweepable, jit-static).
     scale_in_kernel: bool | None = None
+    # Running-stat scratch layout: False = single-lane [:, :1] slice
+    # updates, True = full-lane (bq, 128) lane-replicated stats (every
+    # m/l read+store a full-register op — sub-lane slice stores lower to
+    # masked VPU ops; jax_flash's layout). None = measured default.
+    stats_lanes: bool | None = None
 
     def clamp(self, s_q: int, s_k: int) -> "BlockSizes":
         """Shrink tiles to the (padded) problem size."""
@@ -104,6 +109,7 @@ class BlockSizes:
             unroll_kv=self.unroll_kv,
             fwd_impl=self.fwd_impl,
             scale_in_kernel=self.scale_in_kernel,
+            stats_lanes=self.stats_lanes,
         )
 
 

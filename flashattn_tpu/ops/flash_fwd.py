@@ -159,6 +159,7 @@ def _fwd_kernel(
     single_step: bool = False,
     q_scale: float = 0.0,
     need_lse: bool = True,
+    stats_lanes: bool = False,
 ):
     # dynoff (1,) SMEM int32 (dynamic_offset only): TRACED q/k alignment —
     # zigzag ring hops have device-dependent shard offsets, so the window's
@@ -221,10 +222,20 @@ def _fwd_kernel(
             # first step writes it through, predicated below, which also
             # skips that step's acc read + alpha multiply); long-row mode
             # zeros it here instead.
-            m_scratch[:, :1] = jnp.full((block_q, 1), MASK_VALUE,
-                                        jnp.float32)
+            if stats_lanes:
+                # Full-lane stats (see grid4 docstring): lane-replicated
+                # (bq, 128) m/l, full-register loads/stores per step —
+                # sub-lane [:, :1] slice updates lower to masked VPU ops.
+                m_scratch[...] = jnp.full(m_scratch.shape, MASK_VALUE,
+                                          jnp.float32)
+            else:
+                m_scratch[:, :1] = jnp.full((block_q, 1), MASK_VALUE,
+                                            jnp.float32)
             if not mxu_l:
-                l_scratch[:, :1] = jnp.zeros((block_q, 1), jnp.float32)
+                if stats_lanes:
+                    l_scratch[...] = jnp.zeros(l_scratch.shape, jnp.float32)
+                else:
+                    l_scratch[:, :1] = jnp.zeros((block_q, 1), jnp.float32)
             if not acc_writethrough:
                 # Long-row mode: zero acc once per row so the step body's
                 # acc update is a single UNCONDITIONAL read-modify-write —
@@ -323,10 +334,14 @@ def _fwd_kernel(
             m_new = m_cur if m_prev is None else jnp.maximum(m_prev, m_cur)
             alpha = None if m_prev is None else jnp.exp2(m_prev - m_new)
         else:
-            m_prev = m_scratch[:, :1]  # (block_q, 1)
+            m_prev = (m_scratch[...] if stats_lanes
+                      else m_scratch[:, :1])  # (bq, 128) or (bq, 1)
             m_new = jnp.maximum(m_prev, m_cur)
             alpha = jnp.exp2(m_prev - m_new)
-        p = jnp.exp2(s - m_new)  # (block_q, bkv_sub) f32
+        if not single_step and stats_lanes and bkv_sub != 128:
+            p = jnp.exp2(s - jnp.tile(m_new, (1, bkv_sub // 128)))
+        else:
+            p = jnp.exp2(s - m_new)  # (block_q, bkv_sub) f32
         if segmented or windowed:
             # Rows with no visible keys in this tile (segment absent, or the
             # sliding window starts in a later block) would get
@@ -348,11 +363,17 @@ def _fwd_kernel(
             run_m = m_new
         else:
             if not mxu_l:
-                l_new = alpha * l_scratch[:, :1] + jnp.sum(p, axis=1,
-                                                           keepdims=True)
-                l_scratch[:, :1] = l_new
-
-            m_scratch[:, :1] = m_new
+                if stats_lanes:
+                    l_scratch[...] = (alpha * l_scratch[...]
+                                      + jnp.sum(p, axis=1, keepdims=True))
+                else:
+                    l_scratch[:, :1] = (
+                        alpha * l_scratch[:, :1]
+                        + jnp.sum(p, axis=1, keepdims=True))
+            if stats_lanes:
+                m_scratch[...] = m_new
+            else:
+                m_scratch[:, :1] = m_new
 
         if dropout_rate > 0.0:
             # Dropout on the UNnormalized P feeding the PV dot only: l keeps
@@ -380,19 +401,28 @@ def _fwd_kernel(
 
         if single_step:
             run_acc = pv if run_acc is None else run_acc * alpha + pv
-        elif acc_writethrough and u == 0:
-            # Short-row mode: the row's first sub-tile writes through (skips
-            # that step's acc read + alpha multiply AND the per-row zeros
-            # pass); later sub-tiles always read-modify-write.
-            @pl.when(first)
-            def _acc_write_through():
-                acc_scratch[...] = pv
-
-            @pl.when(jnp.logical_not(first))
-            def _acc_rmw():
-                acc_scratch[...] = acc_scratch[...] * alpha + pv
         else:
-            acc_scratch[...] = acc_scratch[...] * alpha + pv
+            if stats_lanes:
+                # acc width is always a 128 multiple (d%128==0, or mxu_l
+                # pads to d_ext): tile the lane-replicated alpha across it.
+                w = acc_scratch.shape[-1]
+                alpha_d = alpha if w == 128 else jnp.tile(alpha,
+                                                          (1, w // 128))
+            else:
+                alpha_d = alpha
+            if acc_writethrough and u == 0:
+                # Short-row mode: the row's first sub-tile writes through
+                # (skips that step's acc read + alpha multiply AND the
+                # per-row zeros pass); later sub-tiles always RMW.
+                @pl.when(first)
+                def _acc_write_through():
+                    acc_scratch[...] = pv
+
+                @pl.when(jnp.logical_not(first))
+                def _acc_rmw():
+                    acc_scratch[...] = acc_scratch[...] * alpha_d + pv
+            else:
+                acc_scratch[...] = acc_scratch[...] * alpha_d + pv
 
     def _write_out(m, l, acc):
         l_safe = jnp.where(l == 0.0, 1.0, l)
@@ -652,10 +682,23 @@ def flash_attention_forward(
     else:
         q_p = pad_to_block((q * pre).astype(q.dtype), 2, bq)
 
+    # Full-lane stats layout (see BlockSizes.stats_lanes): needs 128-lane
+    # bands; single_step carries stats in values instead.
+    env_sl = os.environ.get("FLASHATTN_STATS_LANES")
+    if env_sl is not None:
+        stats_lanes = env_sl == "1"
+    elif block_sizes.stats_lanes is not None:
+        stats_lanes = block_sizes.stats_lanes
+    else:
+        stats_lanes = False
+    if single_step or (bkv // unroll) % 128 != 0:
+        stats_lanes = False
+
     kernel = functools.partial(
         _fwd_kernel,
         unroll=unroll,
         single_step=single_step,
+        stats_lanes=stats_lanes,
         q_scale=(pre if scale_in_kernel else 0.0),
         need_lse=need_lse,
         needs_mask=needs_mask or windowed,

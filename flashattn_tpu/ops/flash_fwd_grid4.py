@@ -123,9 +123,15 @@ def _grid4_kernel(
 
     @pl.when(j == 0)
     def _init():
-        m_scratch[:, :1] = jnp.full((block_q, 1), MASK_VALUE, jnp.float32)
+        # FULL-LANE stats (the jax_flash trick this kernel adopts): m and l
+        # live lane-replicated as (bq, 128) and every read/store is a
+        # full-register op. Sub-lane [:, :1] slice updates — the wavefront
+        # kernel's layout — lower to masked VPU stores that cost real time
+        # per step (grid-shape A/Bs could not close the gap until the stat
+        # layout changed).
+        m_scratch[...] = jnp.full(m_scratch.shape, MASK_VALUE, jnp.float32)
         if not mxu_l:
-            l_scratch[:, :1] = jnp.zeros((block_q, 1), jnp.float32)
+            l_scratch[...] = jnp.zeros(l_scratch.shape, jnp.float32)
         if not acc_writethrough:
             acc_scratch[...] = jnp.zeros(acc_scratch.shape, jnp.float32)
 
@@ -155,25 +161,29 @@ def _grid4_kernel(
                 cols1 = jax.lax.broadcasted_iota(jnp.int32, (1, bsub), 1)
                 mask = cols1 <= limit
                 s = jnp.where(mask, s, MASK_VALUE)
-            m_prev = m_scratch[:, :1]
+            m_prev = m_scratch[...]  # (bq, 128) lane-replicated
             m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
-            alpha = jnp.exp2(m_prev - m_new)
-            p = jnp.exp2(s - m_new)
+            alpha = jnp.exp2(m_prev - m_new)  # (bq, 128)
+            p = jnp.exp2(s - jnp.tile(m_new, (1, bsub // 128))
+                         if bsub != 128 else s - m_new)
             if masked and guard_zero_rows:
                 # Rows with no visible key at all: exp2(MASK-MASK)=1 would
                 # pollute l; zero by the mask (such rows are all-masked in
                 # every tile they appear in).
                 p = jnp.where(mask, p, 0.0)
             if not mxu_l:
-                l_scratch[:, :1] = (alpha * l_scratch[:, :1]
-                                    + jnp.sum(p, axis=1, keepdims=True))
-            m_scratch[:, :1] = m_new
+                l_scratch[...] = (alpha * l_scratch[...]
+                                  + jnp.sum(p, axis=1, keepdims=True))
+            m_scratch[...] = m_new
             v = v_ref[0, 0, u * bsub:(u + 1) * bsub, :]
             pv = jax.lax.dot_general(
                 p.astype(v.dtype), v,
                 dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
+            d_acc = acc_scratch.shape[-1]
+            alpha_d = (alpha[:, :d_acc] if d_acc <= 128
+                       else jnp.tile(alpha, (1, d_acc // 128)))
             if acc_writethrough and u == 0:
                 @pl.when(j == 0)
                 def _wt():
@@ -181,22 +191,20 @@ def _grid4_kernel(
 
                 @pl.when(j > 0)
                 def _rmw():
-                    acc_scratch[...] = acc_scratch[...] * alpha + pv
+                    acc_scratch[...] = acc_scratch[...] * alpha_d + pv
             else:
-                acc_scratch[...] = acc_scratch[...] * alpha + pv
+                acc_scratch[...] = acc_scratch[...] * alpha_d + pv
 
-    # Two predicated bodies — exactly one executes per live program; dead
-    # programs (past the diagonal) run neither.
+    # ONE predicated body (jax_flash's shape): causal programs mask every
+    # live tile instead of branching full/partial — the dual pl.when pair
+    # doubled the body and measurably inhibited Mosaic's cross-step
+    # pipelining, costing more than the ~2 VPU ops/element the mask adds.
     if is_causal or ragged:
-        @pl.when(live & full)
-        def _update_full():
-            update(masked=False)
-
-        @pl.when(live & jnp.logical_not(full))
-        def _update_masked():
+        @pl.when(live)
+        def _update_live():
             update(masked=True)
     else:
-        update(masked=False)  # non-causal, aligned: every program is full
+        update(masked=False)  # non-causal, aligned: nothing to mask
 
     @pl.when(j == jnp.maximum(last_j, 0))
     def _finalize():
@@ -205,7 +213,7 @@ def _grid4_kernel(
         if mxu_l:
             l = acc_scratch[:, d_out:d_out + 1]
         else:
-            l = l_scratch[:, :1]
+            l = l_scratch[:, :1]  # finalize is once per row: slice is fine
         l_safe = jnp.where(l == 0.0, 1.0, l)
         o_ref[0, 0] = (acc_scratch[:, :d_out] / l_safe).astype(o_ref.dtype)
         if need_lse:

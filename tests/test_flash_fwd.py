@@ -115,3 +115,27 @@ def test_fwd_need_lse_false(is_causal):
     import numpy as np
 
     np.testing.assert_array_equal(np.asarray(o_full), np.asarray(o_min))
+
+
+@pytest.mark.parametrize("is_causal", [False, True])
+@pytest.mark.parametrize("d", [64, 128])
+def test_fwd_stats_lanes_agreement(is_causal, d):
+    """Full-lane (bq,128) replicated running stats vs the single-lane
+    slice layout: identical fp32 results (same algebra, different VMEM
+    layout)."""
+    import dataclasses
+
+    import numpy as np
+
+    q, k, v = make_qkv(1, 2, 2, 384, 384, d)
+    base = BlockSizes(block_q=128, block_kv=128)
+    o0, lse0 = flash_attention_forward(
+        q, k, v, is_causal=is_causal,
+        block_sizes=dataclasses.replace(base, stats_lanes=False))
+    o1, lse1 = flash_attention_forward(
+        q, k, v, is_causal=is_causal,
+        block_sizes=dataclasses.replace(base, stats_lanes=True))
+    np.testing.assert_allclose(np.asarray(o0), np.asarray(o1),
+                               rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(lse0), np.asarray(lse1),
+                               rtol=1e-6, atol=1e-6)
