@@ -66,9 +66,22 @@ def run(args) -> None:
                 ("wf_sik0", replace(base, scale_in_kernel=False)),
                 ("wf_sik1", replace(base, scale_in_kernel=True)),
             ]
+        if args.lanes_ab:
+            # stats_lanes A/B on the shipped wavefront geometry.
+            from dataclasses import replace
+
+            from flashattn_tpu.ops.autotune import lookup_block_sizes
+
+            base = lookup_block_sizes(b, h, h, s, s, d, args.causal,
+                                      q.dtype)
+            base = replace(base, fwd_impl="wavefront")
+            arms = [
+                ("wf_lanes0", replace(base, stats_lanes=False)),
+                ("wf_lanes1", replace(base, stats_lanes=True)),
+            ]
         impl = args.impl if not args.wf_tiles else "wavefront"
         tag = {"wavefront": "wf", "qmajor": "qm", "grid4": "g4"}[impl]
-        for bq, bkv in (() if args.sik_ab else tiles):
+        for bq, bkv in (() if args.sik_ab or args.lanes_ab else tiles):
             if bq > s or bkv > s:
                 continue
             for u in unrolls:
@@ -124,6 +137,8 @@ def main():
                          "shipped autotune candidates never went below "
                          "512x1024 — shallow causal S wants finer tiles: "
                          "less diagonal-tile masked waste)")
+    ap.add_argument("--lanes-ab", action="store_true",
+                    help="stats_lanes A/B on the shipped wavefront geometry")
     ap.add_argument("--sik-ab", action="store_true",
                     help="scale_in_kernel A/B on the shipped wavefront "
                          "geometry instead of the q-major tile arms")

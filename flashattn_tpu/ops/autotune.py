@@ -230,7 +230,7 @@ def autotune(
     # a shape-dependent crossover (flash_fwd_qmajor.py docstring).
     from flashattn_tpu.ops.flash_fwd_qmajor import qmajor_supported
 
-    impls = ["wavefront"]
+    impls = ["wavefront", "grid4"]
     if hq != hkv and qmajor_supported(
         s_k, d, jnp.dtype(q.dtype).itemsize,
         segmented=False, windowed=False, softcap=False, alibi=False,

@@ -72,9 +72,17 @@ def grid4_auto(s_q: int, s_k: int, d: int, is_causal: bool,
     """Measured-defaults grid-shape choice for untuned keys (autotuned
     winners override via BlockSizes.fwd_impl).
 
-    Placeholder pending the round-5 on-chip A/B: keep the wavefront until
-    the grid4 wins are on record.
+    v5e round-5 A/B (v5e_grid4_sweep.jsonl, slope timing via the public
+    primal): grid4 wins the SINGLE-KV-FETCH regime decisively — causal
+    D=128 S=1024 79.5 vs 72.0 TF, S=2048 83.3 vs 74.7 — because the
+    whole q-row runs as one meta-free program; with multiple kv steps its
+    rectangular dead programs cost ~1 us each and the wavefront's pruned
+    grid wins (S=4096 99.2 vs 81.0, S=16384 133.7 vs 114.6). Whole-row-K
+    tiles at deeper S lose to masked waste (64 TF @4096). So: grid4 iff
+    causal and the resolved kv tile covers the whole key sequence.
     """
+    if is_causal and round_up(s_k, 128) <= block_kv:
+        return "grid4"
     return "wavefront"
 
 

@@ -50,7 +50,7 @@ def test_autotune_returns_valid_blocks_and_caches(tmp_cache):
             assert getattr(bs, f.name) >= 1
         elif f.name == "fwd_impl":
             assert getattr(bs, f.name) in ("wavefront", "qmajor")
-        elif f.name == "scale_in_kernel":
+        elif f.name in ("scale_in_kernel", "stats_lanes"):
             assert getattr(bs, f.name) in (None, True, False)
         else:
             assert getattr(bs, f.name) >= 128
