@@ -155,7 +155,16 @@ def measure_looped_slope(
     # (A min over SLOPES would be wrong: a stalled T1 deflates its slope.)
     t1 = min(timed(run1) for _ in range(repeats))
     t2 = min(timed(run2) for _ in range(repeats))
-    return max((t2 - t1) / (n2 - n1), 1e-9)
+    if t2 - t1 <= 0.05 * t1:
+        # Degenerate slope (t2 barely above t1): a stall polluted every t1
+        # rep or the chains ran during a congestion window. One more round
+        # of reps, then fall back to the long chain's biased-but-sane
+        # reading rather than returning ~0.
+        t1 = min(t1, *(timed(run1) for _ in range(repeats)))
+        t2 = min(t2, *(timed(run2) for _ in range(repeats)))
+        if t2 - t1 <= 0.05 * t1:
+            return t2 / n2
+    return (t2 - t1) / (n2 - n1)
 
 
 def _make_chain(fn: Callable, iters: int):
