@@ -101,3 +101,21 @@ def test_grid4_falls_back_on_unsupported_features():
                                                   window=64)
     assert verify_results(o_ref, o, atol=1e-5, rtol=1e-5).passed
     assert verify_results(lse_ref, lse, atol=1e-5, rtol=1e-5).passed
+
+
+def test_auto_dispatch_single_fetch_uses_grid4():
+    """The measured-defaults rule: causal calls whose resolved kv tile
+    covers the whole key sequence dispatch to grid4 (v5e single-fetch
+    wins); deeper calls keep the wavefront. Both must stay oracle-exact
+    through the PUBLIC default path (block_sizes=None)."""
+    from flashattn_tpu.ops.flash_fwd_grid4 import grid4_auto
+
+    assert grid4_auto(1024, 1024, 128, True, 1024, 1024) == "grid4"
+    assert grid4_auto(4096, 4096, 128, True, 1024, 1024) == "wavefront"
+    assert grid4_auto(1024, 1024, 128, False, 1024, 1024) == "wavefront"
+
+    q, k, v = make_qkv(1, 2, 2, 256, 256, 64)
+    o, lse = flash_attention_forward(q, k, v, is_causal=True)  # auto
+    o_ref, lse_ref = reference_attention_with_lse(q, k, v, is_causal=True)
+    assert verify_results(o_ref, o, atol=1e-5, rtol=1e-5).passed
+    assert verify_results(lse_ref, lse, atol=1e-5, rtol=1e-5).passed
