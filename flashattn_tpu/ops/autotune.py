@@ -145,6 +145,7 @@ def autotune(
     scale: float | None = None,
     tune_backward: bool = True,
     verbose: bool = False,
+    force: bool = False,
 ) -> BlockSizes:
     """Measure candidate tile configs on the live device; cache the winner.
 
@@ -193,7 +194,7 @@ def autotune(
     _, hkv, s_k, _ = k.shape
     key = _key(b, hq, hkv, s_q, s_k, d, is_causal, q.dtype)
     hit = _lookup(key)
-    if hit is not None:
+    if hit is not None and not force:
         return _to_block_sizes(hit)
 
     def fits(bq, bkv):
