@@ -21,13 +21,16 @@ def main():
 
     from flashattn_tpu.ops import autotune as at
 
-    for s in (16384, 8192):
+    for s, causal in ((16384, True), (8192, True),
+                      (4096, False), (2048, False)):
         keys = jax.random.split(jax.random.PRNGKey(0), 3)
         q = jax.random.normal(keys[0], (4, 8, s, 128), jnp.bfloat16)
         k = jax.random.normal(keys[1], (4, 8, s, 128), jnp.bfloat16)
         v = jax.random.normal(keys[2], (4, 8, s, 128), jnp.bfloat16)
-        bs = at.autotune(q, k, v, is_causal=True, verbose=True, force=True)
-        print(json.dumps({"s": s, "winner": bs.__dict__}), flush=True)
+        bs = at.autotune(q, k, v, is_causal=causal, verbose=True,
+                         force=True)
+        print(json.dumps({"s": s, "causal": causal,
+                          "winner": bs.__dict__}), flush=True)
 
     local_path = at._cache_path()
     shipped_path = pathlib.Path(at.__file__).parent / "tuned_autotune.json"

@@ -7,10 +7,14 @@ for i in $(seq 1 600); do
   sleep 30
 done
 timeout 7200 python benchmarks/retune_deep.py >> $R/retune_deep.log 2>&1
-# Re-measure the deep flash cells at the retuned winners and splice.
+# Re-measure the refreshed flash cells at the retuned winners and splice.
 timeout 3600 python benchmarks/attention_bench.py --d 128 --causal 1 \
   --seqs 8192,16384 --modes fwd,bwd,fwd_bwd --providers flash \
   > $R/d128c_deep_refresh.jsonl 2>> $R/retune_deep.log
 python benchmarks/merge_rows.py $R/v5e_d128_causal.jsonl $R/d128c_deep_refresh.jsonl 2>> $R/retune_deep.log || true
+timeout 3600 python benchmarks/attention_bench.py --d 128 --causal 0 \
+  --seqs 2048,4096 --modes fwd,bwd,fwd_bwd --providers flash \
+  > $R/d128nc_mid_refresh.jsonl 2>> $R/retune_deep.log
+python benchmarks/merge_rows.py $R/v5e_d128_noncausal.jsonl $R/d128nc_mid_refresh.jsonl 2>> $R/retune_deep.log || true
 timeout 1800 python bench.py >> $R/bench_headline_r5b.log 2>&1
 echo DONE_ROUND5G >> $R/round5g.log
