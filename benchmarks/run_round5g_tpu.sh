@@ -16,5 +16,9 @@ timeout 3600 python benchmarks/attention_bench.py --d 128 --causal 0 \
   --seqs 2048,4096 --modes fwd,bwd,fwd_bwd --providers flash \
   > $R/d128nc_mid_refresh.jsonl 2>> $R/retune_deep.log
 python benchmarks/merge_rows.py $R/v5e_d128_noncausal.jsonl $R/d128nc_mid_refresh.jsonl 2>> $R/retune_deep.log || true
+timeout 3600 python benchmarks/attention_bench.py --d 64 --causal 1 \
+  --seqs 2048 --modes fwd,bwd,fwd_bwd --providers flash \
+  > $R/d64c_2048_refresh.jsonl 2>> $R/retune_deep.log
+python benchmarks/merge_rows.py $R/v5e_d64_causal.jsonl $R/d64c_2048_refresh.jsonl 2>> $R/retune_deep.log || true
 timeout 1800 python bench.py >> $R/bench_headline_r5b.log 2>&1
 echo DONE_ROUND5G >> $R/round5g.log
