@@ -53,7 +53,16 @@ def attention_table(recs, s_plateau: int) -> list[str]:
             for p in providers)
         lines.append(
             f"| {d} | {'yes' if causal else 'no'} | {mode} | {vals} |")
-    lines.append("")
+    lines += [
+        "",
+        "`bwd` rows are DERIVED as fwd_bwd − fwd (reference convention, "
+        "`Performance_Comparison.py:92-95`). For providers whose "
+        "standalone forward differs from the forward inside their "
+        "autodiff program (jax_flash's `save_residuals` split), the "
+        "subtraction can exceed chip peak — compare `fwd` and `fwd_bwd` "
+        "(measured walls) across providers, not derived `bwd`.",
+        "",
+    ]
     return lines
 
 
