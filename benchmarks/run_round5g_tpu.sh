@@ -20,5 +20,7 @@ timeout 3600 python benchmarks/attention_bench.py --d 64 --causal 1 \
   --seqs 2048 --modes fwd,bwd,fwd_bwd --providers flash \
   > $R/d64c_2048_refresh.jsonl 2>> $R/retune_deep.log
 python benchmarks/merge_rows.py $R/v5e_d64_causal.jsonl $R/d64c_2048_refresh.jsonl 2>> $R/retune_deep.log || true
+timeout 3600 python benchmarks/train_bench.py --model 1b --batch 4 --remat dots \
+  >> $R/train_1b_r5.log 2>&1
 timeout 1800 python bench.py >> $R/bench_headline_r5b.log 2>&1
 echo DONE_ROUND5G >> $R/round5g.log
