@@ -6,6 +6,9 @@ for i in $(seq 1 600); do
   grep -q DONE_ROUND5D $R/round5d.log 2>/dev/null && break
   sleep 30
 done
+rm -f $R/v5e_speculate.jsonl
+timeout 5400 python benchmarks/speculate_bench.py --model 1b \
+  --out $R/v5e_speculate.jsonl >> $R/speculate_1b.log 2>&1
 timeout 7200 python benchmarks/retune_deep.py >> $R/retune_deep.log 2>&1
 # Re-measure the refreshed flash cells at the retuned winners and splice.
 timeout 3600 python benchmarks/attention_bench.py --d 128 --causal 1 \

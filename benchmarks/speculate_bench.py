@@ -86,28 +86,32 @@ def main():
     prompt = jax.random.randint(jax.random.PRNGKey(2), (1, s0), 0,
                                 t_cfg.vocab_size)
 
+    # params/caches ride as CHAIN ARGUMENTS, never closures: closing over
+    # them bakes ~2.2 GB of weights into the traced HLO as constants and
+    # kills the remote-compile transport (the round-3 serve-bench disease;
+    # tests/test_serve.py pins the same rule for the server calibrations).
     def step_time(params, cfg):
         caches = generate.init_caches(cfg, 1, max_len)
         _, caches = generate.prefill(params, prompt, caches, cfg)
         pos = jnp.asarray([s0], jnp.int32)
 
-        def f(tok):
+        def f(tok, params, caches):
             return generate.decode_step(params, tok, pos, caches, cfg)[0]
 
         tok = jnp.asarray([11], jnp.int32)
-        return measure_looped_slope(f, tok)
+        return measure_looped_slope(f, tok, params, caches)
 
     def chunk_time(params, cfg, c):
         caches = generate.init_caches(cfg, 1, max_len)
         _, caches = generate.prefill(params, prompt, caches, cfg)
         positions = jnp.arange(s0, s0 + c)
 
-        def f(piece):
+        def f(piece, params, caches):
             return generate.chunk_step(params, piece, positions, caches,
                                        cfg)[0]
 
         piece = jnp.full((1, c), 11, jnp.int32)
-        return measure_looped_slope(f, piece)
+        return measure_looped_slope(f, piece, params, caches)
 
     t_target = step_time(t_params, t_cfg)
     t_draft = step_time(d_params, d_cfg)
