@@ -291,19 +291,26 @@ def decode_attention_chunk(
 
 
 def pick_h_fuse(num_kv_blocks: int, esize: int, hkv: int, block_kv: int,
-                d: int) -> int:
+                d: int, is_int8: bool = False) -> int:
     """KV heads fetched per grid step (see _decode_kernel) — short-stream
-    DMA batching, but ONLY for quantized caches on single-block streams.
-    The round-4 on-chip A/B (v5e_decode_hfuse{1,_auto}.jsonl) is decisive:
-    at S=2048 (1 block/head) fusing lifts int8 0.648→0.771 and fp8
-    0.632→0.766 SoL (the fixed VPU dequant cost amortizes over h_fuse
-    heads' worth of stream), while bf16 — with no dequant to amortize —
-    LOSES 0.870→0.845, and at S=8192 (2+ blocks) fusing loses across
-    dtypes (fp8 0.855→0.759: deeper fused fetches break double-buffer
-    pipelining). Budget the fused K+V working set (x2 for Mosaic's double
-    buffering) to ~48 MB VMEM."""
+    DMA batching for quantized caches. Gating is strictly measured:
+
+    - round-4 A/B (v5e_decode_hfuse{1,_auto}.jsonl): single-block streams
+      win for int8/fp8 (S=2048: 0.648→0.771 / 0.632→0.766 SoL — the fixed
+      dequant cost amortizes over h_fuse heads' stream); bf16 (nothing to
+      amortize) loses; deep fused fetches (S=8192+) lose across dtypes.
+    - round-5 A/B (v5e_decode_chunk_ab.jsonl, honest timing): for INT8
+      specifically, TWO 1024-blocks with h_fuse beat the single-block
+      winner at S=2048 (0.774→0.843 SoL — the second block's fetch
+      double-buffers under the first's compute); the same arm LOSES for
+      fp8 (0.818→0.758). Hence the int8-only two-block clause.
+
+    Budget the fused K+V working set (x2 for Mosaic's double buffering)
+    to ~48 MB VMEM."""
+    two_block_int8 = (is_int8 and num_kv_blocks == 2
+                      and num_kv_blocks * block_kv <= 2048)
     h_fuse = 1
-    if num_kv_blocks == 1 and esize == 1:
+    if esize == 1 and (num_kv_blocks == 1 or two_block_int8):
         budget = 48 * 1024 * 1024
         while (h_fuse * 2 <= hkv and hkv % (h_fuse * 2) == 0
                and 2 * (h_fuse * 2) * block_kv * d * esize * 2 <= budget):
@@ -386,7 +393,8 @@ def _decode_attention(
     num_kv_blocks = s_max // block_kv
 
     h_fuse = pick_h_fuse(num_kv_blocks, jnp.dtype(cache.k.dtype).itemsize,
-                         hkv, block_kv, d)
+                         hkv, block_kv, d,
+                         is_int8=cache.k.dtype == jnp.int8)
     env_hf = os.environ.get("FLASHATTN_DECODE_HFUSE")
     if env_hf is not None:  # A/B override
         h_fuse = int(env_hf)
@@ -395,7 +403,8 @@ def _decode_attention(
                 f"FLASHATTN_DECODE_HFUSE={h_fuse} must divide Hkv={hkv}")
         if h_fuse > pick_h_fuse(num_kv_blocks,
                                 jnp.dtype(cache.k.dtype).itemsize,
-                                hkv, block_kv, d):
+                                hkv, block_kv, d,
+                                is_int8=cache.k.dtype == jnp.int8):
             import warnings
 
             warnings.warn(
