@@ -1,4 +1,6 @@
-"""Grid-shape sweep: q-major (flash_fwd_qmajor.py) vs wavefront forward.
+"""Grid-shape / config sweep for the forward kernels (wavefront vs
+grid4; the deleted q-major variant's arms remain on record in
+v5e_qmajor_sweep.jsonl).
 
 Targets the one competitive region the round-4 matrix still lost — causal
 pure-fwd at S in [512, 4096], where jax_flash's q-major grid led ours
@@ -80,7 +82,7 @@ def run(args) -> None:
                 ("wf_lanes1", replace(base, stats_lanes=True)),
             ]
         impl = args.impl if not args.wf_tiles else "wavefront"
-        tag = {"wavefront": "wf", "qmajor": "qm", "grid4": "g4"}[impl]
+        tag = {"wavefront": "wf", "grid4": "g4"}[impl]
         for bq, bkv in (() if args.sik_ab or args.lanes_ab else tiles):
             if bq > s or bkv > s:
                 continue
@@ -129,8 +131,8 @@ def main():
     ap.add_argument("--b", type=int, default=4)
     ap.add_argument("--h", type=int, default=8)
     ap.add_argument("--causal", action="store_true")
-    ap.add_argument("--impl", default="qmajor",
-                    choices=["qmajor", "wavefront", "grid4"],
+    ap.add_argument("--impl", default="grid4",
+                    choices=["wavefront", "grid4"],
                     help="grid shape for the tile arms")
     ap.add_argument("--wf-tiles", action="store_true",
                     help="sweep the tile list on the WAVEFRONT grid (the "

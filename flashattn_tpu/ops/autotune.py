@@ -225,23 +225,12 @@ def autotune(
                 out.append(bkv // band)
         return out
 
-    # Grid-shape sweep: both forward grids (wavefront / q-major) are
-    # candidates per key — the measured round-4 finding is that q-major
-    # amortizes shallow causal rows while the wavefront wins at depth, with
-    # a shape-dependent crossover (flash_fwd_qmajor.py docstring).
-    from flashattn_tpu.ops.flash_fwd_qmajor import qmajor_supported
-
+    # Grid-shape sweep: both forward grids (wavefront / grid4) are
+    # candidates per key (see flash_fwd_grid4.py's docstring for the
+    # measured crossover).
+    # (qmajor was a third candidate until it lost its GQA trials too —
+    # deleted in round 5, A/Bs in v5e_qmajor_sweep.jsonl.)
     impls = ["wavefront", "grid4"]
-    if hq != hkv and qmajor_supported(
-        s_k, d, jnp.dtype(q.dtype).itemsize,
-        segmented=False, windowed=False, softcap=False, alibi=False,
-        dropout=False, dynamic_offset=False, mxu_l=d % 128 != 0,
-    ):
-        # q-major lost every clean MHA measurement (v5e_qmajor_sweep.jsonl:
-        # 7-20% behind the wavefront at all S) — only GQA shapes, where its
-        # resident K/V amortizes across the q-heads of a kv group, still
-        # justify the trial compiles.
-        impls.append("qmajor")
 
     fwd_trials = [
         (bq, bkv, unroll, impl)

@@ -69,11 +69,12 @@ class BlockSizes:
     # Bands must stay >= 128 columns; the launcher falls back to 1 if not.
     unroll_kv: int = 1
     # Forward grid shape: "wavefront" (flat live-pair grid, flash_fwd.py),
-    # "qmajor" (program-per-q-tile with an in-kernel kv loop,
-    # flash_fwd_qmajor.py), or "auto" (measured-defaults heuristic +
-    # autotune winners). The two grids are numerically identical; they
-    # trade per-row boundary amortization (qmajor) against streaming depth
-    # (wavefront) — see flash_fwd_qmajor.py's module docstring.
+    # "grid4" (rectangular grid, arithmetic index maps,
+    # flash_fwd_grid4.py), or "auto" (measured-defaults heuristic +
+    # autotune winners). The grids are numerically identical; they trade
+    # meta-free per-step cost (grid4, wins single-kv-fetch shapes) against
+    # zero-cost causal pruning (wavefront, wins at depth) — see
+    # flash_fwd_grid4.py's module docstring.
     fwd_impl: str = "auto"
     # Where Q picks up its scale*log2(e) factor. Host-side pre-scaling (the
     # round-1 design) saves a per-element VPU multiply in the hot loop but

@@ -546,14 +546,16 @@ def flash_attention_forward(
     # feature/residency combinations silently keep the wavefront (a tuned
     # "qmajor" winner must not break windows/dropout/... calls at the same
     # key).
+    # (A third grid shape, "qmajor" — program-per-q-tile with an in-kernel
+    # fori_loop kv stream over VMEM-resident K/V — was built and deleted in
+    # round 5: it lost 7-20 % to the wavefront at every MHA point and also
+    # lost the GQA model shapes to both other grids. A/Bs on record in
+    # benchmarks/results/v5e_qmajor_sweep.jsonl; Mosaic's grid pipeline
+    # beats an in-kernel dynamic loop.)
     from flashattn_tpu.ops.flash_fwd_grid4 import (
         flash_attention_forward_grid4,
         grid4_auto,
         grid4_supported,
-    )
-    from flashattn_tpu.ops.flash_fwd_qmajor import (
-        flash_attention_forward_qmajor,
-        qmajor_supported,
     )
 
     impl = os.environ.get("FLASHATTN_FWD_IMPL", block_sizes.fwd_impl)
@@ -566,20 +568,11 @@ def flash_attention_forward(
         dropout=dropout_rate > 0.0,
         dynamic_offset=dyn_pos_offset is not None,
     )
-    _qm_ok = _plain and qmajor_supported(
-        s_k, d, jnp.dtype(k.dtype).itemsize,
-        segmented=False, windowed=False, softcap=False, alibi=False,
-        dropout=False, dynamic_offset=False, mxu_l=d % 128 != 0,
-    )
     if impl == "auto" and _plain:
         impl = grid4_auto(s_q, s_k, d, is_causal,
                           block_sizes.block_q, block_sizes.block_kv)
     if impl == "grid4" and _plain:
         return flash_attention_forward_grid4(
-            q, k, v, is_causal, scale, block_sizes, interpret, debug, _off,
-            need_lse=need_lse)
-    if impl == "qmajor" and _qm_ok:
-        return flash_attention_forward_qmajor(
             q, k, v, is_causal, scale, block_sizes, interpret, debug, _off,
             need_lse=need_lse)
 

@@ -1,7 +1,9 @@
 """Rectangular-grid Pallas TPU flash-attention forward ("grid4").
 
-Third forward grid shape (after the wavefront in ``flash_fwd.py`` and the
-in-kernel-loop q-major in ``flash_fwd_qmajor.py``): a plain rectangular
+Second forward grid shape (besides the wavefront in ``flash_fwd.py``; an
+in-kernel-loop "q-major" variant was built and deleted in round 5 after
+losing every A/B — records in ``v5e_qmajor_sweep.jsonl``): a plain
+rectangular
 ``(B, H, num_q_blocks, num_kv_blocks)`` grid with **pure-arithmetic index
 maps** — the reference's own launch geometry
 (``My_FlashAttention_optimized.py:53`` — CTA grid over q tiles with the kv

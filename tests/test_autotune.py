@@ -49,7 +49,7 @@ def test_autotune_returns_valid_blocks_and_caches(tmp_cache):
         if f.name == "unroll_kv":
             assert getattr(bs, f.name) >= 1
         elif f.name == "fwd_impl":
-            assert getattr(bs, f.name) in ("wavefront", "qmajor")
+            assert getattr(bs, f.name) in ("wavefront", "grid4")
         elif f.name in ("scale_in_kernel", "stats_lanes"):
             assert getattr(bs, f.name) in (None, True, False)
         else:
