@@ -177,8 +177,15 @@ def _make_chain(fn: Callable, iters: int):
     def run(first, rest):
         def body(carry, _):
             out = fn(carry, *rest)
-            leaf = jax.tree_util.tree_leaves(out)[0]
-            dep = (leaf.reshape(-1)[0] * 1e-30).astype(jnp.float32)
+            # Fold EVERY output leaf into the dependency, not just the
+            # first: with only one leaf used, XLA dead-code-eliminates
+            # whole sibling computations out of the chain — the round-5
+            # split-backward retune read 242 "TFLOPS" (5x below the
+            # physical minimum) because the unused dK/dV kernel was
+            # DCE'd from the timed program.
+            dep = jnp.float32(0)
+            for leaf in jax.tree_util.tree_leaves(out):
+                dep += (leaf.reshape(-1)[0] * 1e-30).astype(jnp.float32)
             return (carry.astype(jnp.float32) + dep).astype(carry.dtype), None
 
         carry, _ = jax.lax.scan(body, first, None, length=iters)
