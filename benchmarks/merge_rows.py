@@ -31,8 +31,10 @@ def main() -> None:
             return [json.loads(line) for line in f
                     if line.strip().startswith("{")]
 
-    new_rows = _rows(fresh)
-    assert all(r["provider"] == provider for r in new_rows), "provider mismatch"
+    # Keep only the requested provider's rows (a refresh file may carry
+    # several providers; call once per provider to splice each).
+    new_rows = [r for r in _rows(fresh) if r["provider"] == provider]
+    assert new_rows, f"no {provider} rows in {fresh}"
 
     old_rows = _rows(target)
 
