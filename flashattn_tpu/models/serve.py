@@ -608,9 +608,18 @@ class InferenceServer:
             for _ in range(self.cfg.num_layers)
         ]
 
+        # Long prompts prefill in admission-sized pieces (one huge
+        # decode-chunk call blows the kernel's VMEM window at ~2k+ rows —
+        # and the real admission path streams chunks anyway).
+        cal_chunk = min(512, padded_full)
+
         def replicated(piece, params, caches, empty):
-            logits, single = generate.chunk_step(params, piece,
-                                                 pos_full, empty, self.cfg)
+            single = empty
+            logits = None
+            for c0 in range(0, padded_full, cal_chunk):
+                logits, single = generate.chunk_step(
+                    params, piece[:, c0:c0 + cal_chunk],
+                    pos_full[c0:c0 + cal_chunk], single, self.cfg)
             # Depend on EVERY layer's install + the logits, or XLA dead-
             # code-eliminates all but the returned one out of the timing.
             deps = [logits.reshape(-1)[0]]
