@@ -575,6 +575,15 @@ def flash_attention_forward(
         return flash_attention_forward_grid4(
             q, k, v, is_causal, scale, block_sizes, interpret, debug, _off,
             need_lse=need_lse)
+    # (A fourth grid shape, "pair" — complementary q rows i and n-1-i
+    # fused into one fully-live grid row, so causal pruning costs neither
+    # dead programs (grid4's depth weakness) nor meta loads (the
+    # wavefront's) — was built, oracle-verified, and deleted in round 5:
+    # it lost EVERY shipped cell (best arm −8-10 % vs the wavefront at
+    # S=4096/8192, −6 % vs grid4 at S=2048; v5e_pair_sweep.jsonl). Key
+    # negative attribution: with both suspected overheads eliminated it
+    # still lost, so the remaining jax_flash mid-S lead is per-program
+    # pipeline cost of multi-row-visiting programs, not grid shape.)
 
     # Q carries scale·log2(e) so S = Q̃·Kᵀ lands directly in the log2
     # domain, saving a full VPU pass over every S² tile in the hot loop.
