@@ -86,6 +86,13 @@ class BlockSizes:
     # exactly when rows are shallow. None = auto (per-shape heuristic in
     # the launcher), True/False = forced (autotune-sweepable, jit-static).
     scale_in_kernel: bool | None = None
+    # grid4 head fusion: process this many q heads per grid program (the
+    # decode kernel's h_fuse, applied to the forward grid). Amortizes the
+    # per-program pipeline cost the round-5 pair-grid experiment isolated
+    # as the residual vs jax_flash at mid-S; under GQA, fused q heads of
+    # one kv group share a single K/V fetch. 1 = off (wavefront and
+    # unsupported shapes ignore it); autotune-sweepable, jit-static.
+    fwd_h_fuse: int = 1
     # Running-stat scratch layout: False = single-lane [:, :1] slice
     # updates, True = full-lane (bq, 128) lane-replicated stats (every
     # m/l read+store a full-register op — sub-lane slice stores lower to
@@ -109,6 +116,7 @@ class BlockSizes:
             block_kv_fused=fit(self.block_kv_fused, s_k),
             unroll_kv=self.unroll_kv,
             fwd_impl=self.fwd_impl,
+            fwd_h_fuse=self.fwd_h_fuse,
             scale_in_kernel=self.scale_in_kernel,
             stats_lanes=self.stats_lanes,
         )

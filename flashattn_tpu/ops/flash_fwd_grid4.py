@@ -89,10 +89,10 @@ def grid4_auto(s_q: int, s_k: int, d: int, is_causal: bool,
 
 
 def _grid4_kernel(
-    q_ref,  # (1, 1, bq, D), pre-scaled by scale*log2(e) host-side
-    k_ref,  # (1, 1, bkv, D)
-    v_ref,  # (1, 1, bkv, D_ext)
-    *out_refs,  # o (1, 1, bq, D) [+ lse (1, 1, bq, 1) f32 if need_lse]
+    q_ref,  # (1, hf, bq, D), pre-scaled by scale*log2(e) host-side
+    k_ref,  # (1, kv_h, bkv, D)
+    v_ref,  # (1, kv_h, bkv, D_ext)
+    *out_refs,  # o (1, hf, bq, D) [+ lse (1, hf, bq, 1) f32 if need_lse]
     scratch,  # [m, (l,), acc] VMEM — trailing scratch refs
     block_q: int,
     block_kv: int,
@@ -105,6 +105,8 @@ def _grid4_kernel(
     acc_writethrough: bool,
     unroll: int,
     need_lse: bool,
+    h_fuse: int = 1,
+    q_per_kv: int = 1,
 ):
     i = pl.program_id(2)
     j = pl.program_id(3)
@@ -114,6 +116,16 @@ def _grid4_kernel(
         l_scratch = None
     else:
         m_scratch, l_scratch, acc_scratch = scratch
+    # Head fusion (h_fuse > 1): scratches grow a leading head axis and the
+    # body/finalize run a python-unrolled head loop — per-program pipeline
+    # cost (the measured residual vs jax_flash at mid-S; see the pair-grid
+    # negative result in flash_fwd.py) amortizes over h_fuse heads, and
+    # under GQA all q heads of one kv group ride a single K/V fetch.
+    # h_fuse == 1 keeps the exact pre-fusion code shape (2-D scratches).
+    heads = range(h_fuse)
+
+    def hix(hh):
+        return ... if h_fuse == 1 else hh
 
     if is_causal:
         # Row block i's deepest visible column (global): i*bq + off + bq-1.
@@ -148,11 +160,13 @@ def _grid4_kernel(
     assert block_kv % unroll == 0, (block_kv, unroll)
     bsub = block_kv // unroll
 
-    def update(masked: bool):
-        q = q_ref[0, 0]  # (bq, D)
+    def update_head(hh: int, masked: bool):
+        hi = hix(hh)
+        khh = hh // q_per_kv  # kv head within the fused fetch
+        q = q_ref[0, hh]  # (bq, D)
         ss = [
             jax.lax.dot_general(
-                q, k_ref[0, 0, u * bsub:(u + 1) * bsub, :],
+                q, k_ref[0, khh, u * bsub:(u + 1) * bsub, :],
                 dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
@@ -171,7 +185,7 @@ def _grid4_kernel(
                 cols1 = jax.lax.broadcasted_iota(jnp.int32, (1, bsub), 1)
                 mask = cols1 <= limit
                 s = jnp.where(mask, s, MASK_VALUE)
-            m_prev = m_scratch[...]  # (bq, 128) lane-replicated
+            m_prev = m_scratch[hi]  # (bq, 128) lane-replicated
             m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
             alpha = jnp.exp2(m_prev - m_new)  # (bq, 128)
             p = jnp.exp2(s - jnp.tile(m_new, (1, bsub // 128))
@@ -182,10 +196,10 @@ def _grid4_kernel(
                 # every tile they appear in).
                 p = jnp.where(mask, p, 0.0)
             if not mxu_l:
-                l_scratch[...] = (alpha * l_scratch[...]
-                                  + jnp.sum(p, axis=1, keepdims=True))
-            m_scratch[...] = m_new
-            v = v_ref[0, 0, u * bsub:(u + 1) * bsub, :]
+                l_scratch[hi] = (alpha * l_scratch[hi]
+                                 + jnp.sum(p, axis=1, keepdims=True))
+            m_scratch[hi] = m_new
+            v = v_ref[0, khh, u * bsub:(u + 1) * bsub, :]
             pv = jax.lax.dot_general(
                 p.astype(v.dtype), v,
                 dimension_numbers=(((1,), (0,)), ((), ())),
@@ -197,13 +211,17 @@ def _grid4_kernel(
             if acc_writethrough and u == 0:
                 @pl.when(j == 0)
                 def _wt():
-                    acc_scratch[...] = pv
+                    acc_scratch[hi] = pv
 
                 @pl.when(j > 0)
                 def _rmw():
-                    acc_scratch[...] = acc_scratch[...] * alpha_d + pv
+                    acc_scratch[hi] = acc_scratch[hi] * alpha_d + pv
             else:
-                acc_scratch[...] = acc_scratch[...] * alpha_d + pv
+                acc_scratch[hi] = acc_scratch[hi] * alpha_d + pv
+
+    def update(masked: bool):
+        for hh in heads:
+            update_head(hh, masked)
 
     # ONE predicated body (jax_flash's shape): causal programs mask every
     # live tile instead of branching full/partial — the dual pl.when pair
@@ -219,18 +237,24 @@ def _grid4_kernel(
     @pl.when(j == jnp.maximum(last_j, 0))
     def _finalize():
         d_out = o_ref.shape[-1]
-        m = m_scratch[:, :1]
-        if mxu_l:
-            l = acc_scratch[:, d_out:d_out + 1]
-        else:
-            l = l_scratch[:, :1]  # finalize is once per row: slice is fine
-        l_safe = jnp.where(l == 0.0, 1.0, l)
-        o_ref[0, 0] = (acc_scratch[:, :d_out] / l_safe).astype(o_ref.dtype)
-        if need_lse:
-            lse = (m + jnp.log2(l_safe)) * LN2
-            if guard_zero_rows:
-                lse = jnp.where(l == 0.0, -jnp.inf, lse)
-            out_refs[1][0, 0] = lse
+        for hh in heads:
+            if h_fuse == 1:
+                m = m_scratch[:, :1]
+                acc = acc_scratch
+                l = (acc_scratch[:, d_out:d_out + 1] if mxu_l
+                     else l_scratch[:, :1])  # once per row: slice is fine
+            else:
+                m = m_scratch[hh, :, :1]
+                acc = acc_scratch[hh]
+                l = (acc_scratch[hh, :, d_out:d_out + 1] if mxu_l
+                     else l_scratch[hh, :, :1])
+            l_safe = jnp.where(l == 0.0, 1.0, l)
+            o_ref[0, hh] = (acc[..., :d_out] / l_safe).astype(o_ref.dtype)
+            if need_lse:
+                lse = (m + jnp.log2(l_safe)) * LN2
+                if guard_zero_rows:
+                    lse = jnp.where(l == 0.0, -jnp.inf, lse)
+                out_refs[1][0, hh] = lse
     # guard_zero_rows note: a row block with NO visible keys has
     # last_j == -1; its only executed predicate is max(last_j, 0) == 0 at
     # j == 0, where init has set m = MASK, l = 0 (and write-through never
@@ -285,6 +309,14 @@ def flash_attention_forward_grid4(
     if bkv % unroll != 0 or (bkv // unroll) % 128 != 0:
         unroll = 1
 
+    # Head fusion (BlockSizes.fwd_h_fuse): silently off when the head
+    # counts don't divide — a tuned h_fuse winner must not break other
+    # head layouts at the same seq/depth key.
+    hf = max(1, block_sizes.fwd_h_fuse)
+    if hq % hf != 0 or not (q_per_kv % hf == 0 or hf % q_per_kv == 0):
+        hf = 1
+    kv_h = hf // q_per_kv if hf > q_per_kv else 1
+
     # Same measured accumulator policy as the wavefront: write-through for
     # shallow rows, zero-once + unconditional RMW for deep ones. Zero-key
     # rows need acc zeroed at init (their finalize reads it unwritten).
@@ -310,6 +342,8 @@ def flash_attention_forward_grid4(
         acc_writethrough=acc_writethrough,
         unroll=unroll,
         need_lse=need_lse,
+        h_fuse=hf,
+        q_per_kv=q_per_kv,
     )
 
     def q_index(b_i, h_i, i, j):
@@ -322,22 +356,27 @@ def flash_attention_forward_grid4(
             last_j = jnp.clip(
                 (i * bq + causal_offset + bq - 1) // bkv, 0, nkv - 1)
             j = jnp.minimum(j, last_j)
-        return (b_i, h_i // q_per_kv, j, 0)
+        # h_i counts q-head BLOCKS of hf heads; the matching kv block of
+        # kv_h heads is (h_i·hf) // q_per_kv in units of kv_h.
+        return (b_i, (h_i * hf) // (q_per_kv * kv_h), j, 0)
 
-    out_specs = [pl.BlockSpec((1, 1, bq, d), q_index)]
+    out_specs = [pl.BlockSpec((1, hf, bq, d), q_index)]
     out_shape = [jax.ShapeDtypeStruct((b, hq, s_q_p, d), q.dtype)]
     if need_lse:
-        out_specs.append(pl.BlockSpec((1, 1, bq, 1), q_index))
+        out_specs.append(pl.BlockSpec((1, hf, bq, 1), q_index))
         out_shape.append(
             jax.ShapeDtypeStruct((b, hq, s_q_p, 1), jnp.float32))
 
+    def _sh(*dims):
+        return dims if hf == 1 else (hf,) + dims
+
     scratch_shapes = (
-        [pltpu.VMEM((bq, 128), jnp.float32),
-         pltpu.VMEM((bq, d_ext), jnp.float32)]
+        [pltpu.VMEM(_sh(bq, 128), jnp.float32),
+         pltpu.VMEM(_sh(bq, d_ext), jnp.float32)]
         if mxu_l else
-        [pltpu.VMEM((bq, 128), jnp.float32),
-         pltpu.VMEM((bq, 128), jnp.float32),
-         pltpu.VMEM((bq, d), jnp.float32)]
+        [pltpu.VMEM(_sh(bq, 128), jnp.float32),
+         pltpu.VMEM(_sh(bq, 128), jnp.float32),
+         pltpu.VMEM(_sh(bq, d), jnp.float32)]
     )
 
     def kernel_entry(q_ref, k_ref, v_ref, *rest):
@@ -347,11 +386,11 @@ def flash_attention_forward_grid4(
 
     outs = pl.pallas_call(
         kernel_entry,
-        grid=(b, hq, nq, nkv),
+        grid=(b, hq // hf, nq, nkv),
         in_specs=[
-            pl.BlockSpec((1, 1, bq, d), q_index),
-            pl.BlockSpec((1, 1, bkv, d), kv_index),
-            pl.BlockSpec((1, 1, bkv, d_ext), kv_index),
+            pl.BlockSpec((1, hf, bq, d), q_index),
+            pl.BlockSpec((1, kv_h, bkv, d), kv_index),
+            pl.BlockSpec((1, kv_h, bkv, d_ext), kv_index),
         ],
         out_specs=out_specs,
         out_shape=out_shape,
